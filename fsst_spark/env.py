@@ -1,0 +1,39 @@
+"""Process-level tuning for numpy-heavy executors.
+
+glibc serves large allocations (>=128 KiB) with mmap and returns them to the
+OS on free, so every large numpy temporary pays first-touch page faults.
+On virtualized hosts with slow fault paths this dominates runtime (measured
+>100x slowdown in this environment); on any host it costs soft-fault + zero
+page churn. Keeping freed memory in the heap (no mmap, no trim) makes
+numpy temp buffers reusable at memcpy speed.
+
+Called from ``fsst_spark.__init__`` so it applies to the driver *and* to
+every Spark Python worker the moment the package is imported there.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+_M_TRIM_THRESHOLD = -1
+_M_MMAP_MAX = -4
+
+_done = False
+
+
+def tune_malloc() -> None:
+    global _done
+    if _done:
+        return
+    _done = True
+    # For child processes (JVM -> pyspark daemon -> workers).
+    os.environ.setdefault("MALLOC_MMAP_MAX_", "0")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+    # For the current process (env vars are only read at process start).
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.mallopt(_M_MMAP_MAX, 0)
+        libc.mallopt(_M_TRIM_THRESHOLD, 2**31 - 1)
+    except OSError:
+        pass  # non-glibc platform: env vars above still cover children

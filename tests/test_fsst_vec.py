@@ -1,0 +1,120 @@
+"""Property tests: vectorized FSST kernels == scalar oracle.
+
+Mirrors the reference fuzz targets (fuzz/fuzz_targets/fuzz_compress.rs:5-11:
+round-trip under a fixed trained table for arbitrary bytes)."""
+
+import random
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fsst_spark.kernel.fsst import train
+from fsst_spark.kernel.fsst_vec import EncoderTables, decode_chunk, encode_chunk
+
+DECL = (
+    b"We hold these truths to be self-evident, that all men are created "
+    b"equal, that they are endowed by their Creator with certain "
+    b"unalienable Rights, that among these are Life, Liberty and the "
+    b"pursuit of Happiness."
+)
+
+
+def to_buffers(values: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    data = np.frombuffer(b"".join(values), dtype=np.uint8)
+    offsets = np.zeros(len(values) + 1, dtype=np.int64)
+    np.cumsum([len(v) for v in values], out=offsets[1:])
+    return data, offsets
+
+
+def from_buffers(data: np.ndarray, offsets: np.ndarray) -> list[bytes]:
+    raw = data.tobytes()
+    return [raw[offsets[i] : offsets[i + 1]] for i in range(len(offsets) - 1)]
+
+
+def check_corpus(values: list[bytes], seg: int = 2048) -> None:
+    c = train(values)
+    t = EncoderTables.from_compressor(c)
+    data, offsets = to_buffers(values)
+    enc, enc_off = encode_chunk(data, offsets, t, seg=seg)
+    enc_rows = from_buffers(enc, enc_off)
+    # 1. whole-row lanes must match the scalar encoder byte-for-byte
+    if seg >= max((len(v) for v in values), default=0):
+        for v, er in zip(values, enc_rows):
+            assert er == c.compress(v), f"vector encode != scalar for {v[:40]!r}"
+    # 2. vectorized decode must invert vectorized encode exactly
+    dec, dec_off = decode_chunk(enc, enc_off, t.sym_mat, t.sym_lens)
+    assert from_buffers(dec, dec_off) == values
+    # 3. scalar decode of each vector-encoded row must also round-trip
+    d = c.decompressor()
+    for v, er in zip(values, enc_rows):
+        assert d.decompress(er) == v
+
+
+def test_exact_match_with_scalar_prose():
+    check_corpus([DECL] * 8 + [b"", b"x", DECL[:7], DECL[:8], DECL[:9]])
+
+
+def test_segmented_lanes_roundtrip():
+    vals = [DECL * 50, b"", DECL, DECL * 3, b"\x00" * 5000, bytes(range(256)) * 30]
+    check_corpus(vals, seg=512)
+    check_corpus(vals, seg=64)
+
+
+def test_binary_with_nuls_and_escapes():
+    rng = random.Random(7)
+    vals = [bytes(rng.randrange(256) for _ in range(rng.randrange(0, 600))) for _ in range(80)]
+    vals += [b"\xff" * 100, b"\x00" * 100, b"\xff\x00" * 64]
+    check_corpus(vals)
+    check_corpus(vals, seg=97)
+
+
+def test_empty_table_all_escape_paths():
+    c = train([])
+    t = EncoderTables.from_compressor(c)
+    vals = [b"hello", b"", b"\xff\xff\xff", bytes(range(256))]
+    data, offsets = to_buffers(vals)
+    enc, enc_off = encode_chunk(data, offsets, t)
+    assert list(enc_off[1:] - enc_off[:-1]) == [2 * len(v) for v in vals]
+    dec, dec_off = decode_chunk(enc, enc_off, t.sym_mat, t.sym_lens)
+    assert from_buffers(dec, dec_off) == vals
+
+
+def test_all_empty_rows():
+    c = train([DECL])
+    t = EncoderTables.from_compressor(c)
+    data, offsets = to_buffers([b"", b"", b""])
+    enc, enc_off = encode_chunk(data, offsets, t)
+    assert len(enc) == 0 and list(enc_off) == [0, 0, 0, 0]
+    dec, dec_off = decode_chunk(enc, enc_off, t.sym_mat, t.sym_lens)
+    assert list(dec_off) == [0, 0, 0, 0]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.binary(min_size=0, max_size=400), min_size=0, max_size=30),
+    st.sampled_from([64, 512, 2048]),
+)
+def test_hypothesis_roundtrip(values, seg):
+    if not values:
+        return
+    check_corpus(values, seg=seg)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.binary(min_size=0, max_size=2000))
+def test_hypothesis_single_value_under_prose_table(v):
+    c = train([DECL] * 4)
+    t = EncoderTables.from_compressor(c)
+    data, offsets = to_buffers([v])
+    enc, enc_off = encode_chunk(data, offsets, t)
+    assert from_buffers(enc, enc_off)[0] == c.compress(v)
+    dec, dec_off = decode_chunk(enc, enc_off, t.sym_mat, t.sym_lens)
+    assert from_buffers(dec, dec_off)[0] == v
+
+
+@pytest.mark.parametrize("seg", [8, 16, 2048])
+def test_long_row_heavy_tail(seg):
+    vals = [DECL * 200, b"a", DECL, b"bb"]  # one 40KB row + tiny rows (skew)
+    check_corpus(vals, seg=seg)
