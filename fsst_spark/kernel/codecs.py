@@ -1,0 +1,432 @@
+"""Lightweight column codecs: dictionary, RLE, frame-of-reference,
+bit-packing, FSST, plain — plus the stats-driven auto-selector.
+
+These are the per-column-chunk codecs the north rule mandates alongside
+FSST (cf. FSST paper sec 1, which positions FSST next to dict/RLE for
+string columns; dict/RLE/FOR/bit-pack semantics follow the standard
+Parquet/ORC encodings). All kernels are vectorized numpy/pyarrow — no
+per-row Python.
+
+An encoded chunk is a plain dict (JSON-able params + one binary payload):
+
+    {"codec": str, "params": {...}, "payload": bytes}
+
+Nested codecs (e.g. dict codes bit-packed, dict values FSST'd) embed the
+child payload as a section of the parent payload, with the child
+descriptor in the parent's params. ``encode_column`` auto-selects the
+codec from chunk stats (NDV, run count, value range — per north rule);
+``decode_column`` is driven purely by the descriptor, so a manifest row is
+all that is needed to decode.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .fsst import deserialize_table, table_to_numpy, train
+from .fsst_vec import EncoderTables, decode_chunk, encode_chunk
+
+Encoded = dict[str, Any]
+
+# --- selector thresholds (tunable; recorded here, not in manifests) --------
+DICT_NDV_RATIO = 0.1  # dictionary-encode when ndv/n below this
+RLE_RUN_RATIO = 0.25  # RLE when runs/n below this
+FSST_MIN_GAIN = 1.05  # store plain if FSST sample ratio below this
+FSST_TRAIN_ROWS = 4096  # rows handed to the 16KiB-capped trainer
+
+
+# ---------------------------------------------------------------------------
+# payload section helpers
+# ---------------------------------------------------------------------------
+def _pack_sections(params: dict, *bufs: bytes) -> bytes:
+    params["sections"] = [len(b) for b in bufs]
+    return b"".join(bufs)
+
+
+def _split_sections(params: dict, payload: bytes) -> list[bytes]:
+    out = []
+    pos = 0
+    for ln in params["sections"]:
+        out.append(payload[pos : pos + ln])
+        pos += ln
+    return out
+
+
+# ---------------------------------------------------------------------------
+# integer kernels (operate on uint64/int64 numpy arrays)
+# ---------------------------------------------------------------------------
+def bitpack(vals: np.ndarray, width: int) -> bytes:
+    """Pack non-negative ints into ``width`` bits each, little-endian."""
+    n = len(vals)
+    if width == 0 or n == 0:
+        return b""
+    v = vals.astype(np.uint64, copy=False)
+    shifts = np.arange(width, dtype=np.uint64)
+    bits = ((v[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+
+
+def bitunpack(payload: bytes, n: int, width: int) -> np.ndarray:
+    if width == 0 or n == 0:
+        return np.zeros(n, dtype=np.uint64)
+    bits = np.unpackbits(np.frombuffer(payload, dtype=np.uint8), bitorder="little")
+    bits = bits[: n * width].reshape(n, width).astype(np.uint64)
+    out = np.zeros(n, dtype=np.uint64)
+    for j in range(width):
+        out |= bits[:, j] << np.uint64(j)
+    return out
+
+
+def _width_for(max_delta: int) -> int:
+    return int(max_delta).bit_length()
+
+
+def encode_int_for(vals: np.ndarray) -> Encoded:
+    """Frame-of-reference: subtract min, bit-pack the deltas."""
+    n = len(vals)
+    if n == 0:
+        return {"codec": "int_for", "params": {"n": 0, "ref": 0, "width": 0}, "payload": b""}
+    v = vals.astype(np.int64, copy=False)
+    ref = int(v.min())
+    deltas = (v - ref).astype(np.uint64)
+    width = _width_for(int(deltas.max()))
+    return {
+        "codec": "int_for",
+        "params": {"n": n, "ref": ref, "width": width},
+        "payload": bitpack(deltas, width),
+    }
+
+
+def decode_int_for(enc: Encoded) -> np.ndarray:
+    p = enc["params"]
+    deltas = bitunpack(enc["payload"], p["n"], p["width"])
+    return (deltas.astype(np.int64) + np.int64(p["ref"])).astype(np.int64)
+
+
+def encode_int_rle(vals: np.ndarray) -> Encoded:
+    """Run-length encode; run values and run lengths are each FOR+bit-packed."""
+    v = vals.astype(np.int64, copy=False)
+    n = len(v)
+    if n == 0:
+        runs_v = v
+        runs_l = np.zeros(0, dtype=np.int64)
+    else:
+        starts = np.concatenate(([0], np.flatnonzero(v[1:] != v[:-1]) + 1))
+        runs_v = v[starts]
+        runs_l = np.diff(np.concatenate((starts, [n])))
+    ev = encode_int_for(runs_v)
+    el = encode_int_for(runs_l)
+    params = {"n": n, "values": {"codec": ev["codec"], "params": ev["params"]},
+              "lengths": {"codec": el["codec"], "params": el["params"]}}
+    return {"codec": "int_rle", "params": params,
+            "payload": _pack_sections(params, ev["payload"], el["payload"])}
+
+
+def decode_int_rle(enc: Encoded) -> np.ndarray:
+    p = enc["params"]
+    sv, sl = _split_sections(p, enc["payload"])
+    runs_v = decode_int_for({**p["values"], "payload": sv})
+    runs_l = decode_int_for({**p["lengths"], "payload": sl})
+    return np.repeat(runs_v, runs_l)
+
+
+def encode_int_plain(vals: np.ndarray) -> Encoded:
+    v = vals.astype(np.int64, copy=False)
+    return {"codec": "int_plain", "params": {"n": len(v)}, "payload": v.tobytes()}
+
+
+def decode_int_plain(enc: Encoded) -> np.ndarray:
+    return np.frombuffer(enc["payload"], dtype=np.int64).copy()
+
+
+def select_int_codec(vals: np.ndarray) -> Encoded:
+    """Stats-driven selection for integer chunks (run count, value range)."""
+    n = len(vals)
+    if n == 0:
+        return encode_int_for(vals)
+    v = vals.astype(np.int64, copy=False)
+    n_runs = 1 + int(np.count_nonzero(v[1:] != v[:-1]))
+    if n_runs <= n * RLE_RUN_RATIO:
+        return encode_int_rle(v)
+    rng = int(v.max()) - int(v.min())
+    if _width_for(rng) >= 63:
+        return encode_int_plain(v)
+    return encode_int_for(v)
+
+
+# ---------------------------------------------------------------------------
+# byte-string kernels (operate on (uint8 buffer, int64 offsets))
+# ---------------------------------------------------------------------------
+def _lens_from_offsets(offsets: np.ndarray) -> np.ndarray:
+    return (offsets[1:] - offsets[:-1]).astype(np.int64)
+
+
+def _offsets_from_lens(lens: np.ndarray) -> np.ndarray:
+    out = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=out[1:])
+    return out
+
+
+def encode_str_plain(buf: np.ndarray, offsets: np.ndarray) -> Encoded:
+    el = encode_int_for(_lens_from_offsets(offsets))
+    params = {"n": len(offsets) - 1, "lengths": {"codec": el["codec"], "params": el["params"]}}
+    data = buf[offsets[0] : offsets[-1]].tobytes()
+    return {"codec": "str_plain", "params": params,
+            "payload": _pack_sections(params, data, el["payload"])}
+
+
+def decode_str_plain(enc: Encoded) -> tuple[np.ndarray, np.ndarray]:
+    p = enc["params"]
+    data, lp = _split_sections(p, enc["payload"])
+    lens = decode_int_for({**p["lengths"], "payload": lp})
+    return np.frombuffer(data, dtype=np.uint8), _offsets_from_lens(lens)
+
+
+def encode_str_fsst(buf: np.ndarray, offsets: np.ndarray, tables: EncoderTables | None = None,
+                    table_blob: bytes | None = None) -> Encoded:
+    """FSST-encode a string chunk. If no pre-trained table is supplied, one
+    is trained on a <=16KiB sample of the first FSST_TRAIN_ROWS values
+    (training cost is O(1) per chunk — reference src/builder.rs:524)."""
+    if tables is None:
+        head = min(len(offsets) - 1, FSST_TRAIN_ROWS)
+        vals = [buf[offsets[i] : offsets[i + 1]].tobytes() for i in range(head)]
+        comp = train(vals)
+        tables = EncoderTables.from_compressor(comp)
+        table_blob = comp.table_bytes()
+    assert table_blob is not None
+    enc_buf, enc_off = encode_chunk(buf, offsets, tables)
+    el = encode_int_for(_lens_from_offsets(enc_off))
+    params = {"n": len(offsets) - 1, "lengths": {"codec": el["codec"], "params": el["params"]}}
+    return {"codec": "str_fsst", "params": params,
+            "payload": _pack_sections(params, table_blob, enc_buf.tobytes(), el["payload"])}
+
+
+def decode_str_fsst(enc: Encoded) -> tuple[np.ndarray, np.ndarray]:
+    p = enc["params"]
+    table_blob, data, lp = _split_sections(p, enc["payload"])
+    lens = decode_int_for({**p["lengths"], "payload": lp})
+    enc_off = _offsets_from_lens(lens)
+    symbols, lengths, _ = deserialize_table(table_blob)
+    sym_mat, sym_lens = table_to_numpy(symbols, lengths)
+    return decode_chunk(np.frombuffer(data, dtype=np.uint8), enc_off, sym_mat, sym_lens)
+
+
+def encode_str_dict(arr: pa.Array) -> Encoded:
+    """Dictionary-encode via Arrow (C++ hash kernel), then bit-pack the
+    codes (RLE'd first when runny) and FSST the dictionary values."""
+    denc = pc.dictionary_encode(arr)
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = denc.dictionary
+    ec = select_int_codec(codes)
+    ubuf, uoff = _arrow_bytes_buffers(uniq)
+    if int(uoff[-1] - uoff[0]) >= 4096:
+        eu = encode_str_fsst(ubuf, uoff)
+    else:
+        eu = encode_str_plain(ubuf, uoff)
+    params = {"n": len(arr),
+              "codes": {"codec": ec["codec"], "params": ec["params"]},
+              "values": {"codec": eu["codec"], "params": eu["params"]}}
+    return {"codec": "str_dict", "params": params,
+            "payload": _pack_sections(params, ec["payload"], eu["payload"])}
+
+
+def decode_str_dict(enc: Encoded) -> tuple[np.ndarray, np.ndarray]:
+    p = enc["params"]
+    cp, up = _split_sections(p, enc["payload"])
+    codes = decode_bytes_like({**p["codes"], "payload": cp}, kind="int")
+    ubuf, uoff = decode_bytes_like({**p["values"], "payload": up}, kind="str")
+    lens = _lens_from_offsets(uoff)
+    out_lens = lens[codes]
+    out_off = _offsets_from_lens(out_lens)
+    total = int(out_off[-1])
+    src = np.repeat(uoff[:-1][codes] - out_off[:-1], out_lens) + np.arange(total, dtype=np.int64)
+    return ubuf[src], out_off
+
+
+_INT_DECODERS = {"int_for": decode_int_for, "int_rle": decode_int_rle, "int_plain": decode_int_plain}
+_STR_DECODERS = {"str_plain": decode_str_plain, "str_fsst": decode_str_fsst, "str_dict": decode_str_dict}
+
+
+def decode_bytes_like(enc: Encoded, kind: str):
+    if kind == "int":
+        return _INT_DECODERS[enc["codec"]](enc)
+    return _STR_DECODERS[enc["codec"]](enc)
+
+
+# ---------------------------------------------------------------------------
+# arrow-level column chunk encode/decode with auto-selection
+# ---------------------------------------------------------------------------
+def _arrow_bytes_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(values uint8 buffer, rebased int64 offsets) for string/binary arrays."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    bufs = arr.buffers()
+    width = 8 if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type) else 4
+    odt = np.int64 if width == 8 else np.int32
+    offsets = np.frombuffer(bufs[1], dtype=odt, count=arr.offset + len(arr) + 1)
+    offsets = offsets[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.zeros(0, np.uint8)
+    return data, offsets
+
+
+def chunk_stats(arr: pa.Array) -> dict[str, Any]:
+    """Per-chunk stats that drive codec selection (NDV, runs, range, sizes)."""
+    t = arr.type
+    n = len(arr)
+    stats: dict[str, Any] = {"n": n, "nulls": arr.null_count, "type": str(t)}
+    if n == 0:
+        return stats
+    if pa.types.is_integer(t) or pa.types.is_timestamp(t):
+        v = _int_values(arr)
+        stats["min"] = int(v.min()) if len(v) else 0
+        stats["max"] = int(v.max()) if len(v) else 0
+        stats["n_runs"] = 1 + int(np.count_nonzero(v[1:] != v[:-1])) if len(v) else 0
+    elif pa.types.is_string(t) or pa.types.is_binary(t) or pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+        _, offsets = _arrow_bytes_buffers(arr)
+        stats["total_bytes"] = int(offsets[-1] - offsets[0])
+        head = arr.slice(0, min(n, 2048)).drop_null()
+        ndv_head = len(pc.unique(head))
+        stats["ndv_est"] = ndv_head if len(head) < 2048 else int(ndv_head / max(len(head), 1) * n)
+        stats["ndv_ratio"] = ndv_head / max(len(head), 1)
+    return stats
+
+
+def _int_values(arr: pa.Array) -> np.ndarray:
+    a = arr.drop_null() if arr.null_count else arr
+    if pa.types.is_timestamp(a.type):
+        a = a.cast(pa.int64())
+    return a.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def _validity_mask(arr: pa.Array) -> np.ndarray:
+    return np.asarray(arr.is_valid())
+
+
+def encode_column(arr: pa.Array, stats: dict | None = None) -> Encoded:
+    """Encode one Arrow column chunk with stats-driven codec selection.
+
+    Selection rules (north rule: NDV, run-length, value-range per chunk):
+      ints/timestamps: runny -> RLE; narrow range -> FOR+bitpack; else plain
+      strings/binary:  low NDV -> dict(+bitpacked codes, FSST'd values);
+                       else FSST; FSST falls back to plain when the trained
+                       table gains < FSST_MIN_GAIN on the chunk
+      floats/other:    plain
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    stats = stats or chunk_stats(arr)
+    nulls = arr.null_count
+    values = arr.drop_null() if nulls else arr
+
+    if pa.types.is_integer(t) or pa.types.is_timestamp(t):
+        enc = select_int_codec(_int_values(values))
+    elif pa.types.is_string(t) or pa.types.is_binary(t) or pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+        if stats.get("ndv_ratio", 1.0) <= DICT_NDV_RATIO:
+            enc = encode_str_dict(values)
+        else:
+            buf, offsets = _arrow_bytes_buffers(values)
+            enc = encode_str_fsst(buf, offsets)
+            raw = int(offsets[-1] - offsets[0])
+            if raw and raw / max(len(enc["payload"]), 1) < FSST_MIN_GAIN:
+                enc = encode_str_plain(buf, offsets)
+    elif pa.types.is_floating(t):
+        v = values.to_numpy(zero_copy_only=False)
+        enc = {"codec": "float_plain",
+               "params": {"n": len(v), "np_dtype": str(v.dtype)}, "payload": v.tobytes()}
+    elif pa.types.is_boolean(t):
+        v = values.to_numpy(zero_copy_only=False).astype(np.uint64)
+        enc = {"codec": "bool_pack", "params": {"n": len(v)}, "payload": bitpack(v, 1)}
+    else:
+        raise NotImplementedError(f"no codec for arrow type {t}")
+
+    enc["params"]["arrow_type"] = str(t)
+    if nulls:
+        mask = _validity_mask(arr)
+        enc["params"]["n_total"] = len(arr)
+        enc["params"]["validity_len"] = len(enc["payload"])
+        enc["payload"] = enc["payload"] + np.packbits(mask, bitorder="little").tobytes()
+    return enc
+
+
+_ARROW_TYPES = {
+    "int8": pa.int8(), "int16": pa.int16(), "int32": pa.int32(), "int64": pa.int64(),
+    "string": pa.string(), "large_string": pa.large_string(),
+    "binary": pa.binary(), "large_binary": pa.large_binary(),
+    "float": pa.float32(), "double": pa.float64(), "bool": pa.bool_(),
+    "timestamp[us]": pa.timestamp("us"), "timestamp[ms]": pa.timestamp("ms"),
+    "timestamp[ns]": pa.timestamp("ns"), "timestamp[s]": pa.timestamp("s"),
+}
+
+
+def decode_column(enc: Encoded) -> pa.Array:
+    """Decode a chunk descriptor back to an Arrow array (original type)."""
+    params = enc["params"]
+    t = _ARROW_TYPES[params["arrow_type"]]
+    payload = enc["payload"]
+    mask = None
+    if "n_total" in params:
+        vlen = params["validity_len"]
+        payload, vbits = payload[:vlen], payload[vlen:]
+        mask = np.unpackbits(np.frombuffer(vbits, dtype=np.uint8), bitorder="little")[: params["n_total"]].astype(bool)
+        enc = {**enc, "payload": payload}
+
+    codec = enc["codec"]
+    if codec in _INT_DECODERS:
+        vals = _INT_DECODERS[codec](enc)
+        out = _with_validity_int(vals, mask, t)
+    elif codec in _STR_DECODERS:
+        buf, offsets = _STR_DECODERS[codec](enc)
+        out = _bytes_to_arrow(buf, offsets, t, mask)
+    elif codec == "float_plain":
+        vals = np.frombuffer(payload, dtype=params["np_dtype"])
+        out = _with_validity_np(vals, mask, t)
+    elif codec == "bool_pack":
+        vals = bitunpack(payload, params["n"], 1).astype(bool)
+        out = _with_validity_np(vals, mask, t)
+    else:
+        raise NotImplementedError(codec)
+    return out
+
+
+def _with_validity_int(vals: np.ndarray, mask: np.ndarray | None, t: pa.DataType) -> pa.Array:
+    if pa.types.is_timestamp(t):
+        base = pa.array(vals, type=pa.int64())
+        if mask is not None:
+            base = _expand_nulls(base, mask, pa.int64())
+        return base.cast(t)
+    arr = pa.array(vals, type=t)
+    return _expand_nulls(arr, mask, t) if mask is not None else arr
+
+
+def _with_validity_np(vals: np.ndarray, mask: np.ndarray | None, t: pa.DataType) -> pa.Array:
+    arr = pa.array(vals, type=t)
+    return _expand_nulls(arr, mask, t) if mask is not None else arr
+
+
+def _expand_nulls(dense: pa.Array, mask: np.ndarray, t: pa.DataType) -> pa.Array:
+    """Scatter non-null values back into a nullable array by validity mask."""
+    if len(dense) == 0:
+        return pa.nulls(len(mask), t)
+    idx = np.cumsum(mask) - 1
+    idx_arr = pa.array(np.where(mask, idx, 0), type=pa.int64())
+    taken = dense.take(idx_arr)
+    return pc.if_else(pa.array(mask), taken, pa.nulls(len(mask), t))
+
+
+def _bytes_to_arrow(buf: np.ndarray, offsets: np.ndarray, t: pa.DataType, mask: np.ndarray | None) -> pa.Array:
+    wide = pa.large_string() if (pa.types.is_large_string(t) or pa.types.is_string(t)) else pa.large_binary()
+    arr = pa.Array.from_buffers(
+        wide,
+        len(offsets) - 1,
+        [None, pa.py_buffer(offsets.astype(np.int64).tobytes()), pa.py_buffer(buf.tobytes())],
+    )
+    if mask is not None:
+        arr = _expand_nulls(arr, mask, arr.type)
+    return arr.cast(t)

@@ -1,0 +1,173 @@
+"""Round-trip + selector tests for the lightweight column codecs.
+
+These codecs have no analog in the reference (which is FSST-only); they
+come from the north rule (dict, RLE, frame-of-reference, bit-packing with
+stats-driven auto-selection) and follow standard Parquet/ORC encoding
+semantics."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fsst_spark.kernel.codecs import (
+    bitpack,
+    bitunpack,
+    chunk_stats,
+    decode_column,
+    decode_int_for,
+    decode_int_rle,
+    decode_str_dict,
+    decode_str_fsst,
+    decode_str_plain,
+    encode_column,
+    encode_int_for,
+    encode_int_rle,
+    encode_str_dict,
+    encode_str_fsst,
+    encode_str_plain,
+)
+
+
+def _str_arr(vals):
+    return pa.array(vals, type=pa.string())
+
+
+def _roundtrip_column(arr: pa.Array) -> pa.Array:
+    enc = encode_column(arr)
+    dec = decode_column(enc)
+    assert dec.type == arr.type
+    assert dec.equals(arr), f"codec {enc['codec']} failed roundtrip"
+    return enc
+
+
+# --- bitpack ----------------------------------------------------------------
+@pytest.mark.parametrize("width", [0, 1, 3, 7, 8, 13, 31, 40, 63])
+def test_bitpack_roundtrip(width):
+    rng = np.random.default_rng(width)
+    vals = rng.integers(0, 2**width if width else 1, 1000).astype(np.uint64)
+    assert np.array_equal(bitunpack(bitpack(vals, width), 1000, width), vals)
+
+
+def test_bitpack_empty():
+    assert bitunpack(bitpack(np.zeros(0, np.uint64), 5), 0, 5).shape == (0,)
+
+
+# --- FOR / RLE ----------------------------------------------------------------
+def test_for_negative_and_narrow():
+    v = np.array([-1000, -999, -998, -1000, -500], dtype=np.int64)
+    enc = encode_int_for(v)
+    assert enc["params"]["ref"] == -1000 and enc["params"]["width"] == 9
+    assert np.array_equal(decode_int_for(enc), v)
+
+
+def test_rle_runs():
+    v = np.repeat(np.array([7, 7, 9, -2, 1 << 40], dtype=np.int64), [1000, 1, 50, 3, 200])
+    enc = encode_int_rle(v)
+    assert np.array_equal(decode_int_rle(enc), v)
+    assert len(enc["payload"]) < 200  # 5 runs -> tiny
+
+
+# --- string codecs -----------------------------------------------------------
+def test_str_plain_roundtrip():
+    vals = [b"alpha", b"", b"beta beta", b"\x00\xff"]
+    buf = np.frombuffer(b"".join(vals), dtype=np.uint8)
+    off = np.cumsum([0] + [len(v) for v in vals]).astype(np.int64)
+    b2, o2 = decode_str_plain(encode_str_plain(buf, off))
+    assert bytes(b2) == b"".join(vals) and list(o2) == list(off)
+
+
+def test_str_fsst_roundtrip_and_gain():
+    vals = [f"https://example.com/path/{i % 7}/index.html".encode() for i in range(2000)]
+    buf = np.frombuffer(b"".join(vals), dtype=np.uint8)
+    off = np.cumsum([0] + [len(v) for v in vals]).astype(np.int64)
+    enc = encode_str_fsst(buf, off)
+    assert len(enc["payload"]) * 3 < int(off[-1])  # >3x on templated URLs
+    b2, o2 = decode_str_fsst(enc)
+    assert bytes(b2) == b"".join(vals) and list(o2) == list(off)
+
+
+def test_str_dict_roundtrip():
+    arr = _str_arr(["en", "de", "en", "en", "fr"] * 400)
+    enc = encode_str_dict(arr)
+    b2, o2 = decode_str_dict(enc)
+    raw = "".join(arr.to_pylist()).encode()
+    assert bytes(b2) == raw
+    assert len(enc["payload"]) < len(raw) // 4
+
+
+# --- auto-selector at the arrow level ----------------------------------------
+def test_select_dict_for_low_ndv():
+    arr = _str_arr(["en", "de", "fr"] * 1000)
+    enc = _roundtrip_column(arr)
+    assert enc["codec"] == "str_dict"
+
+
+def test_select_fsst_for_texty():
+    arr = _str_arr([f"document number {i} talks about the weather in city {i*7%93}" for i in range(1500)])
+    enc = _roundtrip_column(arr)
+    assert enc["codec"] == "str_fsst"
+
+
+def test_select_plain_for_random_bytes():
+    rng = np.random.default_rng(3)
+    arr = pa.array([rng.bytes(50) for _ in range(1200)], type=pa.binary())
+    enc = _roundtrip_column(arr)
+    assert enc["codec"] == "str_plain"  # incompressible -> no FSST
+
+
+def test_select_rle_for_runny_ints():
+    arr = pa.array(np.repeat(np.arange(10, dtype=np.int64), 500), type=pa.int64())
+    enc = _roundtrip_column(arr)
+    assert enc["codec"] == "int_rle"
+
+
+def test_select_for_for_narrow_ints():
+    rng = np.random.default_rng(5)
+    arr = pa.array(rng.integers(10**6, 10**6 + 255, 3000).astype(np.int64), type=pa.int64())
+    enc = _roundtrip_column(arr)
+    assert enc["codec"] == "int_for"
+    assert len(enc["payload"]) <= 3000 + 64  # 8 bits per value
+
+
+def test_timestamp_roundtrip():
+    ts = pa.array(np.arange(1_700_000_000_000_000, 1_700_000_000_000_000 + 5000 * 1000, 1000,
+                            dtype=np.int64), type=pa.int64()).cast(pa.timestamp("us"))
+    _roundtrip_column(ts)
+
+
+def test_float_and_bool():
+    _roundtrip_column(pa.array(np.linspace(0, 1, 1000), type=pa.float64()))
+    _roundtrip_column(pa.array((np.arange(1000) % 3 == 0), type=pa.bool_()))
+
+
+def test_nulls_roundtrip():
+    arr = pa.array(["aa", None, "bb", None, "aa"] * 300, type=pa.string())
+    _roundtrip_column(arr)
+    ints = pa.array([1, None, 3, 3, 3, None] * 200, type=pa.int64())
+    _roundtrip_column(ints)
+
+
+def test_empty_column():
+    _roundtrip_column(pa.array([], type=pa.string()))
+    _roundtrip_column(pa.array([], type=pa.int64()))
+
+
+def test_stats_shape():
+    s = chunk_stats(_str_arr(["en"] * 100 + ["de"] * 5))
+    assert s["n"] == 105 and s["ndv_ratio"] < 0.05
+    s = chunk_stats(pa.array(np.arange(100), type=pa.int64()))
+    assert s["n_runs"] == 100 and s["max"] == 99
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.text(max_size=30)), max_size=60))
+def test_hypothesis_string_column(vals):
+    _roundtrip_column(pa.array(vals, type=pa.string()))
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.integers(-(2**62), 2**62)), max_size=60))
+def test_hypothesis_int_column(vals):
+    _roundtrip_column(pa.array(vals, type=pa.int64()))
