@@ -1,0 +1,93 @@
+"""Distributed decode job: encoded chunks -> original columns.
+
+Reads the chunk table written by ``encode_job`` and reconstructs the
+original columns, bit-identical. Decoding needs only the chunk rows (the
+symbol table travels inside each FSST payload section), so this is a pure
+``mapInArrow`` scan with no joins. Column pruning pushes down into the
+chunk parquet: asking for a column subset filters chunk rows by the
+``column`` field *at the scan* (Catalyst predicate pushdown), so unneeded
+payload bytes are never read.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, functions as F
+
+from ..kernel.codecs import decode_column
+
+_SPARK_TYPE = {
+    "string": "string", "large_string": "string",
+    "binary": "binary", "large_binary": "binary",
+    "int64": "bigint", "int32": "int", "int16": "smallint", "int8": "tinyint",
+    "double": "double", "float": "float", "bool": "boolean",
+}
+
+
+def _spark_type(arrow_name: str) -> str:
+    if arrow_name.startswith("timestamp["):
+        return "timestamp"
+    return _SPARK_TYPE[arrow_name]
+
+
+def _chunks_df(spark, out_dir: str, columns: list[str] | None) -> DataFrame:
+    df = spark.read.parquet(f"{out_dir}/chunks")
+    if columns:
+        df = df.filter(F.col("column").isin(columns))  # pushed to parquet scan
+    return df
+
+
+def decoded_schema_ddl(spark, out_dir: str, columns: list[str] | None = None) -> tuple[str, list[str]]:
+    """Recover the decoded schema from one chunk row per column."""
+    meta = (
+        _chunks_df(spark, out_dir, columns)
+        .select("column", "params")
+        .groupBy("column").agg(F.first("params").alias("params"))
+        .collect()
+    )
+    cols = {r["column"]: json.loads(r["params"])["arrow_type"] for r in meta}
+    ordered = columns or sorted(cols)
+    ddl = ", ".join(f"{c} {_spark_type(cols[c])}" for c in ordered)
+    return f"pid int, chunk_id int, {ddl}", ordered
+
+
+def decode_job(spark, out_dir: str, columns: list[str] | None = None) -> DataFrame:
+    """DataFrame of the decoded table (plus pid/chunk_id provenance cols)."""
+    ddl, ordered = decoded_schema_ddl(spark, out_dir, columns)
+    chunks = _chunks_df(spark, out_dir, columns)
+    # Co-locate all column rows of one chunk in one task. Chunk rows are
+    # few and fat (payload ~MBs), so the shuffle moves encoded (small)
+    # bytes — decoding after the shuffle keeps shuffled volume minimal.
+    chunks = chunks.repartition(F.col("pid"), F.col("chunk_id"))
+
+    def decode_task(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        pending: dict[tuple[int, int], dict] = {}
+        for batch in batches:
+            cols = batch.to_pylist()
+            for row in cols:
+                key = (row["pid"], row["chunk_id"])
+                slot = pending.setdefault(key, {"need": len(ordered), "cols": {}})
+                slot["cols"][row["column"]] = decode_column(
+                    {"codec": row["codec"], "params": json.loads(row["params"]),
+                     "payload": row["payload"]}
+                )
+                if len(slot["cols"]) == slot["need"]:
+                    yield _emit(key, slot["cols"], ordered)
+                    del pending[key]
+        assert not pending, f"incomplete chunks (missing column rows): {list(pending)[:4]}"
+
+    return chunks.mapInArrow(decode_task, ddl)
+
+
+def _emit(key: tuple[int, int], cols: dict[str, pa.Array], ordered: list[str]) -> pa.RecordBatch:
+    import numpy as np
+
+    n = len(next(iter(cols.values())))
+    arrays = [
+        pa.array(np.full(n, key[0], dtype=np.int32)),
+        pa.array(np.full(n, key[1], dtype=np.int32)),
+    ] + [cols[c] for c in ordered]
+    return pa.RecordBatch.from_arrays(arrays, names=["pid", "chunk_id", *ordered])

@@ -1,0 +1,291 @@
+"""Distributed encode job: DataFrame -> encoded column chunks + manifest.
+
+Pipeline (SURVEY.md sec 3.4):
+
+    df (any source: Iceberg/Parquet scan, synthetic generator)
+      -> salted_repartition(...)            explicit skew handling (north rule)
+      -> mapInArrow(encode_partition)       one task per partition:
+           per ~chunk_bytes of buffered rows, per column:
+             stats -> codec auto-select -> vectorized encode
+           write  <out>/chunks/part-<pid>.parquet   (temp + atomic rename)
+           write  <out>/manifest/part-<pid>.parquet (temp + atomic rename)
+      -> returns per-partition metric rows
+
+Checkpoint/resume: the manifest file is written only after the chunk file
+rename commits, so a manifest row == a fully durable partition. A re-run
+with ``resume=True`` skips every partition that already has a manifest
+file — and because the skip happens before the task pulls any input rows,
+Spark never even scans the source for completed partitions. Partition ids
+are deterministic (hash repartition on stable keys + fixed partition
+count), so re-runs are idempotent.
+
+At 10^12-document scale each partition is one executor task; the manifest
+is a tiny parquet table (one row per partition) that doubles as lineage
+(source, snapshot, row counts, checksums) and metrics (bytes, ratio, MB/s).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+import uuid
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, functions as F
+
+from .. import __version__
+from ..kernel.codecs import chunk_stats, encode_column
+
+CHUNK_SCHEMA = pa.schema(
+    [
+        ("pid", pa.int32()),
+        ("chunk_id", pa.int32()),
+        ("column", pa.string()),
+        ("n_cols", pa.int32()),
+        ("codec", pa.string()),
+        ("params", pa.string()),
+        ("payload", pa.large_binary()),
+        ("n_rows", pa.int64()),
+        ("raw_bytes", pa.int64()),
+        ("enc_bytes", pa.int64()),
+        ("checksum", pa.string()),
+    ]
+)
+
+METRIC_SCHEMA_DDL = (
+    "pid int, status string, n_rows bigint, n_chunks int, raw_bytes bigint, "
+    "enc_bytes bigint, wall_sec double, columns_json string, lineage string, "
+    "engine_version string, finished_at string"
+)
+
+METRIC_PA_SCHEMA = pa.schema(
+    [
+        ("pid", pa.int32()),
+        ("status", pa.string()),
+        ("n_rows", pa.int64()),
+        ("n_chunks", pa.int32()),
+        ("raw_bytes", pa.int64()),
+        ("enc_bytes", pa.int64()),
+        ("wall_sec", pa.float64()),
+        ("columns_json", pa.string()),
+        ("lineage", pa.string()),
+        ("engine_version", pa.string()),
+        ("finished_at", pa.string()),
+    ]
+)
+
+
+def canonical_bytes(arr: pa.Array) -> bytes:
+    """Canonical byte serialization of a column chunk for checksumming.
+
+    Decoded output must reproduce these bytes exactly (bit-identical gate).
+    """
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    t = arr.type
+    parts = []
+    if arr.null_count:
+        parts.append(np.packbits(np.asarray(arr.is_valid()), bitorder="little").tobytes())
+        dense = arr.drop_null()
+    else:
+        dense = arr
+    if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        joined = pa.concat_arrays([dense.cast(pa.large_binary())])
+        bufs = joined.buffers()
+        off = np.frombuffer(bufs[1], dtype=np.int64, count=len(joined) + 1)
+        data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.zeros(0, np.uint8)
+        parts.append((off[1:] - off[:-1]).tobytes())
+        parts.append(data[off[0] : off[-1]].tobytes())
+    elif pa.types.is_timestamp(t):
+        parts.append(dense.cast(pa.int64()).to_numpy(zero_copy_only=False).tobytes())
+    else:
+        parts.append(dense.to_numpy(zero_copy_only=False).tobytes())
+    h = hashlib.blake2b(digest_size=16)
+    for p in parts:
+        h.update(p)
+    return h.hexdigest()
+
+
+def raw_size_of(arr: pa.Array) -> int:
+    """Logical raw bytes of a column chunk (values + 4B/offset for strings)."""
+    t = arr.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        joined = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        bufs = joined.cast(pa.large_binary()).buffers()
+        off = np.frombuffer(bufs[1], dtype=np.int64, count=len(joined) + 1)
+        return int(off[-1] - off[0])
+    return len(arr) * max(t.bit_width // 8, 1) if hasattr(t, "bit_width") else arr.nbytes
+
+
+def completed_pids(out_dir: str) -> set[int]:
+    mdir = os.path.join(out_dir, "manifest")
+    if not os.path.isdir(mdir):
+        return set()
+    out = set()
+    for f in os.listdir(mdir):
+        if f.startswith("part-") and f.endswith(".parquet"):
+            out.add(int(f[5:10]))
+    return out
+
+
+def _atomic_write(table: pa.Table, path: str) -> None:
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    pq.write_table(table, tmp, compression="none")
+    os.replace(tmp, path)
+
+
+def salted_repartition(df: DataFrame, num_partitions: int,
+                       group_cols: list[str] | None = None,
+                       unique_col: str = "url",
+                       target_bytes_per_partition: int = 256 << 20,
+                       size_col: str | None = "text") -> DataFrame:
+    """Explicit skew-aware repartitioning (north rule).
+
+    Without ``group_cols``: uniform hash partitioning on the unique key.
+
+    With ``group_cols`` (e.g. ``["lang"]``): rows of one group are kept
+    together (homogeneous data -> better symbol tables) but a group whose
+    byte volume exceeds the per-partition target is *salted* into
+    ``ceil(bytes/target)`` sub-buckets, so one dominant host/language can
+    never produce a straggler partition. The per-group sizes come from a
+    cheap aggregate; the bucket map is broadcast-joined (no shuffle of the
+    big side beyond the final repartition).
+    """
+    if not group_cols:
+        return df.repartition(num_partitions, F.pmod(F.xxhash64(unique_col), F.lit(num_partitions)))
+
+    sz = F.length(size_col) if size_col else F.lit(1024)
+    sizes = df.groupBy(*group_cols).agg(F.sum(sz).alias("_bytes"))
+    buckets = sizes.withColumn(
+        "_buckets",
+        F.greatest(F.lit(1), F.ceil(F.col("_bytes") / F.lit(target_bytes_per_partition))).cast("int"),
+    ).drop("_bytes")
+    out = df.join(F.broadcast(buckets), on=group_cols, how="left")
+    out = out.withColumn("_salt", F.pmod(F.xxhash64(unique_col), F.col("_buckets")))
+    out = out.repartition(num_partitions, *group_cols, F.col("_salt"))
+    return out.drop("_salt", "_buckets")
+
+
+def encode_job(
+    spark,
+    df: DataFrame,
+    out_dir: str,
+    *,
+    columns: list[str] | None = None,
+    num_partitions: int | None = None,
+    group_cols: list[str] | None = None,
+    unique_col: str = "url",
+    chunk_bytes: int = 32 << 20,
+    resume: bool = True,
+    lineage: dict | None = None,
+    _test_fail_pids: set[int] | None = None,
+) -> DataFrame:
+    """Run the encode pipeline; returns the per-partition metrics DataFrame.
+
+    The returned frame is the manifest content (already durably written by
+    the tasks themselves); collecting it is only for display/driver logic.
+    """
+    cols = columns or df.columns
+    df = df.select(*cols)
+    num_partitions = num_partitions or spark.sparkContext.defaultParallelism * 2
+    os.makedirs(os.path.join(out_dir, "chunks"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
+    done = completed_pids(out_dir) if resume else set()
+    lineage_json = json.dumps(
+        {**(lineage or {}), "columns": cols, "num_partitions": num_partitions,
+         "group_cols": group_cols, "chunk_bytes": chunk_bytes}
+    )
+
+    part = salted_repartition(df, num_partitions, group_cols=group_cols, unique_col=unique_col,
+                              size_col=_pick_size_col(df, cols))
+
+    fail_pids = _test_fail_pids or set()
+
+    def encode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        pid = TaskContext.get().partitionId()
+        if pid in done:
+            return  # durable already; input never gets pulled -> no rescan work
+        t0 = time.time()
+        records: list[dict] = []
+        buf: list[pa.RecordBatch] = []
+        buf_bytes = 0
+        chunk_id = 0
+        col_metrics: dict[str, dict] = {}
+        n_rows_total = 0
+
+        def flush() -> None:
+            nonlocal chunk_id, buf, buf_bytes, n_rows_total
+            if not buf:
+                return
+            tbl = pa.Table.from_batches(buf)
+            for name in tbl.column_names:
+                arr = tbl.column(name).combine_chunks()
+                stats = chunk_stats(arr)
+                enc = encode_column(arr, stats)
+                raw = raw_size_of(arr)
+                m = col_metrics.setdefault(name, {"raw": 0, "enc": 0, "codecs": {}})
+                m["raw"] += raw
+                m["enc"] += len(enc["payload"])
+                m["codecs"][enc["codec"]] = m["codecs"].get(enc["codec"], 0) + 1
+                records.append(
+                    {
+                        "pid": pid, "chunk_id": chunk_id, "column": name,
+                        "n_cols": len(tbl.column_names),
+                        "codec": enc["codec"], "params": json.dumps(enc["params"]),
+                        "payload": enc["payload"], "n_rows": len(arr),
+                        "raw_bytes": raw, "enc_bytes": len(enc["payload"]),
+                        "checksum": canonical_bytes(arr),
+                    }
+                )
+            n_rows_total += tbl.num_rows
+            chunk_id += 1
+            buf, buf_bytes = [], 0
+
+        for batch in batches:
+            buf.append(batch)
+            buf_bytes += batch.nbytes
+            if buf_bytes >= chunk_bytes:
+                flush()
+        flush()
+
+        if pid in fail_pids:
+            raise RuntimeError(f"injected test failure in partition {pid}")
+
+        if not records:
+            return
+
+        chunk_tbl = pa.Table.from_pylist(records, schema=CHUNK_SCHEMA)
+        chunk_path = os.path.join(out_dir, "chunks", f"part-{pid:05d}.parquet")
+        _atomic_write(chunk_tbl, chunk_path)
+
+        raw_bytes = sum(m["raw"] for m in col_metrics.values())
+        enc_bytes = sum(m["enc"] for m in col_metrics.values())
+        wall = time.time() - t0
+        metric_row = {
+            "pid": pid, "status": "done", "n_rows": n_rows_total, "n_chunks": chunk_id,
+            "raw_bytes": raw_bytes, "enc_bytes": enc_bytes, "wall_sec": wall,
+            "columns_json": json.dumps(col_metrics), "lineage": lineage_json,
+            "engine_version": __version__,
+            "finished_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        manifest_tbl = pa.Table.from_pylist([metric_row], schema=METRIC_PA_SCHEMA)
+        _atomic_write(manifest_tbl, os.path.join(out_dir, "manifest", f"part-{pid:05d}.parquet"))
+        yield from manifest_tbl.to_batches()
+
+    return part.mapInArrow(encode_partition, METRIC_SCHEMA_DDL)
+
+
+def _pick_size_col(df: DataFrame, cols: list[str]) -> str | None:
+    for name, dtype in df.dtypes:
+        if name in cols and dtype in ("string", "binary"):
+            return name
+    return None
+
+
+def read_manifest(spark, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "manifest"))

@@ -1,0 +1,49 @@
+"""SparkSession factory with the engine's standard configuration."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from ..env import tune_malloc
+
+
+def get_spark(master: str | None = None, app_name: str = "fsst_spark",
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build a SparkSession tuned for Arrow-heavy columnar UDF work.
+
+    In production this is `spark-submit --py-files fsst_spark.zip` on a real
+    cluster (no ``master`` override); locally defaults to ``local[N]``.
+    """
+    tune_malloc()
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+    cores = _parse_local_cores(master)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or (cores * 2 if cores else 64)))
+        .config("spark.sql.files.maxPartitionBytes", "268435456")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        # pass malloc tuning to the python workers (see fsst_spark.env)
+        .config("spark.executorEnv.MALLOC_MMAP_MAX_", "0")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "-1")
+        .config("spark.python.worker.reuse", "true")
+    )
+    if master:
+        b = b.master(master)
+        if master.startswith("local"):
+            b = b.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    return b.getOrCreate()
+
+
+def _parse_local_cores(master: str | None) -> int | None:
+    if master and master.startswith("local[") and master.endswith("]"):
+        v = master[6:-1]
+        return os.cpu_count() if v == "*" else int(v)
+    return None

@@ -360,15 +360,25 @@ _ARROW_TYPES = {
     "string": pa.string(), "large_string": pa.large_string(),
     "binary": pa.binary(), "large_binary": pa.large_binary(),
     "float": pa.float32(), "double": pa.float64(), "bool": pa.bool_(),
-    "timestamp[us]": pa.timestamp("us"), "timestamp[ms]": pa.timestamp("ms"),
-    "timestamp[ns]": pa.timestamp("ns"), "timestamp[s]": pa.timestamp("s"),
 }
+
+
+def parse_arrow_type(name: str) -> pa.DataType:
+    if name in _ARROW_TYPES:
+        return _ARROW_TYPES[name]
+    if name.startswith("timestamp["):
+        inner = name[len("timestamp[") : -1]
+        if ", tz=" in inner:
+            unit, tz = inner.split(", tz=")
+            return pa.timestamp(unit, tz=tz)
+        return pa.timestamp(inner)
+    raise KeyError(name)
 
 
 def decode_column(enc: Encoded) -> pa.Array:
     """Decode a chunk descriptor back to an Arrow array (original type)."""
     params = enc["params"]
-    t = _ARROW_TYPES[params["arrow_type"]]
+    t = parse_arrow_type(params["arrow_type"])
     payload = enc["payload"]
     mask = None
     if "n_total" in params:

