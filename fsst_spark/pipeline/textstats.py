@@ -1,0 +1,83 @@
+"""Text analysis for large-scale training-data pipelines.
+
+All hot-path expressions are Spark built-ins (JVM-side, whole-stage
+codegen) — no Python UDFs: token counting, quality scoring, document
+fingerprinting, and a rule-based language-ID heuristic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; empty/blank text counts 0."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def punct_count(text: Column) -> Column:
+    return F.length(text) - F.length(F.regexp_replace(text, r"[.!?,;:]", ""))
+
+
+def digit_ratio_pct(text: Column) -> Column:
+    """Integer percent of digit chars (stable across engines, no floats)."""
+    digits = F.length(text) - F.length(F.regexp_replace(text, r"[0-9]", ""))
+    return F.when(F.length(text) == 0, F.lit(0)).otherwise(
+        (digits * 100) / F.length(text)
+    ).cast("bigint")
+
+
+def normalized_fingerprint(text: Column) -> Column:
+    """Deterministic content fingerprint: lowercase, collapse whitespace, md5."""
+    norm = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    return F.md5(norm.cast("binary"))
+
+
+def quality_stats(df: DataFrame, text_col: str = "text", group_col: str = "lang") -> DataFrame:
+    """Per-group integer quality aggregates (sum-stable, oracle-friendly)."""
+    t = F.col(text_col)
+    return (
+        df.select(
+            F.col(group_col),
+            F.length(t).alias("_chars"),
+            token_count(t).alias("_toks"),
+            punct_count(t).alias("_punct"),
+            (F.length(t) == 0).cast("int").alias("_empty"),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_chars").alias("sum_chars"),
+            F.sum("_toks").alias("sum_tokens"),
+            F.sum("_punct").alias("sum_punct"),
+            F.sum("_empty").alias("n_empty"),
+        )
+        .orderBy(group_col)
+    )
+
+
+# Tiny per-language stopword anchors for the rule-based heuristic.
+_LANG_MARKERS = [
+    ("de", r"(?i)\b(der|die|und|nicht|ist)\b"),
+    ("fr", r"(?i)\b(le|la|les|est|dans)\b"),
+    ("es", r"(?i)\b(el|los|las|es|para)\b"),
+    ("en", r"(?i)\b(the|and|of|to|is)\b"),
+]
+
+
+def lang_id(text: Column) -> Column:
+    """Rule-based language ID: CJK/Cyrillic/Arabic scripts by unicode range,
+    then stopword anchors, else 'und'. Deterministic, JVM-side."""
+    expr = F.lit("und")
+    for code, pat in reversed(_LANG_MARKERS):
+        expr = F.when(text.rlike(pat), F.lit(code)).otherwise(expr)
+    expr = (
+        F.when(text.rlike(r"[一-鿿]"), F.lit("zh"))
+        .when(text.rlike(r"[぀-ヿ]"), F.lit("ja"))
+        .when(text.rlike(r"[가-힯]"), F.lit("ko"))
+        .when(text.rlike(r"[Ѐ-ӿ]"), F.lit("ru"))
+        .when(text.rlike(r"[؀-ۿ]"), F.lit("ar"))
+        .otherwise(expr)
+    )
+    return expr
