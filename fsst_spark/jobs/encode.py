@@ -183,6 +183,7 @@ def encode_job(
     chunk_bytes: int = 32 << 20,
     resume: bool = True,
     lineage: dict | None = None,
+    pre_partitioned: bool = False,
     _test_fail_pids: set[int] | None = None,
 ) -> DataFrame:
     """Run the encode pipeline; returns the per-partition metrics DataFrame.
@@ -201,8 +202,15 @@ def encode_job(
          "group_cols": group_cols, "chunk_bytes": chunk_bytes}
     )
 
-    part = salted_repartition(df, num_partitions, group_cols=group_cols, unique_col=unique_col,
-                              size_col=_pick_size_col(df, cols))
+    if pre_partitioned:
+        # Trust the source partitioning (e.g. a well-sized parquet layout or
+        # an upstream bucketed write): no shuffle at all. Partition ids stay
+        # deterministic for an identical input listing, so resume still
+        # holds; prefer this when the scan already yields even partitions.
+        part = df
+    else:
+        part = salted_repartition(df, num_partitions, group_cols=group_cols, unique_col=unique_col,
+                                  size_col=_pick_size_col(df, cols))
 
     fail_pids = _test_fail_pids or set()
 

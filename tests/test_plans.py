@@ -1,0 +1,68 @@
+"""Physical-plan assertions: the operators must produce the plans we'd
+want at 100 TB — filters pushed into scans, columns pruned, small sides
+broadcast, no accidental shuffles."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fsst_spark.jobs.decode import decode_job
+from fsst_spark.jobs.encode import encode_job, salted_repartition
+from fsst_spark.synth.webcorpus import synth_web_df
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def encoded(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("plans_enc"))
+    corpus = synth_web_df(spark, 800, parallelism=2)
+    encode_job(spark, corpus, out, num_partitions=3, chunk_bytes=1 << 20).collect()
+    return out
+
+
+def test_decode_pushes_column_filter_to_scan(spark, encoded):
+    dec = decode_job(spark, encoded, columns=["lang"])
+    plan = _plan(dec)
+    scan = plan[plan.index("FileScan"):]
+    first_line = scan.split("\n")[0]
+    assert "PushedFilters" in first_line
+    assert "In(column" in first_line or "EqualTo(column" in first_line, first_line
+
+
+def test_decode_scan_prunes_payload_metadata(spark, encoded):
+    # full decode still reads only the needed chunk fields
+    dec = decode_job(spark, encoded)
+    plan = _plan(dec)
+    first_line = plan[plan.index("FileScan"):].split("\n")[0]
+    assert "raw_bytes" not in first_line.split("ReadSchema")[-1]
+
+
+def test_salted_repartition_broadcasts_bucket_map(spark):
+    corpus = synth_web_df(spark, 600, parallelism=2)
+    part = salted_repartition(corpus, 4, group_cols=["lang"], unique_col="url",
+                              target_bytes_per_partition=1 << 20, size_col="text")
+    plan = _plan(part)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_roundtrip_query_prunes_columns(spark):
+    from fsst_spark.pipeline.roundtrip import roundtrip_flags
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    flags = roundtrip_flags(df, "text", keep_cols=["lang"])
+    plan = _plan(flags)
+    first_line = plan[plan.index("FileScan"):].split("\n")[0]
+    read_schema = first_line.split("ReadSchema")[-1]
+    assert "text" in read_schema and "lang" in read_schema
+    assert "doc_id" not in read_schema and "source" not in read_schema, read_schema
+
+
+def test_pre_partitioned_encode_has_no_shuffle(spark, tmp_path):
+    corpus = synth_web_df(spark, 400, parallelism=2)
+    out = str(tmp_path / "npenc")
+    metrics = encode_job(spark, corpus, out, chunk_bytes=1 << 20, pre_partitioned=True)
+    plan = _plan(metrics)
+    assert "Exchange" not in plan, plan
