@@ -157,7 +157,11 @@ def salted_repartition(df: DataFrame, num_partitions: int,
     big side beyond the final repartition).
     """
     if not group_cols:
-        return df.repartition(num_partitions, F.pmod(F.xxhash64(unique_col), F.lit(num_partitions)))
+        # Full-entropy hash partitioning: repartition re-hashes the
+        # expression, so pass the raw hash (a pmod-bucketed expression
+        # would collapse to num_partitions distinct values and re-hash
+        # unevenly, leaving some partitions empty).
+        return df.repartition(num_partitions, F.xxhash64(unique_col))
 
     sz = F.length(size_col) if size_col else F.lit(1024)
     sizes = df.groupBy(*group_cols).agg(F.sum(sz).alias("_bytes"))

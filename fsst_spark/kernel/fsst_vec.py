@@ -48,6 +48,10 @@ from .fsst import (
 
 SEG = 2048  # lane size: bounds wavefront iterations; <0.4% worst-case ratio cost
 
+import os as _os
+
+_NO_NATIVE = _os.environ.get("FSST_SPARK_NO_NATIVE", "") == "1"
+
 _U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 _HASH_MUL = np.uint64(2971215073)
 _H15 = np.uint64(15)
@@ -119,10 +123,21 @@ def _exclusive_cumsum(a: np.ndarray) -> np.ndarray:
 
 
 def encode_chunk(
-    data: np.ndarray, offsets: np.ndarray, t: EncoderTables, seg: int = SEG
+    data: np.ndarray, offsets: np.ndarray, t: EncoderTables, seg: int = SEG,
+    force_numpy: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Encode ``n`` strings stored as a contiguous uint8 buffer + int64
-    offsets[n+1]. Returns (encoded uint8 buffer, encoded offsets[n+1])."""
+    offsets[n+1]. Returns (encoded uint8 buffer, encoded offsets[n+1]).
+
+    Dispatches to the native C kernel when available (identical output to
+    the scalar reference semantics, no lane splitting); the numpy wavefront
+    below is the portable fallback and the property-test cross-check."""
+    if not force_numpy and not _NO_NATIVE:
+        from .native import encode_chunk_native
+
+        res = encode_chunk_native(data, offsets, t)
+        if res is not None:
+            return res
     offsets = np.asarray(offsets, dtype=np.int64)
     n = len(offsets) - 1
     total_in = int(offsets[-1])
@@ -207,13 +222,20 @@ def encode_chunk(
 
 
 def decode_chunk(
-    codes: np.ndarray, offsets: np.ndarray, sym_mat: np.ndarray, sym_lens: np.ndarray
+    codes: np.ndarray, offsets: np.ndarray, sym_mat: np.ndarray, sym_lens: np.ndarray,
+    force_numpy: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Decode ``n`` FSST streams (contiguous uint8 buffer + int64 offsets).
 
     Mirrors reference src/lib.rs:255-303, vectorized: escape/literal/code
     roles from 0xFF run parity, output offsets from a cumsum, output bytes
     via 8 per-symbol-byte-position scatter passes. Returns (out, offsets)."""
+    if not force_numpy and not _NO_NATIVE:
+        from .native import decode_chunk_native
+
+        res = decode_chunk_native(codes, offsets, sym_mat, sym_lens)
+        if res is not None:
+            return res
     offsets = np.asarray(offsets, dtype=np.int64)
     n = len(offsets) - 1
     nbytes = int(offsets[-1])

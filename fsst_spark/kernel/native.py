@@ -1,0 +1,232 @@
+"""Optional native (C) FSST encode/decode kernels.
+
+The greedy FSST match is a sequential byte loop — the one shape numpy
+can't express at full speed. This module compiles a ~100-line C kernel at
+first use (gcc is a stock toolchain; the .so is cached by source hash) and
+falls back to the numpy wavefront kernels when no compiler is available.
+Semantics are identical to ``fsst.py``/``fsst_vec.py`` (property-tested):
+the same 2-byte-table -> lossy-PHT -> escape greedy match as reference
+src/lib.rs:366-413, re-implemented from the published algorithm.
+
+Workspaces are process-cached and grown geometrically so steady-state
+executor tasks allocate nothing (first-touch page faults are the dominant
+cost on virtualized hosts).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_C_SRC = r"""
+#include <stdint.h>
+#include <string.h>
+
+static inline uint64_t load_word(const uint8_t* p, int64_t remaining) {
+    uint64_t w = 0;
+    if (remaining >= 8) { memcpy(&w, p, 8); }
+    else if (remaining > 0) { memcpy(&w, p, (size_t)remaining); }
+    return w;
+}
+
+/* Greedy FSST encode of n strings (data + offsets) into out/out_offsets.
+   tb: uint32[65536] packed (code | adv_in<<8 | adv_out<<16).
+   Returns total encoded bytes. */
+int64_t fsst_encode_bulk(
+    const uint8_t* data, const int64_t* offsets, int64_t n,
+    const uint32_t* tb, uint32_t has_suffix,
+    const uint64_t* pht_sym, const uint64_t* pht_mask,
+    const uint8_t* pht_used, const uint8_t* pht_code, const uint8_t* pht_len,
+    uint8_t* out, int64_t* out_offsets)
+{
+    int64_t opos = 0;
+    out_offsets[0] = 0;
+    for (int64_t r = 0; r < n; r++) {
+        int64_t in = offsets[r], end = offsets[r + 1];
+        while (in < end) {
+            uint64_t w = load_word(data + in, end - in);
+            uint32_t t = tb[w & 0xFFFF];
+            uint32_t code = t & 0xFF;
+            if (code < has_suffix) {            /* 2-byte fast path */
+                out[opos++] = (uint8_t)code;
+                in += 2;
+                continue;
+            }
+            uint64_t v = w & 0xFFFFFF;          /* lossy PHT probe */
+            uint32_t slot = (uint32_t)(((v * 2971215073ULL) ^ (v >> 15)) & 2047);
+            if (pht_used[slot] && (w & pht_mask[slot]) == pht_sym[slot]) {
+                out[opos++] = pht_code[slot];
+                in += pht_len[slot];
+                continue;
+            }
+            out[opos++] = (uint8_t)code;        /* 1/2-byte code or escape */
+            if ((t >> 16) == 2) out[opos++] = (uint8_t)w;  /* escape literal */
+            in += (t >> 8) & 0xFF;
+        }
+        out_offsets[r + 1] = opos;
+    }
+    return opos;
+}
+
+/* Decode n FSST streams. out must have 8 bytes of slack beyond worst case.
+   Returns total decoded bytes. */
+int64_t fsst_decode_bulk(
+    const uint8_t* codes, const int64_t* offsets, int64_t n,
+    const uint8_t* sym_bytes /* 256*8 */, const uint8_t* lens /* 256 */,
+    uint8_t* out, int64_t* out_offsets)
+{
+    int64_t opos = 0;
+    out_offsets[0] = 0;
+    for (int64_t r = 0; r < n; r++) {
+        int64_t in = offsets[r], end = offsets[r + 1];
+        while (in < end) {
+            uint8_t c = codes[in++];
+            if (c == 255) {
+                out[opos++] = codes[in++];
+            } else {
+                memcpy(out + opos, sym_bytes + ((size_t)c << 3), 8);
+                opos += lens[c];
+            }
+        }
+        out_offsets[r + 1] = opos;
+    }
+    return opos;
+}
+"""
+
+_lib = None
+_tried = False
+
+
+def _compile() -> ctypes.CDLL | None:
+    tag = hashlib.blake2b(_C_SRC.encode(), digest_size=8).hexdigest()
+    cache = os.path.join(tempfile.gettempdir(), f"fsst_native_{tag}.so")
+    if not os.path.exists(cache):
+        src = cache + f".{os.getpid()}.c"
+        with open(src, "w") as f:
+            f.write(_C_SRC)
+        tmp_so = cache + f".{os.getpid()}.so"
+        try:
+            subprocess.run(
+                ["gcc", "-O3", "-march=native", "-shared", "-fPIC", src, "-o", tmp_so],
+                check=True, capture_output=True, timeout=120,
+            )
+            os.replace(tmp_so, cache)
+        except Exception:
+            return None
+        finally:
+            for p in (src, tmp_so):
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+    lib = ctypes.CDLL(cache)
+    i64, u32 = ctypes.c_int64, ctypes.c_uint32
+    p = ctypes.c_void_p
+    lib.fsst_encode_bulk.restype = i64
+    lib.fsst_encode_bulk.argtypes = [p, p, i64, p, u32, p, p, p, p, p, p, p]
+    lib.fsst_decode_bulk.restype = i64
+    lib.fsst_decode_bulk.argtypes = [p, p, i64, p, p, p, p]
+    return lib
+
+
+def get_lib() -> ctypes.CDLL | None:
+    global _lib, _tried
+    if not _tried:
+        _tried = True
+        try:
+            _lib = _compile()
+        except Exception:
+            _lib = None
+    return _lib
+
+
+class _Workspace:
+    """Grow-only process-local buffers: steady-state tasks allocate nothing."""
+
+    def __init__(self) -> None:
+        self.enc_out = np.empty(0, dtype=np.uint8)
+        self.dec_out = np.empty(0, dtype=np.uint8)
+
+    def enc(self, n: int) -> np.ndarray:
+        if len(self.enc_out) < n:
+            self.enc_out = np.empty(int(n * 1.3), dtype=np.uint8)
+        return self.enc_out
+
+    def dec(self, n: int) -> np.ndarray:
+        if len(self.dec_out) < n:
+            self.dec_out = np.empty(int(n * 1.3), dtype=np.uint8)
+        return self.dec_out
+
+
+_ws = _Workspace()
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+def encode_chunk_native(data: np.ndarray, offsets: np.ndarray, t) -> tuple[np.ndarray, np.ndarray] | None:
+    """Native encode; returns None when no compiler is available."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    n = len(offsets) - 1
+    total = int(offsets[-1]) - int(offsets[0])
+    if offsets[0] != 0:
+        data = data[offsets[0]:]
+        offsets = offsets - offsets[0]
+    data = np.ascontiguousarray(data[: int(offsets[-1]) + 1] if len(data) > int(offsets[-1]) else data, dtype=np.uint8)
+    nt = _native_tables(t)
+    out = _ws.enc(2 * total + 8)
+    out_off = np.empty(n + 1, dtype=np.int64)
+    sz = lib.fsst_encode_bulk(
+        _ptr(data), _ptr(offsets), n, _ptr(nt["tb"]), int(t.has_suffix_code),
+        _ptr(nt["pht_sym"]), _ptr(nt["pht_mask"]), _ptr(nt["pht_used"]),
+        _ptr(nt["pht_code"]), _ptr(nt["pht_len"]), _ptr(out), _ptr(out_off),
+    )
+    return out[:sz].copy(), out_off
+
+
+def decode_chunk_native(codes: np.ndarray, offsets: np.ndarray, sym_mat: np.ndarray,
+                        sym_lens: np.ndarray) -> tuple[np.ndarray, np.ndarray] | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    n = len(offsets) - 1
+    if len(offsets) and offsets[0] != 0:
+        codes = codes[offsets[0]:]
+        offsets = offsets - offsets[0]
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    total_codes = int(offsets[-1])
+    sym_c = np.ascontiguousarray(sym_mat, dtype=np.uint8)
+    lens_c = np.ascontiguousarray(sym_lens, dtype=np.uint8)
+    out = _ws.dec(8 * total_codes + 8)
+    out_off = np.empty(n + 1, dtype=np.int64)
+    sz = lib.fsst_decode_bulk(_ptr(codes), _ptr(offsets), n, _ptr(sym_c), _ptr(lens_c),
+                              _ptr(out), _ptr(out_off))
+    return out[:sz].copy(), out_off
+
+
+def _native_tables(t) -> dict:
+    """Contiguous ctypes-ready views of EncoderTables (cached on the object)."""
+    cached = getattr(t, "_native_cache", None)
+    if cached is not None:
+        return cached
+    cached = {
+        "tb": np.ascontiguousarray(t.tb_packed, dtype=np.uint32),
+        "pht_sym": np.ascontiguousarray(t.pht_sym, dtype=np.uint64),
+        "pht_mask": np.ascontiguousarray(t.pht_mask, dtype=np.uint64),
+        "pht_used": np.ascontiguousarray((t.pht_packed >> 16).astype(np.uint8)),
+        "pht_code": np.ascontiguousarray((t.pht_packed & 0xFF).astype(np.uint8)),
+        "pht_len": np.ascontiguousarray(((t.pht_packed >> 8) & 0xFF).astype(np.uint8)),
+    }
+    object.__setattr__(t, "_native_cache", cached)
+    return cached

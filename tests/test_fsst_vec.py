@@ -37,19 +37,22 @@ def check_corpus(values: list[bytes], seg: int = 2048) -> None:
     c = train(values)
     t = EncoderTables.from_compressor(c)
     data, offsets = to_buffers(values)
-    enc, enc_off = encode_chunk(data, offsets, t, seg=seg)
-    enc_rows = from_buffers(enc, enc_off)
-    # 1. whole-row lanes must match the scalar encoder byte-for-byte
-    if seg >= max((len(v) for v in values), default=0):
-        for v, er in zip(values, enc_rows):
-            assert er == c.compress(v), f"vector encode != scalar for {v[:40]!r}"
-    # 2. vectorized decode must invert vectorized encode exactly
-    dec, dec_off = decode_chunk(enc, enc_off, t.sym_mat, t.sym_lens)
-    assert from_buffers(dec, dec_off) == values
-    # 3. scalar decode of each vector-encoded row must also round-trip
     d = c.decompressor()
-    for v, er in zip(values, enc_rows):
-        assert d.decompress(er) == v
+    for force_numpy in (True, False):  # numpy wavefront AND native C kernel
+        enc, enc_off = encode_chunk(data, offsets, t, seg=seg, force_numpy=force_numpy)
+        enc_rows = from_buffers(enc, enc_off)
+        # 1. whole-row encodes must match the scalar encoder byte-for-byte
+        #    (native always encodes whole rows; numpy does when seg covers them)
+        if not force_numpy or seg >= max((len(v) for v in values), default=0):
+            for v, er in zip(values, enc_rows):
+                assert er == c.compress(v), f"vector encode != scalar for {v[:40]!r}"
+        # 2. both decoders must invert exactly
+        for fn2 in (True, False):
+            dec, dec_off = decode_chunk(enc, enc_off, t.sym_mat, t.sym_lens, force_numpy=fn2)
+            assert from_buffers(dec, dec_off) == values
+        # 3. scalar decode of each row must also round-trip
+        for v, er in zip(values, enc_rows):
+            assert d.decompress(er) == v
 
 
 def test_exact_match_with_scalar_prose():
