@@ -40,3 +40,39 @@ def tune_malloc() -> None:
         libc.mallopt(_M_TRIM_THRESHOLD, 2**31 - 1)
     except OSError:
         pass  # non-glibc platform: env vars above still cover children
+    madvise_hugepages()
+
+
+_MADV_HUGEPAGE = 14
+
+
+def madvise_hugepages(min_bytes: int = 1 << 20) -> int:
+    """Advise THP for every sizable anonymous writable mapping.
+
+    On hosts where THP is in 'madvise' mode, 4K first-touch faults can be
+    ~500x slower than 2M huge-page faults (measured on this sandbox:
+    10 MB/s vs 4.8 GB/s). glibc heap segments and numpy buffers are plain
+    anonymous mappings, so one pass over /proc/self/maps upgrades them all.
+    Safe to call repeatedly (idempotent per VMA, ~ms); kernels call it at
+    task start so newly created segments get covered too.
+    """
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+    except OSError:
+        return 0
+    n = 0
+    try:
+        with open("/proc/self/maps") as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) < 5 or parts[1] != "rw-p" or parts[4] != "0":
+                    continue  # only anonymous writable mappings
+                lo_s, hi_s = parts[0].split("-")
+                lo, hi = int(lo_s, 16), int(hi_s, 16)
+                if hi - lo < min_bytes:
+                    continue
+                if libc.madvise(ctypes.c_void_p(lo), ctypes.c_size_t(hi - lo), _MADV_HUGEPAGE) == 0:
+                    n += 1
+    except OSError:
+        pass
+    return n

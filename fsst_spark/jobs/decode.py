@@ -64,6 +64,9 @@ def decode_job(spark, out_dir: str, columns: list[str] | None = None) -> DataFra
     chunks = chunks.repartition(F.col("pid"), F.col("chunk_id"))
 
     def decode_task(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..env import madvise_hugepages
+
+        madvise_hugepages()
         pending: dict[tuple[int, int], dict] = {}
         for batch in batches:
             cols = batch.to_pylist()

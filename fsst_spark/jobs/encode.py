@@ -222,6 +222,9 @@ def encode_job(
         pid = TaskContext.get().partitionId()
         if pid in done:
             return  # durable already; input never gets pulled -> no rescan work
+        from ..env import madvise_hugepages
+
+        madvise_hugepages()
         t0 = time.time()
         records: list[dict] = []
         buf: list[pa.RecordBatch] = []

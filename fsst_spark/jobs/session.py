@@ -38,7 +38,19 @@ def get_spark(master: str | None = None, app_name: str = "fsst_spark",
     if master:
         b = b.master(master)
         if master.startswith("local"):
-            b = b.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+            mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+            b = b.config("spark.driver.memory", mem)
+            # Pinned, pre-touched heap with a non-uncommitting GC: G1 keeps
+            # returning regions to the OS, which re-faults them on the next
+            # allocation — on virtualized hosts with slow fault paths this
+            # throttles the whole scan pipeline ~50x (measured). ParallelGC
+            # + Xms=Xmx + AlwaysPreTouch + THP makes the heap fault exactly
+            # once at startup. The same flags go on executors in cluster
+            # mode via spark.executor.extraJavaOptions.
+            b = b.config(
+                "spark.driver.extraJavaOptions",
+                f"-Xms{mem} -XX:+UseParallelGC -XX:+AlwaysPreTouch -XX:+UseTransparentHugePages",
+            )
     return b.getOrCreate()
 
 

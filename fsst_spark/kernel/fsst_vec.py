@@ -132,6 +132,9 @@ def encode_chunk(
     Dispatches to the native C kernel when available (identical output to
     the scalar reference semantics, no lane splitting); the numpy wavefront
     below is the portable fallback and the property-test cross-check."""
+    from ..env import madvise_hugepages
+
+    madvise_hugepages()
     if not force_numpy and not _NO_NATIVE:
         from .native import encode_chunk_native
 
@@ -230,6 +233,9 @@ def decode_chunk(
     Mirrors reference src/lib.rs:255-303, vectorized: escape/literal/code
     roles from 0xFF run parity, output offsets from a cumsum, output bytes
     via 8 per-symbol-byte-position scatter passes. Returns (out, offsets)."""
+    from ..env import madvise_hugepages
+
+    madvise_hugepages()
     if not force_numpy and not _NO_NATIVE:
         from .native import decode_chunk_native
 
