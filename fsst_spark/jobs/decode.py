@@ -89,8 +89,14 @@ def _emit(key: tuple[int, int], cols: dict[str, pa.Array], ordered: list[str]) -
     import numpy as np
 
     n = len(next(iter(cols.values())))
+    fixed = []
+    for c in ordered:
+        arr = cols[c]
+        if pa.types.is_timestamp(arr.type) and arr.type.unit != "us":
+            arr = arr.cast(pa.timestamp("us", tz=arr.type.tz))  # spark speaks us
+        fixed.append(arr)
     arrays = [
         pa.array(np.full(n, key[0], dtype=np.int32)),
         pa.array(np.full(n, key[1], dtype=np.int32)),
-    ] + [cols[c] for c in ordered]
+    ] + fixed
     return pa.RecordBatch.from_arrays(arrays, names=["pid", "chunk_id", *ordered])

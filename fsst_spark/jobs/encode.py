@@ -222,77 +222,142 @@ def encode_job(
         pid = TaskContext.get().partitionId()
         if pid in done:
             return  # durable already; input never gets pulled -> no rescan work
-        from ..env import madvise_hugepages
-
-        madvise_hugepages()
-        t0 = time.time()
-        records: list[dict] = []
-        buf: list[pa.RecordBatch] = []
-        buf_bytes = 0
-        chunk_id = 0
-        col_metrics: dict[str, dict] = {}
-        n_rows_total = 0
-
-        def flush() -> None:
-            nonlocal chunk_id, buf, buf_bytes, n_rows_total
-            if not buf:
-                return
-            tbl = pa.Table.from_batches(buf)
-            for name in tbl.column_names:
-                arr = tbl.column(name).combine_chunks()
-                stats = chunk_stats(arr)
-                enc = encode_column(arr, stats)
-                raw = raw_size_of(arr)
-                m = col_metrics.setdefault(name, {"raw": 0, "enc": 0, "codecs": {}})
-                m["raw"] += raw
-                m["enc"] += len(enc["payload"])
-                m["codecs"][enc["codec"]] = m["codecs"].get(enc["codec"], 0) + 1
-                records.append(
-                    {
-                        "pid": pid, "chunk_id": chunk_id, "column": name,
-                        "n_cols": len(tbl.column_names),
-                        "codec": enc["codec"], "params": json.dumps(enc["params"]),
-                        "payload": enc["payload"], "n_rows": len(arr),
-                        "raw_bytes": raw, "enc_bytes": len(enc["payload"]),
-                        "checksum": canonical_bytes(arr),
-                    }
-                )
-            n_rows_total += tbl.num_rows
-            chunk_id += 1
-            buf, buf_bytes = [], 0
-
-        for batch in batches:
-            buf.append(batch)
-            buf_bytes += batch.nbytes
-            if buf_bytes >= chunk_bytes:
-                flush()
-        flush()
-
-        if pid in fail_pids:
-            raise RuntimeError(f"injected test failure in partition {pid}")
-
-        if not records:
-            return
-
-        chunk_tbl = pa.Table.from_pylist(records, schema=CHUNK_SCHEMA)
-        chunk_path = os.path.join(out_dir, "chunks", f"part-{pid:05d}.parquet")
-        _atomic_write(chunk_tbl, chunk_path)
-
-        raw_bytes = sum(m["raw"] for m in col_metrics.values())
-        enc_bytes = sum(m["enc"] for m in col_metrics.values())
-        wall = time.time() - t0
-        metric_row = {
-            "pid": pid, "status": "done", "n_rows": n_rows_total, "n_chunks": chunk_id,
-            "raw_bytes": raw_bytes, "enc_bytes": enc_bytes, "wall_sec": wall,
-            "columns_json": json.dumps(col_metrics), "lineage": lineage_json,
-            "engine_version": __version__,
-            "finished_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        }
-        manifest_tbl = pa.Table.from_pylist([metric_row], schema=METRIC_PA_SCHEMA)
-        _atomic_write(manifest_tbl, os.path.join(out_dir, "manifest", f"part-{pid:05d}.parquet"))
-        yield from manifest_tbl.to_batches()
+        row = _encode_one_partition(pid, batches, out_dir, chunk_bytes, lineage_json, fail_pids)
+        if row is not None:
+            yield from pa.Table.from_pylist([row], schema=METRIC_PA_SCHEMA).to_batches()
 
     return part.mapInArrow(encode_partition, METRIC_SCHEMA_DDL)
+
+
+def _encode_one_partition(pid: int, batches: Iterator[pa.RecordBatch], out_dir: str,
+                          chunk_bytes: int, lineage_json: str,
+                          fail_pids: set[int]) -> dict | None:
+    """Encode one partition's batches into a chunk file + manifest row
+    (temp + atomic rename). Shared by the DataFrame and file-driven jobs."""
+    from ..env import madvise_hugepages
+
+    madvise_hugepages()
+    t0 = time.time()
+    records: list[dict] = []
+    buf: list[pa.RecordBatch] = []
+    buf_bytes = 0
+    chunk_id = 0
+    col_metrics: dict[str, dict] = {}
+    n_rows_total = 0
+
+    def flush() -> None:
+        nonlocal chunk_id, buf, buf_bytes, n_rows_total
+        if not buf:
+            return
+        tbl = pa.Table.from_batches(buf)
+        for name in tbl.column_names:
+            arr = tbl.column(name).combine_chunks()
+            stats = chunk_stats(arr)
+            enc = encode_column(arr, stats)
+            raw = raw_size_of(arr)
+            m = col_metrics.setdefault(name, {"raw": 0, "enc": 0, "codecs": {}})
+            m["raw"] += raw
+            m["enc"] += len(enc["payload"])
+            m["codecs"][enc["codec"]] = m["codecs"].get(enc["codec"], 0) + 1
+            records.append(
+                {
+                    "pid": pid, "chunk_id": chunk_id, "column": name,
+                    "n_cols": len(tbl.column_names),
+                    "codec": enc["codec"], "params": json.dumps(enc["params"]),
+                    "payload": enc["payload"], "n_rows": len(arr),
+                    "raw_bytes": raw, "enc_bytes": len(enc["payload"]),
+                    "checksum": canonical_bytes(arr),
+                }
+            )
+        n_rows_total += tbl.num_rows
+        chunk_id += 1
+        buf, buf_bytes = [], 0
+
+    for batch in batches:
+        buf.append(batch)
+        buf_bytes += batch.nbytes
+        if buf_bytes >= chunk_bytes:
+            flush()
+    flush()
+
+    if pid in fail_pids:
+        raise RuntimeError(f"injected test failure in partition {pid}")
+
+    if not records:
+        return None
+
+    chunk_tbl = pa.Table.from_pylist(records, schema=CHUNK_SCHEMA)
+    _atomic_write(chunk_tbl, os.path.join(out_dir, "chunks", f"part-{pid:05d}.parquet"))
+
+    raw_bytes = sum(m["raw"] for m in col_metrics.values())
+    enc_bytes = sum(m["enc"] for m in col_metrics.values())
+    metric_row = {
+        "pid": pid, "status": "done", "n_rows": n_rows_total, "n_chunks": chunk_id,
+        "raw_bytes": raw_bytes, "enc_bytes": enc_bytes, "wall_sec": time.time() - t0,
+        "columns_json": json.dumps(col_metrics), "lineage": lineage_json,
+        "engine_version": __version__,
+        "finished_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    manifest_tbl = pa.Table.from_pylist([metric_row], schema=METRIC_PA_SCHEMA)
+    _atomic_write(manifest_tbl, os.path.join(out_dir, "manifest", f"part-{pid:05d}.parquet"))
+    return metric_row
+
+
+def encode_files_job(
+    spark,
+    input_path: str,
+    out_dir: str,
+    *,
+    columns: list[str] | None = None,
+    chunk_bytes: int = 32 << 20,
+    resume: bool = True,
+    lineage: dict | None = None,
+    batch_rows: int = 16384,
+) -> DataFrame:
+    """File-granular encode: Spark parallelizes over parquet *files*; each
+    task reads its file columnar-natively with pyarrow (no JVM row<->Arrow
+    conversion, no shuffle) and encodes it. This is the shape of an Iceberg
+    rewrite/compaction action and the preferred path for pure storage
+    conversion: the scan stays columnar end-to-end and column pruning is a
+    pyarrow ``columns=`` pushdown.
+
+    Partition id = index of the file in the sorted listing — deterministic
+    for an identical input snapshot, so resume semantics match
+    ``encode_job``. (Local filesystem here; on a cluster the listing comes
+    from the table snapshot and paths are object-store URIs.)
+    """
+    import glob as _glob
+
+    files = sorted(_glob.glob(os.path.join(input_path, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {input_path}")
+    os.makedirs(os.path.join(out_dir, "chunks"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
+    done = completed_pids(out_dir) if resume else set()
+    lineage_json = json.dumps(
+        {**(lineage or {}), "columns": columns, "n_files": len(files),
+         "chunk_bytes": chunk_bytes, "mode": "files"}
+    )
+    tasks = [(pid, f) for pid, f in enumerate(files) if pid not in done]
+    if not tasks:
+        return spark.createDataFrame([], METRIC_SCHEMA_DDL)
+    task_df = spark.createDataFrame(tasks, "pid int, path string") \
+        .repartitionByRange(len(tasks), "pid")
+
+    def encode_file(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.parquet as _pq
+
+        for batch in batches:
+            for task_row in batch.to_pylist():
+                pid, path = task_row["pid"], task_row["path"]
+                pf = _pq.ParquetFile(path)
+                reader = pf.iter_batches(batch_size=batch_rows, columns=columns)
+                row = _encode_one_partition(pid, reader, out_dir, chunk_bytes,
+                                            lineage_json, set())
+                if row is not None:
+                    yield from pa.Table.from_pylist([row], schema=METRIC_PA_SCHEMA).to_batches()
+
+    return task_df.mapInArrow(encode_file, METRIC_SCHEMA_DDL)
 
 
 def _pick_size_col(df: DataFrame, cols: list[str]) -> str | None:

@@ -134,6 +134,31 @@ def decode_int_rle(enc: Encoded) -> np.ndarray:
     return np.repeat(runs_v, runs_l)
 
 
+def encode_int_delta(vals: np.ndarray) -> Encoded:
+    """Delta + FOR + bit-pack: near-zero bits for sorted/sequential ints."""
+    v = vals.astype(np.int64, copy=False)
+    n = len(v)
+    first = int(v[0]) if n else 0
+    deltas = np.diff(v) if n else v
+    ed = encode_int_for(deltas)
+    params = {"n": n, "first": first,
+              "deltas": {"codec": ed["codec"], "params": ed["params"]}}
+    return {"codec": "int_delta", "params": params, "payload": ed["payload"]}
+
+
+def decode_int_delta(enc: Encoded) -> np.ndarray:
+    p = enc["params"]
+    n = p["n"]
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    deltas = decode_int_for({**p["deltas"], "payload": enc["payload"]})
+    out = np.empty(n, dtype=np.int64)
+    out[0] = p["first"]
+    np.cumsum(deltas, out=out[1:]) if n > 1 else None
+    out[1:] += p["first"]
+    return out
+
+
 def encode_int_plain(vals: np.ndarray) -> Encoded:
     v = vals.astype(np.int64, copy=False)
     return {"codec": "int_plain", "params": {"n": len(v)}, "payload": v.tobytes()}
@@ -153,7 +178,14 @@ def select_int_codec(vals: np.ndarray) -> Encoded:
     if n_runs <= n * RLE_RUN_RATIO:
         return encode_int_rle(v)
     rng = int(v.max()) - int(v.min())
-    if _width_for(rng) >= 63:
+    width = _width_for(rng)
+    if n > 1:
+        deltas = np.diff(v)
+        dmin, dmax = int(deltas.min()), int(deltas.max())
+        dwidth = _width_for(dmax - dmin)
+        if dwidth < min(width, 63) and dwidth < 63:
+            return encode_int_delta(v)
+    if width >= 63:
         return encode_int_plain(v)
     return encode_int_for(v)
 
@@ -249,7 +281,8 @@ def decode_str_dict(enc: Encoded) -> tuple[np.ndarray, np.ndarray]:
     return ubuf[src], out_off
 
 
-_INT_DECODERS = {"int_for": decode_int_for, "int_rle": decode_int_rle, "int_plain": decode_int_plain}
+_INT_DECODERS = {"int_for": decode_int_for, "int_rle": decode_int_rle,
+                 "int_plain": decode_int_plain, "int_delta": decode_int_delta}
 _STR_DECODERS = {"str_plain": decode_str_plain, "str_fsst": decode_str_fsst, "str_dict": decode_str_dict}
 
 

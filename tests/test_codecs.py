@@ -171,3 +171,25 @@ def test_hypothesis_string_column(vals):
 @given(st.lists(st.one_of(st.none(), st.integers(-(2**62), 2**62)), max_size=60))
 def test_hypothesis_int_column(vals):
     _roundtrip_column(pa.array(vals, type=pa.int64()))
+
+
+def test_delta_for_sequential_ints():
+    from fsst_spark.kernel.codecs import decode_int_delta, encode_int_delta
+
+    v = np.arange(10_000, dtype=np.int64) * 3 + 7
+    enc = encode_int_delta(v)
+    assert np.array_equal(decode_int_delta(enc), v)
+    assert len(enc["payload"]) < 100  # constant delta -> ~0 bits
+
+    arr = pa.array(np.arange(5000, dtype=np.int64) + 10**15, type=pa.int64())
+    e = _roundtrip_column(arr)
+    assert e["codec"] == "int_delta"
+    assert len(e["payload"]) < 1000
+
+
+def test_delta_negative_steps():
+    from fsst_spark.kernel.codecs import decode_int_delta, encode_int_delta
+
+    v = np.array([100, 50, 75, -3, 2**40, 2**40 - 1], dtype=np.int64)
+    enc = encode_int_delta(v)
+    assert np.array_equal(decode_int_delta(enc), v)

@@ -134,3 +134,23 @@ def test_fsst_selected_for_text_and_html(spark, encoded_dir):
     assert "str_fsst" in by_col["html"]
     assert by_col["lang"] == {"str_dict"}
     assert by_col["warc_ts"] <= {"int_for", "int_rle", "int_plain"}
+
+
+def test_encode_files_job_roundtrip_and_resume(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from fsst_spark.jobs.encode import encode_files_job
+
+    src_dir = str(tmp_path / "src")
+    corpus = synth_web_df(spark, 1200, seed=9, parallelism=3)
+    corpus.write.parquet(src_dir)
+    out = str(tmp_path / "enc_files")
+    rows = encode_files_job(spark, src_dir, out, chunk_bytes=1 << 20).collect()
+    n_files = len([f for f in os.listdir(src_dir) if f.endswith(".parquet")])
+    assert len(rows) == n_files
+    # resume: second run is a no-op
+    assert encode_files_job(spark, src_dir, out).collect() == []
+    dec = decode_job(spark, out)
+    res = verify_against_source(spark.read.parquet(src_dir), dec,
+                                columns=["url", "warc_ts", "html", "text", "lang"])
+    assert res["match"], res
