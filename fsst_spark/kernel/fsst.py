@@ -486,6 +486,41 @@ class Decompressor:
         return bytes(out)
 
 
+def compressor_from_table(symbols: list[int], lengths: list[int], has_suffix_code: int) -> "Compressor":
+    """Rebuild a finalized Compressor from a serialized table.
+
+    Reconstructs the inverted indexes directly from (code -> symbol), so
+    code numbering is preserved exactly (re-running finalize would renumber
+    the has-suffix 2-byte range in reverse). PHT collisions keep the
+    lower code (mirrors gain-ordered insertion, reference lossy_pht.rs:49).
+    """
+    one_byte: dict[int, int] = {}
+    for code, (s, ln) in enumerate(zip(symbols, lengths)):
+        if ln == 1:
+            one_byte.setdefault(s & 0xFF, code)
+    base = [CODE_UNUSED] * 256
+    for b, code in one_byte.items():
+        base[b] = _code_new_symbol(code, 1)
+    codes_two_byte = [base[w & 0xFF] for w in range(65536)]
+    pht_sym = [0] * PHT_SIZE
+    pht_code = [CODE_UNUSED] * PHT_SIZE
+    pht_ign = [64] * PHT_SIZE
+    for code, (s, ln) in enumerate(zip(symbols, lengths)):
+        if ln == 2:
+            codes_two_byte[s & 0xFFFF] = _code_new_symbol(code, 2)
+        elif ln >= 3:
+            slot = fsst_hash(s & 0xFFFFFF) & PHT_MASK
+            if pht_code[slot] == CODE_UNUSED:
+                pht_sym[slot] = s
+                pht_code[slot] = _code_new_symbol(code, ln)
+                pht_ign[slot] = 64 - 8 * ln
+    return Compressor(
+        symbols=list(symbols), lengths=list(lengths), n_symbols=len(symbols),
+        has_suffix_code=has_suffix_code, codes_two_byte=codes_two_byte,
+        pht_sym=pht_sym, pht_code=pht_code, pht_ign=pht_ign,
+    )
+
+
 TABLE_VERSION = 1
 
 
