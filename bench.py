@@ -110,9 +110,25 @@ def main() -> None:
     queries: dict[str, float] = {}
     extras: dict = {}
 
+    # ---------------- phase 0: N=1 vs 4N=4 (unsaturated regime) ------------
+    # At >=8 cores this VM's shared disk/page ceiling (~200 MB/s) binds the
+    # job, so the informative N->4N pair is measured below saturation.
+    spark = get_spark("local[1]", app_name="fsst_bench_1")
+    corpus_dir = ensure_corpus(spark, sf)
+    out_1 = tempfile.mkdtemp(prefix="fsst_bench_1_")
+    run_encode(spark, corpus_dir, out_1, partitions=1, reps=1)  # warm
+    one = run_encode(spark, corpus_dir, out_1, partitions=1, reps=2)
+    shutil.rmtree(out_1, ignore_errors=True)
+    spark.stop()
+    spark = get_spark("local[4]", app_name="fsst_bench_4")
+    out_4 = tempfile.mkdtemp(prefix="fsst_bench_4_")
+    run_encode(spark, corpus_dir, out_4, partitions=4, reps=1)  # warm
+    four = run_encode(spark, corpus_dir, out_4, partitions=4, reps=3)
+    shutil.rmtree(out_4, ignore_errors=True)
+    spark.stop()
+
     # ---------------- phase 1: small-parallelism encode (scaling point A) ---
     spark = get_spark(f"local[{SMALL_CPUS}]", app_name="fsst_bench_small")
-    corpus_dir = ensure_corpus(spark, sf)
     out_small = tempfile.mkdtemp(prefix="fsst_bench_small_")
     run_encode(spark, corpus_dir, out_small, partitions=SMALL_CPUS * 2, reps=1)  # warm (untimed)
     small = run_encode(spark, corpus_dir, out_small, partitions=SMALL_CPUS * 2)  # steady state
@@ -186,7 +202,11 @@ def main() -> None:
     cpu_big = _cpu_control(CPUS)
     kern_eff = (kern_big / kern_small) / ratio_par
     cpu_eff = (cpu_big / cpu_small) / ratio_par
+    eff14 = (four["mb_s"] / one["mb_s"]) / 4
     extras["scaling"] = {
+        "n1_mb_s": round(one["mb_s"], 1), "n4_mb_s": round(four["mb_s"], 1),
+        "efficiency_1_to_4": round(eff14, 3),
+        "walls_1_sec": one["walls"], "walls_4_sec": four["walls"],
         "cpus_small": SMALL_CPUS, "cpus_big": CPUS,
         "throughput_small_mb_s": round(small["mb_s"], 1),
         "throughput_big_mb_s": round(big["mb_s"], 1),

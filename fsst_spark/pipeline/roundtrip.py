@@ -81,7 +81,7 @@ def codec_summary(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
             F.sum("enc_bytes").alias("enc_bytes"),
             F.sum("n_match").alias("n_match"),
         )
-        .withColumn("ratio", F.round(F.col("raw_bytes") / F.col("enc_bytes"), 3))
+        .withColumn("ratio", F.round(F.col("raw_bytes") / F.greatest(F.col("enc_bytes"), F.lit(1)), 3))
         .orderBy("column", "codec")
     )
 
