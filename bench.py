@@ -69,6 +69,20 @@ def ensure_corpus(spark, sf: float) -> str:
     return path
 
 
+def _file_subset(corpus_dir: str, n: int) -> str:
+    """Symlinked subset of the corpus files (bounds single-core run time)."""
+    import glob as _glob
+
+    files = sorted(_glob.glob(os.path.join(corpus_dir, "*.parquet")))[:n]
+    sub = os.path.join(tempfile.gettempdir(), f"fsst_subset_{n}_{abs(hash(corpus_dir)) % 99999}")
+    os.makedirs(sub, exist_ok=True)
+    for f in files:
+        dst = os.path.join(sub, os.path.basename(f))
+        if not os.path.exists(dst):
+            os.symlink(f, dst)
+    return sub
+
+
 def _warm_workers(spark, corpus, cpus: int) -> None:
     """Run a small encode so every python worker imports the engine and
     warms its malloc heap before any timed measurement (steady state)."""
@@ -115,15 +129,16 @@ def main() -> None:
     # job, so the informative N->4N pair is measured below saturation.
     spark = get_spark("local[1]", app_name="fsst_bench_1")
     corpus_dir = ensure_corpus(spark, sf)
+    subset_dir = _file_subset(corpus_dir, 16)  # keep 1-core runs bounded
     out_1 = tempfile.mkdtemp(prefix="fsst_bench_1_")
-    run_encode(spark, corpus_dir, out_1, partitions=1, reps=1)  # warm
-    one = run_encode(spark, corpus_dir, out_1, partitions=1, reps=2)
+    run_encode(spark, subset_dir, out_1, partitions=1, reps=1)  # warm
+    one = run_encode(spark, subset_dir, out_1, partitions=1, reps=2)
     shutil.rmtree(out_1, ignore_errors=True)
     spark.stop()
     spark = get_spark("local[4]", app_name="fsst_bench_4")
     out_4 = tempfile.mkdtemp(prefix="fsst_bench_4_")
-    run_encode(spark, corpus_dir, out_4, partitions=4, reps=1)  # warm
-    four = run_encode(spark, corpus_dir, out_4, partitions=4, reps=3)
+    run_encode(spark, subset_dir, out_4, partitions=4, reps=1)  # warm
+    four = run_encode(spark, subset_dir, out_4, partitions=4, reps=3)
     shutil.rmtree(out_4, ignore_errors=True)
     spark.stop()
 
