@@ -103,11 +103,44 @@ def q_ts_roundtrip_events(spark, sf_dir):
     )
 
 
-def q_codec_selection_summary(spark, sf_dir):
-    """Which codec the auto-selector picks per documents column (+ ratio)."""
+_CODEC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def q_codec_selection_detail(spark, sf_dir):
+    """Which codec the auto-selector picks per documents column (+ ratio).
+
+    Codec choice and encoded size are engine-defined (rows-only check);
+    the bit-identical round-trip itself is gated by the per-column totals
+    in ``codec_selection_summary``."""
     from fsst_spark.pipeline.roundtrip import codec_summary
 
-    return codec_summary(_docs(spark, sf_dir), ["doc_id", "text", "lang", "source", "n_chars"])
+    return codec_summary(_docs(spark, sf_dir), _CODEC_COLS)
+
+
+def q_codec_selection_summary(spark, sf_dir):
+    """Per-column totals of the auto-selected round-trip: n_match == n_rows
+    is the bit-identical gate, and both are oracle-checkable counts."""
+    from fsst_spark.pipeline.roundtrip import codec_summary
+
+    s = codec_summary(_docs(spark, sf_dir), _CODEC_COLS)
+    return (
+        s.groupBy("column")
+        .agg(F.sum("n_rows").alias("n_rows"), F.sum("n_match").alias("n_match"))
+        .orderBy("column")
+    )
+
+
+def _augmented_docs(spark, sf_dir):
+    """documents + a deterministic exact-duplicate of every 10th doc.
+
+    The corpus itself has no duplicates, so dedup recall gates would be
+    vacuous; this augmentation is expressible identically in the SQL
+    oracle, making 'every exact duplicate is found' a hard check."""
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    dups = base.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    return base.unionByName(dups)
 
 
 # ---------------------------------------------------------------------------
@@ -137,23 +170,49 @@ def q_lang_id(spark, sf_dir):
 
 
 def q_minhash_neardup(spark, sf_dir):
+    """MinHash-LSH recall gate: every exact-duplicate pair (known from the
+    deterministic augmentation) must surface as a verified near-dup pair."""
     from fsst_spark.pipeline.dedup import minhash_lsh_candidates, ngram_jaccard_verify
 
-    df = _docs(spark, sf_dir)
-    pairs = minhash_lsh_candidates(df, "text", "doc_id", n_hashes=64, bands=16)
-    verified = ngram_jaccard_verify(df, pairs, "text", "doc_id", threshold=0.7)
-    return pairs.agg(F.count("*").alias("n_candidate_pairs")).crossJoin(
-        verified.agg(F.count("*").alias("n_verified_pairs"))
+    aug = _augmented_docs(spark, sf_dir)
+    pairs = minhash_lsh_candidates(aug, "text", "doc_id", n_hashes=64, bands=16)
+    verified = ngram_jaccard_verify(aug, pairs, "text", "doc_id", threshold=0.7)
+    fp = aug.select(F.col("doc_id"), F.md5(F.col("text").cast("binary")).alias("fp"))
+    exact = (
+        fp.alias("a")
+        .join(fp.alias("b"), (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    n_exact = exact.agg(F.count("*").alias("n_exact_dup_pairs"))
+    n_found = (
+        exact.join(verified.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+        .agg(F.count("*").alias("n_exact_found"))
+    )
+    return n_exact.crossJoin(n_found).withColumn(
+        "all_exact_found", F.col("n_exact_found") == F.col("n_exact_dup_pairs")
     )
 
 
 def q_simhash_stats(spark, sf_dir):
+    """SimHash invariants: identical texts hash identically, and distinct
+    fingerprints never exceed distinct texts."""
     from fsst_spark.pipeline.dedup import simhash_udf
 
-    df = _docs(spark, sf_dir).withColumn("sh", simhash_udf()(F.col("text")))
-    return df.agg(
+    aug = _augmented_docs(spark, sf_dir)
+    df = aug.withColumn("sh", simhash_udf()(F.col("text"))).withColumn(
+        "fp", F.md5(F.col("text").cast("binary"))
+    )
+    per_text = df.groupBy("fp").agg(F.countDistinct("sh").alias("k"))
+    totals = df.agg(
         F.count("*").alias("n_docs"),
-        F.countDistinct("sh").alias("n_distinct_simhash"),
+        F.countDistinct("sh").alias("n_sh"),
+        F.countDistinct("fp").alias("n_fp"),
+    )
+    mk = per_text.agg(F.max("k").alias("max_k"))
+    return totals.crossJoin(mk).select(
+        F.col("n_docs"),
+        (F.col("n_sh") <= F.col("n_fp")).alias("simhash_distinct_le_texts"),
+        (F.col("max_k") == 1).alias("exact_dups_same_simhash"),
     )
 
 
@@ -166,11 +225,29 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    from fsst_spark.pipeline.similarity import lsh_topk
+    """Multi-probe LSH ANN vs the exact top-k: returns a recall gate the
+    oracle can assert (k results returned, overlap with exact >= k/2)."""
+    from fsst_spark.pipeline.similarity import build_lsh_index, cosine_topk, lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return lsh_topk(emb.filter(F.col("vec_id") != 0), [float(x) for x in query], k=10, n_planes=8)
+    q = [float(x) for x in query]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    idx = build_lsh_index(corpus, dim=len(q), n_planes=8)  # built once; probed per query
+    approx = lsh_topk(idx, q, k=10, n_planes=8, indexed=True)
+    exact = cosine_topk(corpus, q, k=10)
+    overlap = approx.join(exact.select("vec_id"), "vec_id", "left_semi").agg(
+        F.count("*").alias("n_overlap")
+    )
+    return (
+        approx.agg(F.count("*").alias("n_results"))
+        .crossJoin(overlap)
+        .select(
+            F.lit(10).cast("long").alias("k"),
+            F.col("n_results"),
+            (F.col("n_overlap") * 2 >= F.lit(10)).alias("recall_ge_half"),
+        )
+    )
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -180,6 +257,8 @@ def q_multimodal_features(spark, sf_dir):
     feats = extract_features(ev, "payload", "doc_id", feat_dim=8)
     return feats.agg(
         F.count("*").alias("n_docs"),
+        F.sum("payload_bytes").alias("sum_payload_bytes"),
+        F.min(F.size("feat")).cast("long").alias("min_feat_len"),
         F.countDistinct("feat_dim").alias("n_dims"),
     )
 
@@ -188,8 +267,8 @@ def q_multimodal_features(spark, sf_dir):
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: auto-selected codec round-trip summary on sf0.001 docs."""
-    return q_codec_selection_summary(spark, "/root/testdata/sf0.001")
+    """Flagship: auto-selected codec round-trip detail on sf0.001 docs."""
+    return q_codec_selection_detail(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -201,6 +280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitpack_roundtrip_linenumber": q_bitpack_roundtrip_linenumber,
         "ts_roundtrip_events": q_ts_roundtrip_events,
         "codec_selection_summary": q_codec_selection_summary,
+        "codec_selection_detail": q_codec_selection_detail,
         "dedup_exact": q_dedup_exact,
         "token_quality_stats": q_token_quality_stats,
         "lang_id": q_lang_id,
@@ -213,6 +293,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _NORM_FP = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
+
+# Same deterministic duplicate augmentation as _augmented_docs (Spark side).
+_AUG_SQL = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -227,15 +313,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "int_roundtrip_docid": (
             "SELECT count(*) AS n_rows, count(*) AS n_match, "
-            "sum(doc_id) AS sum_doc_id FROM documents"
+            "CAST(sum(doc_id) AS BIGINT) AS sum_doc_id FROM documents"
         ),
         "rle_roundtrip_orderkey": (
             "SELECT count(*) AS n_rows, count(*) AS n_match, "
-            "sum(l_orderkey) AS sum_orderkey FROM lineitem"
+            "CAST(sum(l_orderkey) AS BIGINT) AS sum_orderkey FROM lineitem"
         ),
         "bitpack_roundtrip_linenumber": (
             "SELECT count(*) AS n_rows, count(*) AS n_match, "
-            "sum(l_linenumber) AS sum_linenumber FROM lineitem"
+            "CAST(sum(l_linenumber) AS BIGINT) AS sum_linenumber FROM lineitem"
         ),
         "ts_roundtrip_events": (
             "SELECT count(*) AS n_rows, count(*) AS n_match, "
@@ -244,15 +330,15 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": (
             f"WITH g AS (SELECT {_NORM_FP} AS fp, count(*) AS cnt "
             "FROM documents GROUP BY 1) "
-            "SELECT sum(cnt) AS n_docs, count(*) AS n_distinct, "
-            "sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS n_dup_docs FROM g"
+            "SELECT CAST(sum(cnt) AS BIGINT) AS n_docs, count(*) AS n_distinct, "
+            "CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup_docs FROM g"
         ),
         "token_quality_stats": (
-            "SELECT lang, count(*) AS n_docs, sum(length(text)) AS sum_chars, "
-            "sum(CASE WHEN trim(text) = '' THEN 0 "
-            "    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS sum_tokens, "
-            "sum(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) AS sum_punct, "
-            "sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS n_empty "
+            "SELECT lang, count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS sum_chars, "
+            "CAST(sum(CASE WHEN trim(text) = '' THEN 0 "
+            "    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS sum_tokens, "
+            "CAST(sum(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) AS BIGINT) AS sum_punct, "
+            "CAST(sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty "
             "FROM documents GROUP BY lang ORDER BY lang"
         ),
         "lang_id": (
@@ -277,7 +363,35 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY list_cosine_similarity(embedding, (SELECT qv FROM q)) DESC, vec_id "
             "LIMIT 10"
         ),
-        # codec_selection_summary, minhash_neardup, simhash_stats, ann_lsh_topk,
-        # multimodal_features: engine-specific (codec choices / LSH buckets /
-        # fingerprints are not ANSI-SQL-expressible) -> rows-only check.
+        "codec_selection_summary": (
+            "WITH c(col) AS (VALUES ('doc_id'), ('lang'), ('n_chars'), ('source'), ('text')) "
+            'SELECT col AS "column", (SELECT count(*) FROM documents) AS n_rows, '
+            "(SELECT count(*) FROM documents) AS n_match FROM c ORDER BY col"
+        ),
+        "minhash_neardup": (
+            f"WITH aug AS ({_AUG_SQL}), "
+            "g AS (SELECT md5(text) AS fp, count(*) AS cnt FROM aug GROUP BY 1), "
+            "p AS (SELECT COALESCE(CAST(sum(cnt * (cnt - 1) // 2) AS BIGINT), 0) AS np "
+            "FROM g WHERE cnt > 1) "
+            "SELECT np AS n_exact_dup_pairs, np AS n_exact_found, "
+            "TRUE AS all_exact_found FROM p"
+        ),
+        "simhash_stats": (
+            f"WITH aug AS ({_AUG_SQL}) "
+            "SELECT count(*) AS n_docs, TRUE AS simhash_distinct_le_texts, "
+            "TRUE AS exact_dups_same_simhash FROM aug"
+        ),
+        "ann_lsh_topk": (
+            "SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results, "
+            "TRUE AS recall_ge_half"
+        ),
+        "multimodal_features": (
+            "SELECT count(*) AS n_docs, "
+            "CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_payload_bytes, "
+            "CAST(8 AS BIGINT) AS min_feat_len, CAST(1 AS BIGINT) AS n_dims "
+            "FROM documents"
+        ),
+        # codec_selection_detail: codec choice + encoded size are
+        # engine-defined -> rows-only check; the round-trip itself is gated
+        # by codec_selection_summary's oracle.
     }

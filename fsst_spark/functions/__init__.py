@@ -55,13 +55,21 @@ def compress_col(table_blob: bytes):
         t = holder[0]
         import numpy as np
 
-        data_list = [v if isinstance(v, bytes) else (v or "").encode() for v in vals]
+        # NULLs stay NULL through the round-trip (a validity mask, like the
+        # chunked codec path) — never conflated with the empty string.
+        nulls = [v is None for v in vals]
+        data_list = [
+            b"" if v is None else (v if isinstance(v, bytes) else v.encode())
+            for v in vals
+        ]
         buf = np.frombuffer(b"".join(data_list), dtype=np.uint8)
         offsets = np.zeros(len(data_list) + 1, dtype=np.int64)
         np.cumsum([len(v) for v in data_list], out=offsets[1:])
         enc, eoff = encode_chunk(buf, offsets, t)
         raw = enc.tobytes()
-        return pd.Series([raw[eoff[i]: eoff[i + 1]] for i in range(len(data_list))])
+        return pd.Series(
+            [None if nulls[i] else raw[eoff[i]: eoff[i + 1]] for i in range(len(data_list))]
+        )
 
     return _compress
 
@@ -75,12 +83,15 @@ def decompress_col(table_blob: bytes):
     def _decompress(vals: pd.Series) -> pd.Series:
         import numpy as np
 
+        nulls = [v is None for v in vals]
         data_list = [bytes(v) if v is not None else b"" for v in vals]
         buf = np.frombuffer(b"".join(data_list), dtype=np.uint8)
         offsets = np.zeros(len(data_list) + 1, dtype=np.int64)
         np.cumsum([len(v) for v in data_list], out=offsets[1:])
         dec, doff = decode_chunk(buf, offsets, sym_mat, sym_lens)
         raw = dec.tobytes()
-        return pd.Series([raw[doff[i]: doff[i + 1]] for i in range(len(data_list))])
+        return pd.Series(
+            [None if nulls[i] else raw[doff[i]: doff[i + 1]] for i in range(len(data_list))]
+        )
 
     return _decompress

@@ -129,7 +129,9 @@ def completed_pids(out_dir: str) -> set[int]:
     out = set()
     for f in os.listdir(mdir):
         if f.startswith("part-") and f.endswith(".parquet"):
-            out.add(int(f[5:10]))
+            stem = f[len("part-"):-len(".parquet")]
+            if stem.isdigit():  # full numeric stem: safe past pid 99999
+                out.add(int(stem))
     return out
 
 

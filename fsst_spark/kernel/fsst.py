@@ -544,9 +544,10 @@ def deserialize_table(blob: bytes) -> tuple[list[int], list[int], int]:
 def table_to_numpy(symbols: list[int], lengths: list[int]) -> tuple[np.ndarray, np.ndarray]:
     """(256, 8) uint8 symbol-byte matrix and uint8[256] lengths for decode.
 
-    Codes >= n_symbols never appear in valid streams; rows are zero."""
+    Codes >= n_symbols never appear in valid streams; their rows are zero
+    and their length is 0, which is how decode detects corrupt streams."""
     mat = np.zeros((256, 8), dtype=np.uint8)
-    lens = np.ones(256, dtype=np.uint8)
+    lens = np.zeros(256, dtype=np.uint8)
     for code, (s, ln) in enumerate(zip(symbols, lengths)):
         mat[code] = np.frombuffer(s.to_bytes(8, "little"), dtype=np.uint8)
         lens[code] = ln

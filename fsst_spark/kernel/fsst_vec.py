@@ -99,7 +99,7 @@ class EncoderTables:
             pht_used.astype(bool), _U64_MAX >> np.minimum(pht_ign, np.uint64(63)), np.uint64(0)
         )
         sym_mat = np.zeros((256, 8), dtype=np.uint8)
-        sym_lens = np.ones(256, dtype=np.uint8)
+        sym_lens = np.zeros(256, dtype=np.uint8)  # len 0 marks unused codes
         for code, (s, ln) in enumerate(zip(c.symbols, c.lengths)):
             sym_mat[code] = np.frombuffer(s.to_bytes(8, "little"), dtype=np.uint8)
             sym_lens[code] = ln
@@ -270,9 +270,19 @@ def decode_chunk(
         is_literal = e
         is_code = None  # everything is a code
 
+    # Corrupt-stream defense (reference asserts table sanity on load,
+    # src/lib.rs:245-248): every code byte must name a real symbol
+    # (sym_lens > 0) and no escape may sit at the end of its row.
+    row_last = offsets[1:] - 1
+    row_last = row_last[row_last >= offsets[:-1]]
+    if is_escape[row_last].any():
+        raise ValueError("corrupt FSST stream: escape byte at end of input")
+
     out_len = np.empty(nbytes, dtype=np.int64)
     if is_code is None:
         out_len[:] = sym_lens[b]
+        if not out_len.all():
+            raise ValueError("corrupt FSST stream: code outside the symbol table")
         code_pos = None
         code_vals = b
         code_lens = out_len
@@ -282,6 +292,8 @@ def decode_chunk(
         code_pos = np.flatnonzero(is_code)
         code_vals = b[code_pos]
         code_lens = sym_lens[code_vals].astype(np.int64)
+        if not code_lens.all():
+            raise ValueError("corrupt FSST stream: code outside the symbol table")
         out_len[code_pos] = code_lens
     cum = _exclusive_cumsum(out_len)
     total = int(cum[-1])

@@ -74,10 +74,13 @@ int64_t fsst_encode_bulk(
 }
 
 /* Decode n FSST streams. out must have 8 bytes of slack beyond worst case.
-   Returns total decoded bytes. */
+   Returns total decoded bytes, or -1 on a corrupt stream (escape byte at
+   end of input, or a code >= n_symbols) — matching the reference's
+   table-sanity assertion on load (reference src/lib.rs:245-248). */
 int64_t fsst_decode_bulk(
     const uint8_t* codes, const int64_t* offsets, int64_t n,
     const uint8_t* sym_bytes /* 256*8 */, const uint8_t* lens /* 256 */,
+    uint32_t n_symbols,
     uint8_t* out, int64_t* out_offsets)
 {
     int64_t opos = 0;
@@ -87,8 +90,10 @@ int64_t fsst_decode_bulk(
         while (in < end) {
             uint8_t c = codes[in++];
             if (c == 255) {
+                if (in >= end) return -1;   /* truncated escape */
                 out[opos++] = codes[in++];
             } else {
+                if (c >= n_symbols) return -1;  /* code outside the table */
                 memcpy(out + opos, sym_bytes + ((size_t)c << 3), 8);
                 opos += lens[c];
             }
@@ -131,7 +136,7 @@ def _compile() -> ctypes.CDLL | None:
     lib.fsst_encode_bulk.restype = i64
     lib.fsst_encode_bulk.argtypes = [p, p, i64, p, u32, p, p, p, p, p, p, p]
     lib.fsst_decode_bulk.restype = i64
-    lib.fsst_decode_bulk.argtypes = [p, p, i64, p, p, p, p]
+    lib.fsst_decode_bulk.argtypes = [p, p, i64, p, p, u32, p, p]
     return lib
 
 
@@ -208,10 +213,16 @@ def decode_chunk_native(codes: np.ndarray, offsets: np.ndarray, sym_mat: np.ndar
     total_codes = int(offsets[-1])
     sym_c = np.ascontiguousarray(sym_mat, dtype=np.uint8)
     lens_c = np.ascontiguousarray(sym_lens, dtype=np.uint8)
+    # sym_lens is dense (codes 0..n_symbols-1 have len>=1, rest 0).
+    n_symbols = int((sym_lens > 0).sum())
     out = _ws.dec(8 * total_codes + 8)
     out_off = np.empty(n + 1, dtype=np.int64)
     sz = lib.fsst_decode_bulk(_ptr(codes), _ptr(offsets), n, _ptr(sym_c), _ptr(lens_c),
-                              _ptr(out), _ptr(out_off))
+                              n_symbols, _ptr(out), _ptr(out_off))
+    if sz < 0:
+        raise ValueError(
+            "corrupt FSST stream: escape at end of input or code outside the symbol table"
+        )
     return out[:sz].copy(), out_off
 
 

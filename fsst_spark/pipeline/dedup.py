@@ -39,9 +39,15 @@ def exact_dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def exact_dedup(df: DataFrame, text_col: str = "text", keep: str = "min",
                 id_col: str = "doc_id") -> DataFrame:
-    """Keep one representative doc per exact normalized content."""
+    """Keep one representative doc per exact normalized content.
+
+    ``keep`` selects the survivor: 'min' (lowest id) or 'max' (highest).
+    """
+    pick = {"min": F.min, "max": F.max}
+    if keep not in pick:
+        raise ValueError(f"keep must be 'min' or 'max', got {keep!r}")
     w = df.withColumn("_fp", normalized_fingerprint(F.col(text_col)))
-    agg = w.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    agg = w.groupBy("_fp").agg(pick[keep](id_col).alias(id_col))
     return w.join(agg, ["_fp", id_col], "inner").drop("_fp")
 
 
@@ -67,24 +73,58 @@ def _shingle_hashes(data: bytes, k: int) -> np.ndarray:
     return np.unique(h & M64)
 
 
+def _batch_shingle_hashes(datas: list[bytes], k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Shingle hashes for a whole batch in one numpy pass.
+
+    Concatenates the batch (each doc zero-padded to >= k bytes so every doc
+    has at least one shingle), hashes every k-byte window of the joined
+    buffer once, then gathers each doc's valid windows. Returns
+    (hashes uint64[W], bounds int64[ndocs+1]) where doc d owns
+    hashes[bounds[d]:bounds[d+1]]. Duplicates are kept (MinHash minima are
+    unaffected by multiplicity)."""
+    padded = [d if len(d) >= k else d.ljust(k, b"\x00") for d in datas]
+    lens = np.fromiter((len(d) for d in padded), dtype=np.int64, count=len(padded))
+    byte_starts = np.zeros(len(padded) + 1, dtype=np.int64)
+    np.cumsum(lens, out=byte_starts[1:])
+    buf = np.frombuffer(b"".join(padded), dtype=np.uint8)
+
+    win = np.lib.stride_tricks.sliding_window_view(buf, k).astype(np.uint64)
+    mul = np.uint64(1099511628211) ** np.arange(k, dtype=np.uint64)
+    h = (win * mul).sum(axis=1, dtype=np.uint64)
+    h = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+
+    n_win = lens - k + 1  # >= 1 per doc by construction
+    bounds = np.zeros(len(padded) + 1, dtype=np.int64)
+    np.cumsum(n_win, out=bounds[1:])
+    # gather each doc's windows: skip the k-1 cross-boundary windows per doc
+    seg = np.arange(int(bounds[-1]), dtype=np.int64) - np.repeat(bounds[:-1], n_win)
+    idx = np.repeat(byte_starts[:-1], n_win) + seg
+    return h[idx] & M64, bounds
+
+
 def minhash_signature_udf(n_hashes: int = 64, shingle_k: int = 5, seed: int = 1):
-    """pandas_udf: text -> array<bigint> MinHash signature."""
+    """pandas_udf: text -> array<bigint> MinHash signature.
+
+    Fully batch-vectorized: one shingle-hash pass over the concatenated
+    batch, then per-hash-function segmented minima via
+    ``np.minimum.reduceat`` over doc boundaries — no per-document Python."""
     a, b = _minhash_params(n_hashes, seed)
-    prime_mask = M64
 
     @pandas_udf("array<long>")
     def sig(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            data = (t or "").encode("utf-8", "surrogatepass")
-            if not data:
-                out.append(np.zeros(n_hashes, dtype=np.int64))
-                continue
-            sh = _shingle_hashes(data, shingle_k)
-            # (a*x+b) per hash fn, take min over shingles — outer product
-            vals = (sh[None, :] * a[:, None] + b[:, None]) & prime_mask
-            out.append(vals.min(axis=1).astype(np.int64))
-        return pd.Series(out)
+        datas = [(t or "").encode("utf-8", "surrogatepass") for t in texts]
+        nd = len(datas)
+        if nd == 0:
+            return pd.Series([], dtype=object)
+        sh, bounds = _batch_shingle_hashes(datas, shingle_k)
+        out = np.empty((nd, n_hashes), dtype=np.int64)
+        starts = bounds[:-1]
+        for i in range(n_hashes):
+            vals = sh * a[i] + b[i]  # uint64 wrap-around
+            out[:, i] = np.minimum.reduceat(vals, starts).astype(np.int64)
+        empty = np.fromiter((len(d) == 0 for d in datas), dtype=bool, count=nd)
+        out[empty] = 0  # empty docs keep the all-zero signature
+        return pd.Series(list(out))
 
     return sig
 
@@ -154,33 +194,68 @@ def ngram_jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text"
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
+_FNV_OFF = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+_WS_BYTES = np.array([9, 10, 11, 12, 13, 32], dtype=np.uint8)  # ASCII whitespace
+
+
+def _simhash_batch(datas: list[bytes], seed: int, max_token_bytes: int = 256) -> np.ndarray:
+    """64-bit SimHash per doc, vectorized across the whole batch.
+
+    Tokenizes the concatenated byte buffer (ASCII-whitespace split), hashes
+    every token with FNV-1a via byte-position passes (<= max_token_bytes
+    numpy sweeps; longer tokens are truncated — identical texts still hash
+    identically), then per-doc bit-majority via weighted bincounts. No
+    per-row or per-token Python anywhere."""
+    nd = len(datas)
+    lens = np.fromiter((len(d) for d in datas), dtype=np.int64, count=nd)
+    # single space after each doc: tokens can never span doc boundaries
+    buf = np.frombuffer(b" ".join(datas) + b" ", dtype=np.uint8) if nd else np.empty(0, np.uint8)
+    doc_of_byte = np.repeat(np.arange(nd, dtype=np.int64), lens + 1)
+
+    is_ws = np.isin(buf, _WS_BYTES)
+    tok = ~is_ws
+    starts = tok.copy()
+    starts[1:] &= is_ws[:-1]
+    tok_start = np.flatnonzero(starts)
+    if len(tok_start) == 0:
+        return np.zeros(nd, dtype=np.int64)
+    ends = tok.copy()
+    ends[:-1] &= is_ws[1:]
+    tok_end = np.flatnonzero(ends) + 1
+    tok_len = np.minimum(tok_end - tok_start, max_token_bytes)
+    doc_of_tok = doc_of_byte[tok_start]
+
+    seed_mix = np.uint64((seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+    h = np.full(len(tok_start), _FNV_OFF ^ seed_mix, dtype=np.uint64)
+    for j in range(int(tok_len.max())):
+        live = tok_len > j
+        h[live] = (h[live] ^ buf[tok_start[live] + j].astype(np.uint64)) * _FNV_PRIME
+
+    n_toks = np.bincount(doc_of_tok, minlength=nd)
+    fp = np.zeros(nd, dtype=np.uint64)
+    for i in range(64):
+        bit = ((h >> np.uint64(i)) & np.uint64(1)).astype(np.float64)
+        cnt = np.bincount(doc_of_tok, weights=bit, minlength=nd)
+        fp |= (cnt * 2 > n_toks).astype(np.uint64) << np.uint64(i)
+    fp[n_toks == 0] = 0
+    return fp.astype(np.int64)
+
+
 def simhash_udf(seed: int = 2):
     """pandas_udf: text -> bigint 64-bit SimHash over whitespace tokens."""
 
     @pandas_udf("long")
     def sh(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
-        bits = np.arange(64, dtype=np.uint64)
-        for i, t in enumerate(texts):
-            toks = (t or "").split()
-            if not toks:
-                continue
-            hs = np.array(
-                [hash_bytes(tok.encode("utf-8", "surrogatepass"), seed) for tok in toks],
-                dtype=np.uint64,
-            )
-            bitmat = (hs[:, None] >> bits) & np.uint64(1)
-            score = bitmat.sum(axis=0) * 2 - len(toks)
-            fp = np.uint64(0)
-            fp = ((score > 0).astype(np.uint64) << bits).sum(dtype=np.uint64)
-            out[i] = np.int64(fp.astype(np.int64))
-        return pd.Series(out)
+        datas = [(t or "").encode("utf-8", "surrogatepass") for t in texts]
+        return pd.Series(_simhash_batch(datas, seed))
 
     return sh
 
 
 def hash_bytes(data: bytes, seed: int) -> int:
-    """FNV-1a 64-bit, numpy-free scalar (used per token inside the UDF)."""
+    """FNV-1a 64-bit scalar — the spec the vectorized pass implements
+    (kept for property tests)."""
     h = 0xCBF29CE484222325 ^ (seed * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF)
     for byte in data:
         h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF

@@ -18,7 +18,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 MEDIA_META_DDL = "media_type string, width int, height int, n_bytes bigint"
-FEATURE_DDL = "doc_id bigint, media_type string, feat array<float>, feat_dim int"
+FEATURE_DDL = (
+    "doc_id bigint, media_type string, feat array<float>, feat_dim int, "
+    "payload_bytes bigint"
+)
 
 
 class RealMediaDecoder:
@@ -57,19 +60,22 @@ def extract_features(df: DataFrame, payload_col: str = "html", id_col: str = "do
 
     def run(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in frames:
-            feats = []
+            feats, nbytes = [], []
             for payload in pdf[payload_col]:
-                img = dec.decode(bytes(payload))
+                raw = bytes(payload)
+                img = dec.decode(raw)
                 f = np.concatenate([
                     img.mean(axis=(0, 1)), img.std(axis=(0, 1)),
                     [img.shape[0], img.shape[1]],
                 ]).astype(np.float32)[:feat_dim]
                 feats.append(f)
+                nbytes.append(len(raw))
             yield pd.DataFrame({
                 "doc_id": pdf[id_col].astype("int64"),
                 "media_type": "image/fake",
                 "feat": feats,
                 "feat_dim": np.int32(feat_dim),
+                "payload_bytes": pd.Series(nbytes, dtype="int64"),
             })
 
     return df.select(id_col, payload_col).mapInPandas(run, FEATURE_DDL)

@@ -19,6 +19,11 @@ from ..kernel.codecs import chunk_stats, decode_column, encode_column
 
 def _eq_flags(a: pa.Array, b: pa.Array) -> pa.Array:
     eq = pc.fill_null(pc.equal(a, b), False)
+    if pa.types.is_floating(a.type):
+        # Bit-identical NaN round-trips must count as equal (NaN != NaN
+        # under pc.equal would falsely fail the gate on float columns).
+        both_nan = pc.fill_null(pc.and_(pc.is_nan(a), pc.is_nan(b)), False)
+        eq = pc.or_(eq, both_nan)
     both_null = pc.and_(pc.is_null(a), pc.is_null(b))
     return pc.cast(pc.or_(eq, both_null), pa.int32())
 

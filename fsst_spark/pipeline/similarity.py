@@ -43,10 +43,14 @@ def cosine_topk(df: DataFrame, query: list[float], k: int = 10,
     return ranked.select(F.col(id_col), F.row_number().over(w).alias("rank"))
 
 
+def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float32)
+
+
 def hyperplane_signature_udf(dim: int, n_planes: int = 16, seed: int = 3):
     """pandas_udf: embedding -> int bucket from random-hyperplane signs."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim)).astype(np.float32)
+    planes = _planes(dim, n_planes, seed)
 
     @pandas_udf("long")
     def sig(vecs: pd.Series) -> pd.Series:
@@ -58,19 +62,60 @@ def hyperplane_signature_udf(dim: int, n_planes: int = 16, seed: int = 3):
     return sig
 
 
-def lsh_topk(df: DataFrame, query: list[float], k: int = 10, vec_col: str = "embedding",
-             id_col: str = "vec_id", n_planes: int = 12, seed: int = 3) -> DataFrame:
-    """ANN top-k: probe only the query's hyperplane bucket (scale path).
+def build_lsh_index(df: DataFrame, vec_col: str = "embedding", dim: int | None = None,
+                    n_planes: int = 12, seed: int = 3) -> DataFrame:
+    """Materialize the hyperplane bucket column ONCE (the build step).
 
-    Recall < 1 by construction; at 10^12 scale the bucketed table is
-    pre-materialized and the probe reads one bucket partition instead of
-    scanning the corpus.
-    """
-    dim = len(query)
+    At 10^12 scale this frame is written out partitioned/bucketed by
+    ``bucket`` so a probe reads only its probe buckets; signatures are never
+    recomputed at query time. Locally, ``.cache()`` the result and reuse it
+    across probes."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])  # metadata-scale lookup
     sig = hyperplane_signature_udf(dim, n_planes, seed)
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim)).astype(np.float32)
-    qsig = int(((np.asarray(query, dtype=np.float32) @ planes.T) > 0)
-               @ (1 << np.arange(n_planes, dtype=np.int64)))
-    bucketed = df.withColumn("_b", sig(F.col(vec_col))).filter(F.col("_b") == qsig)
-    return cosine_topk(bucketed.drop("_b"), query, k=k, vec_col=vec_col, id_col=id_col)
+    return df.withColumn("bucket", sig(F.col(vec_col)))
+
+
+def multiprobe_order(query: list[float], n_planes: int = 12, seed: int = 3) -> np.ndarray:
+    """All 2^n_planes buckets ordered by probe priority.
+
+    Standard multi-probe LSH: a bucket's penalty is the sum of |margin_i|
+    over the hyperplanes whose sign it flips vs the query's signature —
+    buckets that disagree only on low-confidence planes are probed first."""
+    dim = len(query)
+    planes = _planes(dim, n_planes, seed)
+    margins = np.asarray(query, dtype=np.float32) @ planes.T  # (n_planes,)
+    qbits = margins > 0
+    buckets = np.arange(1 << n_planes, dtype=np.int64)
+    bitmat = (buckets[:, None] >> np.arange(n_planes)) & 1  # (2^p, p)
+    flipped = bitmat != qbits.astype(np.int64)
+    penalty = (flipped * np.abs(margins)).sum(axis=1)
+    return buckets[np.argsort(penalty, kind="stable")]
+
+
+def lsh_topk(df: DataFrame, query: list[float], k: int = 10, vec_col: str = "embedding",
+             id_col: str = "vec_id", n_planes: int = 12, seed: int = 3,
+             min_candidates: int | None = None, indexed: bool = False) -> DataFrame:
+    """ANN top-k via multi-probe hyperplane LSH + exact re-rank.
+
+    Probes buckets in multi-probe priority order until the candidate pool
+    reaches ``min_candidates`` (default max(8k, 64)), then exact-cosine
+    re-ranks only the pool. Per-bucket counts are metadata (<= 2^n_planes
+    rows); at scale they come from the index's bucket stats, and the probe
+    reads only the chosen buckets instead of scanning the corpus. Pass a
+    pre-built index (``build_lsh_index``) with ``indexed=True`` so
+    signatures are not recomputed per query."""
+    if min_candidates is None:
+        min_candidates = max(8 * k, 64)
+    idx_df = df if indexed else build_lsh_index(df, vec_col, len(query), n_planes, seed)
+    order = multiprobe_order(query, n_planes, seed)
+    counts = {r["bucket"]: r["n"] for r in
+              idx_df.groupBy("bucket").agg(F.count("*").alias("n")).collect()}
+    probe, pool = [], 0
+    for b in order:
+        probe.append(int(b))
+        pool += counts.get(int(b), 0)
+        if pool >= min_candidates:
+            break
+    cand = idx_df.filter(F.col("bucket").isin(probe)).drop("bucket")
+    return cosine_topk(cand, query, k=k, vec_col=vec_col, id_col=id_col)
