@@ -138,7 +138,7 @@ def encode_chunk(
     if not force_numpy and not _NO_NATIVE:
         from .native import encode_chunk_native
 
-        res = encode_chunk_native(data, offsets, t)
+        res = encode_chunk_native(data, offsets, t, seg=seg)
         if res is not None:
             return res
     offsets = np.asarray(offsets, dtype=np.int64)

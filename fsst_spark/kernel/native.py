@@ -176,8 +176,15 @@ def _ptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.c_void_p)
 
 
-def encode_chunk_native(data: np.ndarray, offsets: np.ndarray, t) -> tuple[np.ndarray, np.ndarray] | None:
-    """Native encode; returns None when no compiler is available."""
+def encode_chunk_native(data: np.ndarray, offsets: np.ndarray, t,
+                        seg: int = 2048) -> tuple[np.ndarray, np.ndarray] | None:
+    """Native encode; returns None when no compiler is available.
+
+    Rows longer than ``seg`` are split into the SAME <=seg-byte lanes the
+    numpy wavefront uses (symbol matches never span a lane boundary), so
+    encoded output is byte-identical across kernels — a mixed cluster
+    (some executors without gcc) re-encoding a partition produces the same
+    bytes, keeping resume/audit checksums deterministic."""
     lib = get_lib()
     if lib is None:
         return None
@@ -188,14 +195,40 @@ def encode_chunk_native(data: np.ndarray, offsets: np.ndarray, t) -> tuple[np.nd
         data = data[offsets[0]:]
         offsets = offsets - offsets[0]
     data = np.ascontiguousarray(data[: int(offsets[-1]) + 1] if len(data) > int(offsets[-1]) else data, dtype=np.uint8)
+
+    row_len = offsets[1:] - offsets[:-1]
+    if n and int(row_len.max(initial=0)) > seg:
+        # lane-split exactly like fsst_vec.encode_chunk
+        nseg = (row_len + (seg - 1)) // seg
+        row_of_lane = np.repeat(np.arange(n, dtype=np.int64), nseg)
+        lane_cum = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(nseg, out=lane_cum[1:])
+        nlanes = int(lane_cum[-1])
+        seg_idx = np.arange(nlanes, dtype=np.int64) - lane_cum[row_of_lane]
+        lane_start = offsets[:-1][row_of_lane] + seg_idx * seg
+        lane_end = np.minimum(lane_start + seg, offsets[1:][row_of_lane])
+        enc_offsets = np.empty(nlanes + 1, dtype=np.int64)
+        enc_offsets[0] = 0
+        enc_offsets[1:] = lane_end
+    else:
+        row_of_lane = None
+        enc_offsets, nlanes = offsets, n
+
     nt = _native_tables(t)
     out = _ws.enc(2 * total + 8)
-    out_off = np.empty(n + 1, dtype=np.int64)
+    out_off = np.empty(nlanes + 1, dtype=np.int64)
     sz = lib.fsst_encode_bulk(
-        _ptr(data), _ptr(offsets), n, _ptr(nt["tb"]), int(t.has_suffix_code),
+        _ptr(data), _ptr(enc_offsets), nlanes, _ptr(nt["tb"]), int(t.has_suffix_code),
         _ptr(nt["pht_sym"]), _ptr(nt["pht_mask"]), _ptr(nt["pht_used"]),
         _ptr(nt["pht_code"]), _ptr(nt["pht_len"]), _ptr(out), _ptr(out_off),
     )
+    if row_of_lane is not None:
+        lane_out_len = out_off[1:] - out_off[:-1]
+        row_out_len = np.zeros(n, dtype=np.int64)
+        np.add.at(row_out_len, row_of_lane, lane_out_len)
+        out_off = np.empty(n + 1, dtype=np.int64)
+        out_off[0] = 0
+        np.cumsum(row_out_len, out=out_off[1:])
     return out[:sz].copy(), out_off
 
 

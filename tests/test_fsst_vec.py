@@ -38,12 +38,15 @@ def check_corpus(values: list[bytes], seg: int = 2048) -> None:
     t = EncoderTables.from_compressor(c)
     data, offsets = to_buffers(values)
     d = c.decompressor()
+    encoded = {}
     for force_numpy in (True, False):  # numpy wavefront AND native C kernel
         enc, enc_off = encode_chunk(data, offsets, t, seg=seg, force_numpy=force_numpy)
+        encoded[force_numpy] = (enc.tobytes(), enc_off.tolist())
         enc_rows = from_buffers(enc, enc_off)
         # 1. whole-row encodes must match the scalar encoder byte-for-byte
-        #    (native always encodes whole rows; numpy does when seg covers them)
-        if not force_numpy or seg >= max((len(v) for v in values), default=0):
+        #    (both kernels lane-split at seg, so this holds when seg covers
+        #    every row)
+        if seg >= max((len(v) for v in values), default=0):
             for v, er in zip(values, enc_rows):
                 assert er == c.compress(v), f"vector encode != scalar for {v[:40]!r}"
         # 2. both decoders must invert exactly
@@ -53,6 +56,8 @@ def check_corpus(values: list[bytes], seg: int = 2048) -> None:
         # 3. scalar decode of each row must also round-trip
         for v, er in zip(values, enc_rows):
             assert d.decompress(er) == v
+    # 4. kernels are byte-identical (deterministic re-encode on mixed clusters)
+    assert encoded[True] == encoded[False], "numpy and native encodes differ"
 
 
 def test_exact_match_with_scalar_prose():
@@ -121,3 +126,27 @@ def test_hypothesis_single_value_under_prose_table(v):
 def test_long_row_heavy_tail(seg):
     vals = [DECL * 200, b"a", DECL, b"bb"]  # one 40KB row + tiny rows (skew)
     check_corpus(vals, seg=seg)
+
+
+@pytest.mark.parametrize("force_numpy", [True, False])
+def test_corrupt_stream_rejected(force_numpy):
+    """Decode must raise on corrupt input rather than emit garbage
+    (reference asserts table sanity on load, src/lib.rs:245-248)."""
+    c = train([DECL] * 4)
+    t = EncoderTables.from_compressor(c)
+    data, offsets = to_buffers([DECL, DECL[:50]])
+    enc, enc_off = encode_chunk(data, offsets, t)
+
+    # (a) escape byte at end of a row
+    bad = np.concatenate([enc[: enc_off[1]], np.array([255], dtype=np.uint8)])
+    bad_off = np.array([0, enc_off[1] + 1], dtype=np.int64)
+    with pytest.raises(ValueError, match="corrupt"):
+        decode_chunk(bad, bad_off, t.sym_mat, t.sym_lens, force_numpy=force_numpy)
+
+    # (b) code outside the symbol table (n_symbols < 255 here)
+    assert t.n_symbols < 250
+    bad2 = enc.copy()
+    # find a non-escape, non-literal position: position 0 is always a code
+    bad2[0] = 250
+    with pytest.raises(ValueError, match="corrupt"):
+        decode_chunk(bad2, enc_off, t.sym_mat, t.sym_lens, force_numpy=force_numpy)
