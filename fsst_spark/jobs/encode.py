@@ -190,6 +190,7 @@ def encode_job(
     resume: bool = True,
     lineage: dict | None = None,
     pre_partitioned: bool = False,
+    pid_offset: int = 0,
     _test_fail_pids: set[int] | None = None,
 ) -> DataFrame:
     """Run the encode pipeline; returns the per-partition metrics DataFrame.
@@ -221,7 +222,10 @@ def encode_job(
     fail_pids = _test_fail_pids or set()
 
     def encode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        pid = TaskContext.get().partitionId()
+        # pid_offset gives each streaming micro-batch (epoch) a disjoint pid
+        # range so epochs share one chunks/manifest namespace; epoch replay
+        # after a crash hits the completed-pid skip -> exactly-once sink.
+        pid = TaskContext.get().partitionId() + pid_offset
         if pid in done:
             return  # durable already; input never gets pulled -> no rescan work
         row = _encode_one_partition(pid, batches, out_dir, chunk_bytes, lineage_json, fail_pids)

@@ -1,0 +1,2 @@
+from .encode_stream import encode_stream_job  # noqa: F401
+from .stats_stream import streaming_quality_stats  # noqa: F401
