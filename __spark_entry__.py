@@ -140,7 +140,11 @@ def _augmented_docs(spark, sf_dir):
     dups = base.filter(F.col("doc_id") % 10 == 0).withColumn(
         "doc_id", F.col("doc_id") + F.lit(1000000)
     )
-    return base.unionByName(dups)
+    # single-file input scans as 1-2 partitions; spread the (expensive)
+    # signature stage across the cluster
+    return base.unionByName(dups).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -175,8 +179,13 @@ def q_minhash_neardup(spark, sf_dir):
     from fsst_spark.pipeline.dedup import minhash_lsh_candidates, ngram_jaccard_verify
 
     aug = _augmented_docs(spark, sf_dir)
-    pairs = minhash_lsh_candidates(aug, "text", "doc_id", n_hashes=64, bands=16)
-    verified = ngram_jaccard_verify(aug, pairs, "text", "doc_id", threshold=0.7)
+    pairs = minhash_lsh_candidates(aug, "text", "doc_id", n_hashes=64, bands=16,
+                                   estimate=True)
+    # signature-estimate pre-filter (JVM): exact Jaccard only for pairs
+    # plausibly above the 0.7 threshold (0.5 leaves >3 sigma of margin at
+    # 64 hashes, so true >=0.7 pairs are not lost)
+    cand = pairs.filter(F.col("est_jaccard") >= 0.5).select("id_a", "id_b")
+    verified = ngram_jaccard_verify(aug, cand, "text", "doc_id", threshold=0.7)
     fp = aug.select(F.col("doc_id"), F.md5(F.col("text").cast("binary")).alias("fp"))
     exact = (
         fp.alias("a")

@@ -131,12 +131,19 @@ def minhash_signature_udf(n_hashes: int = 64, shingle_k: int = 5, seed: int = 1)
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                            n_hashes: int = 64, bands: int = 16, shingle_k: int = 5,
-                           seed: int = 1) -> DataFrame:
+                           seed: int = 1, estimate: bool = False) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
     Returns distinct (id_a, id_b) with id_a < id_b. Shuffles only narrow
     (band, bucket_hash, id) rows; text never moves.
-    """
+
+    With ``estimate=True`` each pair also carries ``est_jaccard`` — the
+    fraction of agreeing signature slots, a JVM-side zip_with/aggregate,
+    no Python. Banded LSH is deliberately recall-biased (a 0.4-similar
+    pair still collides in some band fairly often), so the estimate is the
+    cheap precision filter that keeps exact verification off the
+    candidate flood. At 10^12 docs the signature frame is materialized
+    once (write/cache) instead of recomputed per use."""
     assert n_hashes % bands == 0
     rows_per_band = n_hashes // bands
     sig = df.select(F.col(id_col), minhash_signature_udf(n_hashes, shingle_k, seed)(F.col(text_col)).alias("sig"))
@@ -160,7 +167,18 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str = 
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         .distinct()
     )
-    return pairs
+    if not estimate:
+        return pairs
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    n_agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, v: acc + v,
+    )
+    return (
+        pairs.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b", (n_agree / F.lit(n_hashes)).alias("est_jaccard"))
+    )
 
 
 def ngram_jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
@@ -175,10 +193,20 @@ def ngram_jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text"
 
     @pandas_udf("double")
     def jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        # A doc participates in many candidate pairs: memoize its shingle
+        # set per batch so each text is hashed once, not once per pair.
+        memo: dict[str, np.ndarray] = {}
+
+        def shingles(t):
+            key = t or ""
+            s = memo.get(key)
+            if s is None:
+                s = memo[key] = _shingle_hashes(key.encode(), shingle_k)
+            return s
+
         out = np.empty(len(ta))
         for i, (x, y) in enumerate(zip(ta, tb)):
-            sa = _shingle_hashes((x or "").encode(), shingle_k)
-            sb = _shingle_hashes((y or "").encode(), shingle_k)
+            sa, sb = shingles(x), shingles(y)
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
             union = len(sa) + len(sb) - inter
             out[i] = inter / union if union else 1.0
