@@ -28,7 +28,11 @@ def get_spark(master: str | None = None, app_name: str = "fsst_spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or (cores * 2 if cores else 64)))
-        .config("spark.sql.files.maxPartitionBytes", "268435456")
+        # Encode is CPU-bound (~75 MB/s/core): 32 MB scan partitions (one
+        # chunk each) keep every core busy; 256 MB would starve a 32-core
+        # node on a ~1 GB table. Override per-deployment via env.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "33554432"))
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         # pass malloc tuning to the python workers (see fsst_spark.env)
         .config("spark.executorEnv.MALLOC_MMAP_MAX_", "0")
