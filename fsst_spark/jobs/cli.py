@@ -30,7 +30,8 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     enc = sub.add_parser("encode", help="encode a table into chunks + manifest")
-    enc.add_argument("--input", required=True, help="input parquet/table path")
+    enc.add_argument("--input", required=True,
+                     help="input parquet path or iceberg:<catalog.db.table>")
     enc.add_argument("--out", required=True, help="output dir (chunks/ + manifest/)")
     enc.add_argument("--partitions", type=int, default=None)
     enc.add_argument("--group-by", default=None, help="comma-separated skew group cols (e.g. lang)")
@@ -60,10 +61,11 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if args.cmd == "encode":
             from fsst_spark.jobs.encode import encode_job, read_manifest
+            from fsst_spark.sources import read_table
 
             metrics = encode_job(
                 spark,
-                spark.read.parquet(args.input),
+                read_table(spark, args.input),
                 args.out,
                 columns=args.columns.split(",") if args.columns else None,
                 num_partitions=args.partitions,

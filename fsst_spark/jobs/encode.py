@@ -327,16 +327,16 @@ def encode_files_job(
     conversion: the scan stays columnar end-to-end and column pruning is a
     pyarrow ``columns=`` pushdown.
 
-    Partition id = index of the file in the sorted listing — deterministic
+    Partition id = index of the file in the snapshot listing — deterministic
     for an identical input snapshot, so resume semantics match
-    ``encode_job``. (Local filesystem here; on a cluster the listing comes
-    from the table snapshot and paths are object-store URIs.)
+    ``encode_job``. The listing comes from ``sources.table_files``: an
+    Iceberg ``.files`` metadata scan when input is an ``iceberg:`` table
+    (snapshot-consistent, no directory walk at 10^12 scale), else a sorted
+    local glob.
     """
-    import glob as _glob
+    from ..sources import table_files
 
-    files = sorted(_glob.glob(os.path.join(input_path, "*.parquet")))
-    if not files:
-        raise FileNotFoundError(f"no parquet files under {input_path}")
+    files = table_files(spark, input_path)
     os.makedirs(os.path.join(out_dir, "chunks"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
     done = completed_pids(out_dir) if resume else set()

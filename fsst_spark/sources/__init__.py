@@ -1,0 +1,1 @@
+from .tables import iceberg_available, read_table, table_files  # noqa: F401

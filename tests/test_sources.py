@@ -1,0 +1,51 @@
+"""Source-layer tests: parquet path works end-to-end; Iceberg path is
+availability-gated with a clear error when the runtime jar is absent."""
+
+import pytest
+
+from fsst_spark.sources import iceberg_available, read_table, table_files
+from fsst_spark.synth.webcorpus import synth_web_df
+
+
+@pytest.fixture(scope="module")
+def pq_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("src_tbl"))
+    synth_web_df(spark, 300, seed=5, parallelism=3).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_read_table_parquet(spark, pq_dir):
+    df = read_table(spark, pq_dir)
+    assert df.count() == 300
+    assert "text" in df.columns
+
+
+def test_table_files_sorted_deterministic(spark, pq_dir):
+    files = table_files(spark, pq_dir)
+    assert files == sorted(files) and len(files) >= 3
+    assert files == table_files(spark, pq_dir)  # stable for resume pids
+
+
+def test_table_files_missing_dir(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        table_files(spark, str(tmp_path / "nope"))
+
+
+def test_iceberg_gated(spark):
+    # this sandbox ships no Iceberg runtime: the gate must say so clearly
+    if iceberg_available(spark):
+        pytest.skip("iceberg runtime present; gate not exercisable")
+    with pytest.raises(RuntimeError, match="[Ii]ceberg"):
+        read_table(spark, "iceberg:cat.db.pages")
+    with pytest.raises(RuntimeError, match="[Ii]ceberg"):
+        table_files(spark, "iceberg:cat.db.pages")
+
+
+def test_encode_files_job_via_sources(spark, pq_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from fsst_spark.jobs.encode import encode_files_job, read_manifest
+
+    out = str(tmp_path / "enc")
+    encode_files_job(spark, pq_dir, out, chunk_bytes=1 << 20).collect()
+    assert read_manifest(spark, out).agg(F.sum("n_rows")).collect()[0][0] == 300
