@@ -127,38 +127,64 @@ def main() -> None:
     # ---------------- phase 0: N=1 vs 4N=4 (unsaturated regime) ------------
     # At >=8 cores this VM's shared disk/page ceiling (~200 MB/s) binds the
     # job, so the informative N->4N pair is measured below saturation.
-    spark = get_spark("local[1]", app_name="fsst_bench_1")
+    # The two arms are INTERLEAVED across rounds so the minute-scale host
+    # noise phases hit both arms equally; efficiency uses best-of walls.
+    spark = get_spark("local[1]", app_name="fsst_bench_gen")
     corpus_dir = ensure_corpus(spark, sf)
     subset_dir = _file_subset(corpus_dir, 16)  # keep 1-core runs bounded
-    out_1 = tempfile.mkdtemp(prefix="fsst_bench_1_")
-    run_encode(spark, subset_dir, out_1, partitions=1, reps=1)  # warm
-    one = run_encode(spark, subset_dir, out_1, partitions=1, reps=2)
-    shutil.rmtree(out_1, ignore_errors=True)
     spark.stop()
-    spark = get_spark("local[4]", app_name="fsst_bench_4")
-    out_4 = tempfile.mkdtemp(prefix="fsst_bench_4_")
-    run_encode(spark, subset_dir, out_4, partitions=4, reps=1)  # warm
-    four = run_encode(spark, subset_dir, out_4, partitions=4, reps=3)
-    shutil.rmtree(out_4, ignore_errors=True)
-    spark.stop()
+    one = four = None
+    one_walls: list = []
+    four_walls: list = []
+    for rnd in range(2):
+        for cores, reps, best, walls in ((1, 1, "one", one_walls), (4, 2, "four", four_walls)):
+            spark = get_spark(f"local[{cores}]", app_name=f"fsst_bench_{cores}_{rnd}")
+            out_c = tempfile.mkdtemp(prefix=f"fsst_bench_{cores}_")
+            if rnd == 0:
+                run_encode(spark, subset_dir, out_c, partitions=cores, reps=1)  # warm
+            r = run_encode(spark, subset_dir, out_c, partitions=cores, reps=reps)
+            walls.extend(r["walls"])
+            if best == "one":
+                one = r if one is None or r["mb_s"] > one["mb_s"] else one
+            else:
+                four = r if four is None or r["mb_s"] > four["mb_s"] else four
+            shutil.rmtree(out_c, ignore_errors=True)
+            spark.stop()
+    one["walls"], four["walls"] = one_walls, four_walls
 
-    # ---------------- phase 1: small-parallelism encode (scaling point A) ---
-    spark = get_spark(f"local[{SMALL_CPUS}]", app_name="fsst_bench_small")
-    out_small = tempfile.mkdtemp(prefix="fsst_bench_small_")
-    run_encode(spark, corpus_dir, out_small, partitions=SMALL_CPUS * 2, reps=1)  # warm (untimed)
-    small = run_encode(spark, corpus_dir, out_small, partitions=SMALL_CPUS * 2)  # steady state
-    shutil.rmtree(out_small, ignore_errors=True)
-    spark.stop()
+    # ------- phase 1: N=8 vs 4N=32, arms INTERLEAVED across noise phases ----
+    small = big = None
+    small_walls: list = []
+    big_walls: list = []
+    out_big = None
+    for rnd in range(2):
+        spark = get_spark(f"local[{SMALL_CPUS}]", app_name=f"fsst_bench_small_{rnd}")
+        out_small = tempfile.mkdtemp(prefix="fsst_bench_small_")
+        if rnd == 0:
+            run_encode(spark, corpus_dir, out_small, partitions=SMALL_CPUS * 2, reps=1)  # warm
+        r = run_encode(spark, corpus_dir, out_small, partitions=SMALL_CPUS * 2, reps=2)
+        small_walls.extend(r["walls"])
+        small = r if small is None or r["mb_s"] > small["mb_s"] else small
+        shutil.rmtree(out_small, ignore_errors=True)
+        spark.stop()
 
-    # ---------------- phase 2: full-parallelism pipeline (scaling point B) --
+        spark = get_spark(f"local[{CPUS}]", app_name=f"fsst_bench_big_{rnd}")
+        if out_big:
+            shutil.rmtree(out_big, ignore_errors=True)
+        out_big = tempfile.mkdtemp(prefix="fsst_bench_big_")
+        if rnd == 0:
+            run_encode(spark, corpus_dir, out_big, partitions=CPUS * 2, reps=1)  # warm
+        r = run_encode(spark, corpus_dir, out_big, partitions=CPUS * 2, reps=2)
+        big_walls.extend(r["walls"])
+        big = r if big is None or r["mb_s"] > big["mb_s"] else big
+        spark.stop()  # keep the last out_big for verify/decode below
+    small["walls"], big["walls"] = small_walls, big_walls
+
+    # ---------------- phase 2: full-parallelism pipeline queries ------------
     spark = get_spark(f"local[{CPUS}]", app_name="fsst_bench")
     from pyspark.sql import functions as F
 
     corpus = spark.read.parquet(corpus_dir)
-
-    out_big = tempfile.mkdtemp(prefix="fsst_bench_big_")
-    run_encode(spark, corpus_dir, out_big, partitions=CPUS * 2, reps=1)  # warm (untimed)
-    big = run_encode(spark, corpus_dir, out_big, partitions=CPUS * 2)    # steady state
     queries["web_encode"] = round(big["sec"], 3)
 
     # secondary: the DataFrame-scan encode path (JVM scan + arrow transfer)
@@ -314,6 +340,18 @@ def _spin_task(_i: int) -> int:
     return x
 
 
+def _parity_mean() -> str:
+    """Current mean size-vs-reference from BENCH/REFERENCE_PARITY.md."""
+    try:
+        import re
+
+        txt = open(os.path.join(REPO, "BENCH", "REFERENCE_PARITY.md")).read()
+        m = re.search(r"Mean size vs reference: \*\*([\d.]+)\*\*", txt)
+        return f"{m.group(1)}x" if m else "see file"
+    except OSError:
+        return "see file"
+
+
 def _write_baseline_md(extras: dict, queries: dict, sf: float) -> None:
     s = extras["scaling"]
     lines = [
@@ -326,7 +364,7 @@ def _write_baseline_md(extras: dict, queries: dict, sf: float) -> None:
         f"({s['throughput_big_mb_s']/s['cpus_big']:.1f} MB/s per core)",
         f"- compression ratio (url+ts+html+text+lang): **{extras['ratio']}x**; "
         "compressed size vs the Rust reference on identical corpora: mean "
-        "0.9998x — at/below reference (BENCH/REFERENCE_PARITY.md)",
+        f"{_parity_mean()} (1.0 = identical; BENCH/REFERENCE_PARITY.md)",
         "- round-trip: bit-identical (chunk checksum verification in-run)",
         "",
         "## Scaling (north rule: >=0.8 from N to 4N)",
@@ -335,9 +373,11 @@ def _write_baseline_md(extras: dict, queries: dict, sf: float) -> None:
         "disk/page ceiling and 2-6x minute-scale noise; two regimes are "
         "reported:",
         "",
-        f"- **N=1 -> 4N=4 cores (unsaturated regime): {s['n1_mb_s']} -> "
-        f"{s['n4_mb_s']} MB/s, efficiency {s['efficiency_1_to_4']}** "
-        f"(walls: 1 core {s['walls_1_sec']}, 4 cores {s['walls_4_sec']})",
+        f"- **N=1 -> 4N=4 cores (unsaturated regime, arms interleaved "
+        f"across host-noise phases): {s['n1_mb_s']} -> {s['n4_mb_s']} MB/s, "
+        f"efficiency {s['efficiency_1_to_4']}** — values > 1.0 are the "
+        "measurement noise floor, not real superlinearity (walls: 1 core "
+        f"{s['walls_1_sec']}, 4 cores {s['walls_4_sec']})",
         f"- local[{s['cpus_small']}] -> local[{s['cpus_big']}]: "
         f"{s['throughput_small_mb_s']} -> {s['throughput_big_mb_s']} MB/s, "
         f"raw efficiency {s['efficiency']} — the upper point pushes the "
@@ -346,10 +386,12 @@ def _write_baseline_md(extras: dict, queries: dict, sf: float) -> None:
         f"- kernel-only probe (warm, in-memory): {s['kernel_small_mb_s']} -> "
         f"{s['kernel_big_mb_s']} MB/s, efficiency {s['kernel_efficiency']}; "
         f"a pure-CPU control on the same host scales at "
-        f"{s['cpu_control_efficiency']} over the same range — normalized "
-        f"engine efficiency **{s['engine_efficiency_vs_cpu_control']}** "
-        "(>= 0.8 target): the engine tracks whatever parallelism the host "
-        "actually grants, adding no serial bottleneck of its own.",
+        f"{s['cpu_control_efficiency']} over the same range — engine-vs-"
+        f"control ratio **{s['engine_efficiency_vs_cpu_control']}** "
+        "(1.0 = the engine scales exactly as well as the host allows "
+        "anything to scale; the probe also touches the shared page cache, "
+        "so it can read below the control when memory bandwidth is "
+        "contended by neighbors).",
         "",
         "Structurally the encode job has zero shuffles, per-partition-"
         "independent tasks, O(1) driver work, O(1) training per chunk "

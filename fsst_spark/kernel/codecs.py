@@ -286,6 +286,81 @@ _INT_DECODERS = {"int_for": decode_int_for, "int_rle": decode_int_rle,
 _STR_DECODERS = {"str_plain": decode_str_plain, "str_fsst": decode_str_fsst, "str_dict": decode_str_dict}
 
 
+# ---------------------------------------------------------------------------
+# float kernels
+# ---------------------------------------------------------------------------
+ALP_MAX_EXP = 14
+ALP_MIN_HIT = 0.95  # below this exact-hit rate the chunk is not decimal data
+
+
+def _alp_roundtrip_ok(v: np.ndarray, e: int) -> tuple[np.ndarray, np.ndarray]:
+    """(exact-hit mask, scaled ints) for exponent e — verification replays
+    the decoder's exact arithmetic (int64 -> float64 -> * 10^-e), so a hit
+    is bit-identical by construction."""
+    with np.errstate(invalid="ignore", over="ignore"):
+        cand = np.round(v * (10.0 ** e))
+        ok = np.isfinite(cand) & (np.abs(cand) < 2.0 ** 53)
+        ints = np.where(ok, cand, 0.0).astype(np.int64)
+        # Decode divides by the EXACT double 10^e (exactly representable
+        # for e <= 22): IEEE division is correctly rounded, so k/10^e is
+        # the nearest double to the rational — exactly what parsing the
+        # decimal string produced. Multiplying by the inexact 10^-e would
+        # miss by 1 ulp on ~30% of real decimal data.
+        recon = ints.astype(np.float64) / (10.0 ** e)
+    ok &= recon.view(np.uint64) == v.view(np.uint64)
+    return ok, ints
+
+
+def encode_float_alp(v: np.ndarray) -> Encoded | None:
+    """ALP-style decimal encoding for float64 chunks (Afroozeh & Boncz,
+    VLDB 2023 — public): scale by 10^e so values become exact int64s,
+    delegate the ints to the integer codec stack, and keep the few
+    non-decimal values (NaN/inf/noise) as raw 8-byte exceptions scattered
+    back by position at decode. Returns None when the chunk is not
+    decimal-like (probed on a 1024-value sample first, so random doubles
+    cost one cheap pass, not 15)."""
+    if v.dtype != np.float64 or len(v) == 0:
+        return None
+    sample = v[:1024]
+    best_e, best_hits = None, -1
+    for e in range(ALP_MAX_EXP + 1):
+        ok, _ = _alp_roundtrip_ok(sample, e)
+        hits = int(ok.sum())
+        if hits > best_hits:
+            best_e, best_hits = e, hits
+        if hits == len(sample):
+            break
+    if best_hits < len(sample) * ALP_MIN_HIT:
+        return None
+    ok, ints = _alp_roundtrip_ok(v, best_e)
+    if int(ok.sum()) < len(v) * ALP_MIN_HIT:
+        return None
+    exc_pos = np.flatnonzero(~ok).astype(np.int64)
+    ei = select_int_codec(ints[ok])
+    ep = select_int_codec(exc_pos)
+    params = {
+        "n": len(v), "exp": best_e,
+        "ints": {"codec": ei["codec"], "params": ei["params"]},
+        "exc": {"codec": ep["codec"], "params": ep["params"]},
+    }
+    return {"codec": "float_alp", "params": params,
+            "payload": _pack_sections(params, ei["payload"], ep["payload"],
+                                      v[~ok].tobytes())}
+
+
+def decode_float_alp(enc: Encoded) -> np.ndarray:
+    p = enc["params"]
+    b_ints, b_exc, exc_raw = _split_sections(p, enc["payload"])
+    ints = _INT_DECODERS[p["ints"]["codec"]]({**p["ints"], "payload": b_ints})
+    exc_pos = _INT_DECODERS[p["exc"]["codec"]]({**p["exc"], "payload": b_exc})
+    out = np.empty(p["n"], dtype=np.float64)
+    mask = np.ones(p["n"], dtype=bool)
+    mask[exc_pos] = False
+    out[mask] = ints.astype(np.float64) / (10.0 ** p["exp"])  # see encoder note
+    out[~mask] = np.frombuffer(exc_raw, dtype=np.float64)
+    return out
+
+
 def decode_bytes_like(enc: Encoded, kind: str):
     if kind == "int":
         return _INT_DECODERS[enc["codec"]](enc)
@@ -371,8 +446,12 @@ def encode_column(arr: pa.Array, stats: dict | None = None) -> Encoded:
                 enc = encode_str_plain(buf, offsets)
     elif pa.types.is_floating(t):
         v = values.to_numpy(zero_copy_only=False)
-        enc = {"codec": "float_plain",
-               "params": {"n": len(v), "np_dtype": str(v.dtype)}, "payload": v.tobytes()}
+        enc = encode_float_alp(v) if v.dtype == np.float64 else None
+        if enc is not None and len(enc["payload"]) >= v.nbytes:
+            enc = None  # decimal but incompressible: plain is smaller
+        if enc is None:
+            enc = {"codec": "float_plain",
+                   "params": {"n": len(v), "np_dtype": str(v.dtype)}, "payload": v.tobytes()}
     elif pa.types.is_boolean(t):
         v = values.to_numpy(zero_copy_only=False).astype(np.uint64)
         enc = {"codec": "bool_pack", "params": {"n": len(v)}, "payload": bitpack(v, 1)}
@@ -429,6 +508,9 @@ def decode_column(enc: Encoded) -> pa.Array:
         out = _bytes_to_arrow(buf, offsets, t, mask)
     elif codec == "float_plain":
         vals = np.frombuffer(payload, dtype=params["np_dtype"])
+        out = _with_validity_np(vals, mask, t)
+    elif codec == "float_alp":
+        vals = decode_float_alp({**enc, "payload": payload})
         out = _with_validity_np(vals, mask, t)
     elif codec == "bool_pack":
         vals = bitunpack(payload, params["n"], 1).astype(bool)

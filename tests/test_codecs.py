@@ -193,3 +193,59 @@ def test_delta_negative_steps():
     v = np.array([100, 50, 75, -3, 2**40, 2**40 - 1], dtype=np.int64)
     enc = encode_int_delta(v)
     assert np.array_equal(decode_int_delta(enc), v)
+
+
+# --- float_alp (decimal-scaled doubles) --------------------------------------
+def test_alp_decimal_prices_bit_exact():
+    from fsst_spark.kernel.codecs import decode_float_alp, encode_float_alp
+
+    rng = np.random.default_rng(3)
+    v = np.round(rng.uniform(1, 100000, 20000), 2)
+    enc = encode_float_alp(v)
+    assert enc is not None and enc["params"]["exp"] == 2
+    dec = decode_float_alp(enc)
+    assert dec.view(np.uint64).tolist() == v.view(np.uint64).tolist()
+    assert len(enc["payload"]) < v.nbytes / 2  # real compression
+
+    arr = pa.array(v, type=pa.float64())
+    assert _roundtrip_column(arr)["codec"] == "float_alp"
+
+
+def test_alp_exceptions_nan_inf_negzero():
+    from fsst_spark.kernel.codecs import decode_float_alp, encode_float_alp
+
+    v = np.round(np.linspace(0, 500, 2000), 3)
+    v[5], v[17], v[100], v[101] = np.nan, np.inf, -np.inf, -0.0
+    enc = encode_float_alp(v)
+    assert enc is not None
+    dec = decode_float_alp(enc)
+    assert dec.view(np.uint64).tolist() == v.view(np.uint64).tolist()  # NaN/-0.0 bits
+
+
+def test_alp_rejects_random_doubles():
+    from fsst_spark.kernel.codecs import encode_float_alp
+
+    rng = np.random.default_rng(4)
+    assert encode_float_alp(rng.standard_normal(5000)) is None
+    arr = pa.array(rng.standard_normal(5000), type=pa.float64())
+    assert _roundtrip_column(arr)["codec"] == "float_plain"
+
+
+def test_alp_selected_for_testdata_doubles():
+    import pyarrow.parquet as pq
+
+    li = pq.read_table("/root/testdata/sf0.001/lineitem.parquet",
+                       columns=["l_extendedprice", "l_discount", "l_quantity"])
+    for c in li.column_names:
+        enc = _roundtrip_column(li.column(c).combine_chunks())
+        assert enc["codec"] == "float_alp", c
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.one_of(
+    st.none(),
+    st.floats(allow_nan=True, allow_infinity=True),
+    st.decimals(min_value=-10**8, max_value=10**8, places=2).map(float),
+), max_size=60))
+def test_hypothesis_double_column(vals):
+    _roundtrip_column(pa.array(vals, type=pa.float64()))

@@ -36,3 +36,20 @@ def test_column_functions_roundtrip(spark):
              F.sum(F.length("text")).alias("raw_bytes")).collect()[0]
     assert rows["n"] == rows["n_ok"]
     assert rows["z_bytes"] < rows["raw_bytes"] / 1.5  # real compression
+
+
+def test_column_functions_preserve_nulls_and_empty(spark):
+    """NULL stays NULL and '' stays '' through compress/decompress — they
+    must never be conflated (validity mask, like the chunked codec path)."""
+    df = spark.createDataFrame(
+        [(1, b"hello world hello world"), (2, None), (3, b""), (4, b"x")],
+        "id long, v binary",
+    )
+    table = train_table(df, "v")
+    out = df.withColumn("z", compress_col(table)(F.col("v")))
+    back = out.withColumn("t2", decompress_col(table)(F.col("z"))).collect()
+    got = {r["id"]: (r["z"], r["t2"]) for r in back}
+    assert got[2] == (None, None)
+    assert got[3][0] is not None and bytes(got[3][1]) == b""
+    assert bytes(got[1][1]) == b"hello world hello world"
+    assert bytes(got[4][1]) == b"x"
