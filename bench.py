@@ -270,7 +270,10 @@ def main() -> None:
         "cpu_control_efficiency": round(cpu_eff, 3),
         "engine_efficiency_vs_cpu_control": round(min(kern_eff / max(cpu_eff, 1e-9), 1.0), 3),
     }
-    _write_baseline_md(extras, queries, sf)
+    try:
+        _write_baseline_md(extras, queries, sf)
+    except Exception as exc:  # the report must never kill the bench JSON
+        print(f"baseline-md write failed: {exc}", file=sys.stderr)
 
     out = {
         "metric": "fsst_spark encode+pipeline wall time",
@@ -354,6 +357,21 @@ def _parity_mean() -> str:
 
 def _write_baseline_md(extras: dict, queries: dict, sf: float) -> None:
     s = extras["scaling"]
+    md_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    hist: list[str] = []
+    try:
+        old = open(md_path).read()
+        if "## Run history" in old:
+            hist = [ln for ln in old.split("## Run history", 1)[1].splitlines()
+                    if ln.startswith("- ")][:19]
+    except OSError:
+        pass
+    hist.insert(0, (
+        f"- {time.strftime('%Y-%m-%dT%H:%M:%SZ', time.gmtime())} "
+        f"encode={s['throughput_big_mb_s']} MB/s total={sum(queries.values()):.1f}s "
+        f"eff_1to4={s['efficiency_1_to_4']} eff_raw_8to32={s['efficiency']} "
+        f"engine_vs_control={s['engine_efficiency_vs_cpu_control']}"
+    ))
     lines = [
         "# BENCH/BASELINE.md — measured numbers (auto-written by bench.py)",
         "",
@@ -407,9 +425,14 @@ def _write_baseline_md(extras: dict, queries: dict, sf: float) -> None:
         "scale — aggregate throughput above is the comparable figure at "
         "equal hardware, and compressed size is at or below the reference "
         "table semantics (same sampling/training heuristics).",
+        "",
+        "## Run history (newest first — single runs on this multi-tenant "
+        "host swing 3x on minute scales; capability = best line)",
+        "",
+        *hist,
     ]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(md_path, "w") as f:
         f.write("\n".join(lines) + "\n")
 
 
