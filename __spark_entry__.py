@@ -388,6 +388,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN trim(text) = '' THEN 0 "
             "    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS sum_tokens, "
             "CAST(sum(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) AS BIGINT) AS sum_punct, "
+            "CAST(sum(CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+            "x -> x IN ('the','and','of','to','is','in','a','that','it','for'))) "
+            "END) AS BIGINT) AS sum_stopwords, "
             "CAST(sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty "
             "FROM documents GROUP BY lang ORDER BY lang"
         ),

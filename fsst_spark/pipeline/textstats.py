@@ -28,6 +28,18 @@ def digit_ratio_pct(text: Column) -> Column:
     ).cast("bigint")
 
 
+_STOPWORDS = ["the", "and", "of", "to", "is", "in", "a", "that", "it", "for"]
+
+
+def stopword_count(text: Column) -> Column:
+    """Count of stopword tokens (JVM-side: split + filter + size)."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(text)), r"\s+"),
+        lambda t: t.isin(*_STOPWORDS),
+    )
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(toks))
+
+
 def normalized_fingerprint(text: Column) -> Column:
     """Deterministic content fingerprint: lowercase, collapse whitespace, md5."""
     norm = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
@@ -43,6 +55,7 @@ def quality_stats(df: DataFrame, text_col: str = "text", group_col: str = "lang"
             F.length(t).alias("_chars"),
             token_count(t).alias("_toks"),
             punct_count(t).alias("_punct"),
+            stopword_count(t).alias("_stop"),
             (F.length(t) == 0).cast("int").alias("_empty"),
         )
         .groupBy(group_col)
@@ -51,6 +64,7 @@ def quality_stats(df: DataFrame, text_col: str = "text", group_col: str = "lang"
             F.sum("_chars").alias("sum_chars"),
             F.sum("_toks").alias("sum_tokens"),
             F.sum("_punct").alias("sum_punct"),
+            F.sum("_stop").alias("sum_stopwords"),
             F.sum("_empty").alias("n_empty"),
         )
         .orderBy(group_col)

@@ -60,6 +60,36 @@ def test_roundtrip_query_prunes_columns(spark):
     assert "doc_id" not in read_schema and "source" not in read_schema, read_schema
 
 
+def test_minhash_shuffles_only_narrow_keys(spark):
+    """The LSH band join must never hash-partition (shuffle) by text —
+    only (band, bucket, id) rows move."""
+    from fsst_spark.pipeline.dedup import minhash_lsh_candidates
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = minhash_lsh_candidates(docs, "text", "doc_id", n_hashes=32, bands=8)
+    plan = _plan(pairs)
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line, line
+    assert "Exchange hashpartitioning" in plan  # the band join does shuffle
+
+
+def test_ivf_probe_filters_candidates(spark):
+    """The IVF probe plan filters on the centroid column before any cosine
+    math — the shape that becomes partition pruning on a bucketed table."""
+    from fsst_spark.pipeline.similarity import build_ivf_index, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in emb.select("embedding").first()[0]]
+    idx, cents = build_ivf_index(emb, n_centroids=8)
+    plan = _plan(ivf_topk(idx, cents, q, k=5, nprobe=2))
+    # the centroid assignment UDF is inlined, so the filter references its
+    # output directly: `Filter pythonUDF0#N IN (...)` above ArrowEvalPython
+    filter_lines = [ln for ln in plan.splitlines() if "Filter" in ln and " IN (" in ln]
+    assert filter_lines, plan
+    assert "ArrowEvalPython" in plan
+
+
 def test_pre_partitioned_encode_has_no_shuffle(spark, tmp_path):
     corpus = synth_web_df(spark, 400, parallelism=2)
     out = str(tmp_path / "npenc")
