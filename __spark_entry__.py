@@ -200,6 +200,12 @@ def q_minhash_neardup(spark, sf_dir):
     # 64 hashes, so true >=0.7 pairs are not lost)
     cand = pairs.filter(F.col("est_jaccard") >= 0.5).select("id_a", "id_b")
     verified = ngram_jaccard_verify(aug, cand, "text", "doc_id", threshold=0.7)
+    return _exact_pair_recall(aug, verified.select("id_a", "id_b"))
+
+
+def _exact_pair_recall(aug, found_pairs):
+    """(n_exact_dup_pairs, n_exact_found, all_exact_found): every known
+    exact-duplicate pair must appear in the operator's found pairs."""
     fp = aug.select(F.col("doc_id"), F.md5(F.col("text").cast("binary")).alias("fp"))
     exact = (
         fp.alias("a")
@@ -208,12 +214,22 @@ def q_minhash_neardup(spark, sf_dir):
     )
     n_exact = exact.agg(F.count("*").alias("n_exact_dup_pairs"))
     n_found = (
-        exact.join(verified.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+        exact.join(found_pairs, ["id_a", "id_b"], "left_semi")
         .agg(F.count("*").alias("n_exact_found"))
     )
     return n_exact.crossJoin(n_found).withColumn(
         "all_exact_found", F.col("n_exact_found") == F.col("n_exact_dup_pairs")
     )
+
+
+def q_simhash_neardup(spark, sf_dir):
+    """Banded SimHash near-dup (hamming <= 3 via 4x16-bit pigeonhole bands):
+    exact duplicates have hamming 0, so the same recall gate applies."""
+    from fsst_spark.pipeline.dedup import simhash_neardup_pairs
+
+    aug = _augmented_docs(spark, sf_dir)
+    pairs = simhash_neardup_pairs(aug, "text", "doc_id", max_hamming=3)
+    return _exact_pair_recall(aug, pairs.select("id_a", "id_b"))
 
 
 def q_simhash_stats(spark, sf_dir):
@@ -329,6 +345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_quality_stats": q_token_quality_stats,
         "lang_id": q_lang_id,
         "minhash_neardup": q_minhash_neardup,
+        "simhash_neardup": q_simhash_neardup,
         "simhash_stats": q_simhash_stats,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -423,6 +440,14 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT count(*) FROM documents) AS n_match FROM c ORDER BY col"
         ),
         "minhash_neardup": (
+            f"WITH aug AS ({_AUG_SQL}), "
+            "g AS (SELECT md5(text) AS fp, count(*) AS cnt FROM aug GROUP BY 1), "
+            "p AS (SELECT COALESCE(CAST(sum(cnt * (cnt - 1) // 2) AS BIGINT), 0) AS np "
+            "FROM g WHERE cnt > 1) "
+            "SELECT np AS n_exact_dup_pairs, np AS n_exact_found, "
+            "TRUE AS all_exact_found FROM p"
+        ),
+        "simhash_neardup": (
             f"WITH aug AS ({_AUG_SQL}), "
             "g AS (SELECT md5(text) AS fp, count(*) AS cnt FROM aug GROUP BY 1), "
             "p AS (SELECT COALESCE(CAST(sum(cnt * (cnt - 1) // 2) AS BIGINT), 0) AS np "

@@ -270,6 +270,44 @@ def _simhash_batch(datas: list[bytes], seed: int, max_token_bytes: int = 256) ->
     return fp.astype(np.int64)
 
 
+def simhash_neardup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                          max_hamming: int = 3, seed: int = 2) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, banded for scale.
+
+    Pigeonhole: two 64-bit fingerprints within hamming distance <= 3 agree
+    exactly on at least one of 4 disjoint 16-bit bands, so candidates come
+    from 4 narrow (band, band_bits, id) self-joins — never an all-pairs
+    scan — and the exact hamming check is JVM ``bit_count(a ^ b)``.
+    Returns distinct (id_a, id_b, hamming) with id_a < id_b."""
+    n_bands = 4
+    assert max_hamming < n_bands, "pigeonhole needs max_hamming < n_bands"
+    sh = df.select(F.col(id_col), simhash_udf(seed)(F.col(text_col)).alias("sh"))
+    bands = sh.select(
+        id_col, "sh",
+        F.posexplode(F.array(*[
+            F.shiftright("sh", 16 * i).bitwiseAND(F.lit(0xFFFF)).cast("int")
+            for i in range(n_bands)
+        ])).alias("band", "bits"),
+    )
+    left, right = bands.alias("l"), bands.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bits") == F.col("r.bits"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs
+
+
 def simhash_udf(seed: int = 2):
     """pandas_udf: text -> bigint 64-bit SimHash over whitespace tokens."""
 
