@@ -48,6 +48,16 @@ def main(argv: list[str] | None = None) -> int:
     ver = sub.add_parser("verify", help="chunk checksum round-trip verification")
     ver.add_argument("--data", required=True)
 
+    stm = sub.add_parser("stream-encode",
+                         help="Structured-Streaming encode: drain new files into chunks+manifest")
+    stm.add_argument("--input", required=True, help="table location watched for new files")
+    stm.add_argument("--out", required=True)
+    stm.add_argument("--checkpoint", required=True, help="stream checkpoint dir")
+    stm.add_argument("--chunk-mb", type=int, default=32)
+    stm.add_argument("--continuous", action="store_true",
+                     help="keep running (default: availableNow drain + exit)")
+    stm.add_argument("--max-files-per-trigger", type=int, default=None)
+
     syn = sub.add_parser("synth", help="write a deterministic synthetic web corpus")
     syn.add_argument("--rows", type=int, required=True)
     syn.add_argument("--out", required=True)
@@ -105,6 +115,23 @@ def main(argv: list[str] | None = None) -> int:
                                           "ok": r["n_ok"]} for r in rows},
             }))
             return 0 if ok else 2
+        elif args.cmd == "stream-encode":
+            from pyspark.sql import functions as F
+
+            from fsst_spark.jobs.encode import read_manifest
+            from fsst_spark.streaming import encode_stream_job
+
+            q = encode_stream_job(
+                spark, args.input, args.out, args.checkpoint,
+                chunk_bytes=args.chunk_mb << 20,
+                available_now=not args.continuous,
+                max_files_per_trigger=args.max_files_per_trigger,
+                lineage={"source": args.input, "cli": True},
+            )
+            q.awaitTermination()
+            m = read_manifest(spark, args.out).agg(
+                F.count("*"), F.sum("n_rows")).collect()[0]
+            print(json.dumps({"partitions": m[0], "rows": m[1]}))
         elif args.cmd == "synth":
             from fsst_spark.synth.webcorpus import synth_web_df
 
