@@ -41,14 +41,36 @@ def _chunks_df(spark, out_dir: str, columns: list[str] | None) -> DataFrame:
 
 
 def decoded_schema_ddl(spark, out_dir: str, columns: list[str] | None = None) -> tuple[str, list[str]]:
-    """Recover the decoded schema from one chunk row per column."""
-    meta = (
-        _chunks_df(spark, out_dir, columns)
-        .select("column", "params")
-        .groupBy("column").agg(F.first("params").alias("params"))
-        .collect()
-    )
-    cols = {r["column"]: json.loads(r["params"])["arrow_type"] for r in meta}
+    """Recover the decoded schema from ONE chunk file.
+
+    Every encode partition writes all its columns into its own chunk file,
+    so any single file carries the full schema — a driver-side footer read,
+    not a cluster scan (at 10^12 rows a groupBy over all chunk rows just to
+    learn five column types would be a full pass over the table)."""
+    import glob
+    import os
+
+    files = sorted(glob.glob(os.path.join(out_dir, "chunks", "*.parquet")))
+    if files:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(files[0], columns=["column", "params"])
+        cols = {
+            c: json.loads(p)["arrow_type"]
+            for c, p in zip(t.column("column").to_pylist(), t.column("params").to_pylist())
+        }
+    else:  # non-globbable store: fall back to a (pushed-down) cluster scan
+        meta = (
+            _chunks_df(spark, out_dir, columns)
+            .select("column", "params")
+            .groupBy("column").agg(F.first("params").alias("params"))
+            .collect()
+        )
+        cols = {r["column"]: json.loads(r["params"])["arrow_type"] for r in meta}
+    if columns:
+        missing = [c for c in columns if c not in cols]
+        if missing:
+            raise KeyError(f"columns not present in encoded data: {missing}")
     ordered = columns or sorted(cols)
     ddl = ", ".join(f"{c} {_spark_type(cols[c])}" for c in ordered)
     return f"pid int, chunk_id int, {ddl}", ordered
