@@ -121,14 +121,19 @@ _CODEC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 
 
 def q_codec_selection_detail(spark, sf_dir):
-    """Which codec the auto-selector picks per documents column (+ ratio).
+    """Which codec the auto-selector picks per documents column.
 
-    Codec choice and encoded size are engine-defined (rows-only check);
-    the bit-identical round-trip itself is gated by the per-column totals
-    in ``codec_selection_summary``."""
+    The corpus and the selector are both deterministic, so the
+    (column -> codec) mapping is pinned in a DuckDB VALUES oracle;
+    encoded sizes stay engine-defined (they live in ``entry``'s full
+    summary and the bench output, not in this gate)."""
     from fsst_spark.pipeline.roundtrip import codec_summary
 
-    return codec_summary(_docs(spark, sf_dir), _CODEC_COLS)
+    return (
+        codec_summary(_docs(spark, sf_dir), _CODEC_COLS)
+        .select("column", "codec", "n_rows", "n_match")
+        .orderBy("column", "codec")
+    )
 
 
 def q_codec_selection_summary(spark, sf_dir):
@@ -255,6 +260,83 @@ def q_simhash_stats(spark, sf_dir):
     )
 
 
+def q_neardup_dedup(spark, sf_dir):
+    """Near-dup RESOLUTION gate (pairs -> connected components -> min-id
+    survivor -> anti-join): driven by the exact-duplicate pair relation so
+    the surviving set — not just its size — is exactly expressible in SQL
+    (count + sum of survivor ids pins WHICH docs survive)."""
+    from fsst_spark.pipeline.dedup import neardup_dedup
+
+    aug = _augmented_docs(spark, sf_dir)
+    fp = aug.select("doc_id", F.md5(F.col("text").cast("binary")).alias("fp"))
+    pairs = (
+        fp.alias("a")
+        .join(fp.alias("b"), (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    surv = neardup_dedup(aug, pairs=pairs)
+    return surv.agg(
+        F.count("*").alias("n_survivors"),
+        F.sum("doc_id").alias("sum_survivor_ids"),
+        F.sum((F.col("doc_id") >= 1000000).cast("long")).alias("n_injected_surviving"),
+    )
+
+
+def q_neardup_dedup_minhash(spark, sf_dir):
+    """End-to-end near-dup dedup (MinHash LSH -> est prefilter -> exact
+    Jaccard -> components -> survivors). The corpus has genuine near-dups
+    among originals (not SQL-expressible), so the oracle checks hard
+    invariants: every injected exact duplicate is dropped, no two survivors
+    share identical text, and the doc count is exact."""
+    from fsst_spark.pipeline.dedup import neardup_dedup
+
+    aug = _augmented_docs(spark, sf_dir)
+    surv = neardup_dedup(aug, method="minhash", threshold=0.7)
+    fp = surv.select(F.md5(F.col("text").cast("binary")).alias("fp"))
+    n_docs = aug.agg(F.count("*").alias("n_docs"))
+    checks = surv.agg(
+        F.sum((F.col("doc_id") >= 1000000).cast("long")).alias("_inj"),
+        F.count("*").alias("_n_surv"),
+    )
+    distinct_fp = fp.agg(F.countDistinct("fp").alias("_n_fp"))
+    return (
+        n_docs.crossJoin(checks).crossJoin(distinct_fp)
+        .select(
+            "n_docs",
+            (F.col("_inj") == 0).alias("all_injected_dropped"),
+            (F.col("_n_fp") == F.col("_n_surv")).alias("survivors_text_distinct"),
+        )
+    )
+
+
+def q_ann_ivf_batch(spark, sf_dir):
+    """Batch ANN (k-NN join) recall gate: 8 query vectors probe the IVF
+    index at nprobe=8/16; per-query recall vs the exact top-10 (the same
+    operator at full probe = brute force) must be >= 1/2 for EVERY query
+    (measured 0.6-0.9 at both test SFs)."""
+    from fsst_spark.pipeline.similarity import build_ivf_index, ivf_topk_batch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    idx, cents = build_ivf_index(corpus, n_centroids=16)
+    idx = idx.persist()  # probed twice (approx + exact baseline)
+    approx = ivf_topk_batch(idx, cents, queries, k=10, nprobe=8)
+    exact = ivf_topk_batch(idx, cents, queries, k=10, nprobe=16)
+    hits = (
+        approx.join(exact, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id").agg(F.count("*").alias("hits"))
+    )
+    per_q = approx.groupBy("query_id").agg(F.count("*").alias("n_results")).join(hits, "query_id")
+    return per_q.agg(
+        F.count("*").alias("n_queries"),
+        F.min("n_results").alias("min_results"),
+        (F.min("hits") * 2 >= F.lit(10)).alias("min_recall_ge_half"),
+    )
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     from fsst_spark.pipeline.similarity import cosine_topk
 
@@ -326,8 +408,11 @@ def q_multimodal_features(spark, sf_dir):
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: auto-selected codec round-trip detail on sf0.001 docs."""
-    return q_codec_selection_detail(spark, "/root/testdata/sf0.001")
+    """Flagship: auto-selected codec round-trip summary on sf0.001 docs
+    (full detail incl. raw/encoded bytes + compression ratio)."""
+    from fsst_spark.pipeline.roundtrip import codec_summary
+
+    return codec_summary(_docs(spark, "/root/testdata/sf0.001"), _CODEC_COLS)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -347,8 +432,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
         "simhash_stats": q_simhash_stats,
+        "neardup_dedup": q_neardup_dedup,
+        "neardup_dedup_minhash": q_neardup_dedup_minhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_batch": q_ann_ivf_batch,
         "ann_lsh_topk": q_ann_lsh_topk,
         "multimodal_features": q_multimodal_features,
     }
@@ -460,9 +548,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*) AS n_docs, TRUE AS simhash_distinct_le_texts, "
             "TRUE AS exact_dups_same_simhash FROM aug"
         ),
+        "codec_selection_detail": (
+            'WITH c("column", codec) AS (VALUES '
+            "('doc_id', 'int_delta'), ('lang', 'str_dict'), ('n_chars', 'int_for'), "
+            "('source', 'str_dict'), ('text', 'str_fsst')) "
+            'SELECT "column", codec, (SELECT count(*) FROM documents) AS n_rows, '
+            "(SELECT count(*) FROM documents) AS n_match "
+            'FROM c ORDER BY "column", codec'
+        ),
+        "neardup_dedup": (
+            f"WITH aug AS ({_AUG_SQL}), "
+            "s AS (SELECT min(doc_id) AS doc_id FROM aug GROUP BY md5(text)) "
+            "SELECT count(*) AS n_survivors, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_survivor_ids, "
+            "CAST(sum(CASE WHEN doc_id >= 1000000 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_injected_surviving FROM s"
+        ),
+        "neardup_dedup_minhash": (
+            f"WITH aug AS ({_AUG_SQL}) "
+            "SELECT count(*) AS n_docs, TRUE AS all_injected_dropped, "
+            "TRUE AS survivors_text_distinct FROM aug"
+        ),
         "ann_ivf_topk": (
             "SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results, "
             "TRUE AS recall_ge_half"
+        ),
+        "ann_ivf_batch": (
+            "SELECT CAST(8 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS min_results, "
+            "TRUE AS min_recall_ge_half"
         ),
         "ann_lsh_topk": (
             "SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results, "
@@ -474,7 +587,4 @@ def oracle_sql() -> dict[str, str]:
             "CAST(8 AS BIGINT) AS min_feat_len, CAST(1 AS BIGINT) AS n_dims "
             "FROM documents"
         ),
-        # codec_selection_detail: codec choice + encoded size are
-        # engine-defined -> rows-only check; the round-trip itself is gated
-        # by codec_selection_summary's oracle.
     }

@@ -61,16 +61,34 @@ def _minhash_params(n_hashes: int, seed: int = 1) -> tuple[np.ndarray, np.ndarra
     return a, b
 
 
+def _window_hashes(buf: np.ndarray, k: int) -> np.ndarray:
+    """uint64 polynomial hash of every k-byte window of a uint8 buffer.
+
+    k shifted passes accumulating ``buf[j:] * mul[j]`` into one uint64
+    array: peak transient memory is ~16 B/window (hash + one reused temp)
+    instead of the ~8k B/window blowup of materializing
+    ``sliding_window_view(buf, k).astype(uint64) * mul`` (at k=5 that was
+    ~80x the text bytes per Arrow batch — an executor OOM risk on multi-KB
+    web documents). Identical values: both compute
+    ``sum_j buf[i+j] * mul[j]`` with uint64 wraparound."""
+    n_win = len(buf) - k + 1
+    mul = np.uint64(1099511628211) ** np.arange(k, dtype=np.uint64)
+    h = np.zeros(n_win, dtype=np.uint64)
+    tmp = np.empty(n_win, dtype=np.uint64)
+    for j in range(k):
+        np.multiply(buf[j : j + n_win], mul[j], out=tmp, casting="unsafe")
+        h += tmp
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    return h
+
+
 def _shingle_hashes(data: bytes, k: int) -> np.ndarray:
     """uint64 hashes of all k-byte shingles (vectorized rolling window)."""
     arr = np.frombuffer(data, dtype=np.uint8)
     if len(arr) < k:
         arr = np.frombuffer(data.ljust(k, b"\x00"), dtype=np.uint8)
-    win = np.lib.stride_tricks.sliding_window_view(arr, k).astype(np.uint64)
-    mul = np.uint64(1099511628211) ** np.arange(k, dtype=np.uint64)
-    h = (win * mul).sum(axis=1, dtype=np.uint64)
-    h = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
-    return np.unique(h & M64)
+    return np.unique(_window_hashes(arr, k) & M64)
 
 
 def _batch_shingle_hashes(datas: list[bytes], k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -87,11 +105,7 @@ def _batch_shingle_hashes(datas: list[bytes], k: int) -> tuple[np.ndarray, np.nd
     byte_starts = np.zeros(len(padded) + 1, dtype=np.int64)
     np.cumsum(lens, out=byte_starts[1:])
     buf = np.frombuffer(b"".join(padded), dtype=np.uint8)
-
-    win = np.lib.stride_tricks.sliding_window_view(buf, k).astype(np.uint64)
-    mul = np.uint64(1099511628211) ** np.arange(k, dtype=np.uint64)
-    h = (win * mul).sum(axis=1, dtype=np.uint64)
-    h = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    h = _window_hashes(buf, k)
 
     n_win = lens - k + 1  # >= 1 per doc by construction
     bounds = np.zeros(len(padded) + 1, dtype=np.int64)
@@ -129,9 +143,23 @@ def minhash_signature_udf(n_hashes: int = 64, shingle_k: int = 5, seed: int = 1)
     return sig
 
 
+def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       n_hashes: int = 64, shingle_k: int = 5, seed: int = 1) -> DataFrame:
+    """(id, sig) MinHash signature frame — the build step.
+
+    At 10^12 docs this is written out once (the expensive UDF pass) and
+    every LSH/estimate consumer reads the materialized frame instead of
+    recomputing signatures."""
+    return df.select(
+        F.col(id_col),
+        minhash_signature_udf(n_hashes, shingle_k, seed)(F.col(text_col)).alias("sig"),
+    )
+
+
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                            n_hashes: int = 64, bands: int = 16, shingle_k: int = 5,
-                           seed: int = 1, estimate: bool = False) -> DataFrame:
+                           seed: int = 1, estimate: bool = False,
+                           sig_df: DataFrame | None = None) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
     Returns distinct (id_a, id_b) with id_a < id_b. Shuffles only narrow
@@ -142,11 +170,21 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str = 
     no Python. Banded LSH is deliberately recall-biased (a 0.4-similar
     pair still collides in some band fairly often), so the estimate is the
     cheap precision filter that keeps exact verification off the
-    candidate flood. At 10^12 docs the signature frame is materialized
-    once (write/cache) instead of recomputed per use."""
+    candidate flood.
+
+    The signature frame is referenced up to three times (bands + both
+    sides of the estimate join): pass a prebuilt ``sig_df`` (from
+    ``minhash_signatures``, materialized), else it is persisted here so
+    the pandas-UDF signature pass runs exactly once per job, not 3x."""
     assert n_hashes % bands == 0
     rows_per_band = n_hashes // bands
-    sig = df.select(F.col(id_col), minhash_signature_udf(n_hashes, shingle_k, seed)(F.col(text_col)).alias("sig"))
+    sig = sig_df if sig_df is not None else minhash_signatures(
+        df, text_col, id_col, n_hashes, shingle_k, seed)
+    if sig_df is None and estimate:
+        # 3 downstream references -> cache the one expensive UDF pass.
+        # (Evicted LRU / on session stop; at real scale prefer a written
+        # signature table via minhash_signatures.)
+        sig = sig.persist()
     band_cols = [
         F.xxhash64(F.slice("sig", i * rows_per_band + 1, rows_per_band).cast("string"), F.lit(i)).alias("bucket")
         for i in range(bands)
@@ -326,3 +364,89 @@ def hash_bytes(data: bytes, seed: int) -> int:
     for byte in data:
         h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
     return h
+
+
+# ---------------------------------------------------------------------------
+# Near-dup resolution: pairs -> connected components -> one survivor each
+# ---------------------------------------------------------------------------
+def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                         max_rounds: int = 25) -> DataFrame:
+    """(id, comp) for every id in ``pairs``; comp = min id in the component.
+
+    Iterative min-label propagation + one pointer-jumping hop per round
+    (label <- label(label)), so convergence is O(log diameter) rounds —
+    near-dup clusters are small/clique-ish, typically 2-4 rounds. Every
+    stage shuffles only narrow (long, long) rows; each round is
+    ``localCheckpoint``-ed to truncate lineage (an iterative plan would
+    otherwise grow exponentially). Driver work is one scalar convergence
+    probe per round — no data is collected."""
+    edges = pairs.select(F.col(id_a).cast("long").alias("src"),
+                         F.col(id_b).cast("long").alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("comp", F.col("id")).localCheckpoint())
+    for _ in range(max_rounds):
+        nbr_min = (
+            edges.join(labels.select(F.col("id").alias("dst"),
+                                     F.col("comp").alias("nbr_comp")), "dst")
+            .groupBy("src").agg(F.min("nbr_comp").alias("min_nbr"))
+            .withColumnRenamed("src", "id")
+        )
+        stepped = (
+            labels.join(nbr_min, "id", "left")
+            .select("id", F.least(F.col("comp"),
+                                  F.coalesce("min_nbr", "comp")).alias("comp"))
+        )
+        # pointer jumping: comp is always itself a node id, so shortcut
+        # comp -> comp(comp) to halve remaining path lengths each round
+        hop = stepped.select(F.col("id").alias("comp"), F.col("comp").alias("comp2"))
+        new_labels = (
+            stepped.join(hop, "comp", "left")
+            .select("id", F.coalesce("comp2", "comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n").join(labels.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp")).limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def neardup_dedup(df: DataFrame, pairs: DataFrame | None = None,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  method: str = "minhash", threshold: float = 0.7,
+                  n_hashes: int = 64, bands: int = 16,
+                  max_hamming: int = 3) -> DataFrame:
+    """Drop near-duplicates: keep exactly one (min-id) doc per near-dup
+    cluster — the training-data pipeline's last mile (pairs alone don't
+    dedup anything).
+
+    pairs -> connected components -> every member whose id != the
+    component's min id is dropped via a left-anti join (narrow keys only;
+    text never shuffles). Pass precomputed ``pairs`` to resolve any pair
+    source; otherwise they come from ``method``:
+      * 'minhash': banded LSH candidates -> est_jaccard prefilter ->
+        exact shingle-Jaccard >= threshold
+      * 'simhash': banded SimHash, hamming <= max_hamming
+    """
+    if pairs is None:
+        if method == "minhash":
+            cand = minhash_lsh_candidates(df, text_col, id_col, n_hashes=n_hashes,
+                                          bands=bands, estimate=True)
+            cand = cand.filter(F.col("est_jaccard") >= threshold - 0.2).select("id_a", "id_b")
+            pairs = ngram_jaccard_verify(df, cand, text_col, id_col,
+                                         threshold=threshold).select("id_a", "id_b")
+        elif method == "simhash":
+            pairs = simhash_neardup_pairs(df, text_col, id_col,
+                                          max_hamming=max_hamming).select("id_a", "id_b")
+        else:
+            raise ValueError(f"method must be 'minhash' or 'simhash', got {method!r}")
+    comp = connected_components(pairs)
+    losers = comp.where(F.col("id") != F.col("comp")).select(F.col("id").alias(id_col))
+    return df.join(losers, id_col, "left_anti")

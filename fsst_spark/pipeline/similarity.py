@@ -39,7 +39,11 @@ def cosine_topk(df: DataFrame, query: list[float], k: int = 10,
     )
     from pyspark.sql.window import Window
 
-    w = Window.orderBy(F.desc("sim"), F.col(id_col))
+    # rank only the <= k post-limit rows; the constant partition key keeps
+    # WindowExec off the no-partition-spec path (which would log a
+    # move-everything-to-one-partition warning on every run — here "all
+    # data" is k rows, but the log noise reads like a scale bug)
+    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("sim"), F.col(id_col))
     return ranked.select(F.col(id_col), F.row_number().over(w).alias("rank"))
 
 
@@ -95,6 +99,55 @@ def ivf_topk(indexed: DataFrame, centroids: np.ndarray, query: list[float], k: i
     probe = [int(x) for x in order[: max(nprobe, 1)]]
     cand = indexed.filter(F.col("centroid").isin(probe)).drop("centroid")
     return cosine_topk(cand, query, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def ivf_topk_batch(indexed: DataFrame, centroids: np.ndarray, queries: DataFrame,
+                   k: int = 10, nprobe: int = 4, vec_col: str = "embedding",
+                   id_col: str = "vec_id", q_id_col: str = "query_id",
+                   q_vec_col: str = "embedding") -> DataFrame:
+    """Batch ANN (k-NN join): IVF top-k corpus neighbors for EVERY query row.
+
+    Returns (query_id, vec_id, rank) — rank 1..k per query by cosine desc.
+
+    Shape: one vectorized pandas-UDF pass computes each query's nprobe
+    probe list; the exploded (query_id, centroid, qvec) frame — nprobe
+    rows per query, the small side — broadcast-joins the indexed corpus
+    on ``centroid``, so a corpus vector is scored only against queries
+    probing its cell (never a cartesian). Cosine is JVM zip_with/aggregate;
+    per-query top-k is a window keyed on query_id (narrow (qid, id, sim)
+    rows; at 10^12 corpus rows add a per-partition top-k combine before
+    the window). ``nprobe >= len(centroids)`` degrades to exact brute
+    force — the recall-oracle baseline."""
+    C = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    nprobe = max(1, min(nprobe, len(C)))
+
+    @pandas_udf("array<int>")
+    def probes(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy()).astype(np.float32)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(M @ C.T), axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    qvec = F.transform(F.col("_qvec"), lambda x: x.cast("double"))
+    qx = (
+        queries.select(F.col(q_id_col).alias("query_id"), F.col(q_vec_col).alias("_qvec"))
+        .withColumn("centroid", F.explode(probes(F.col("_qvec"))))
+        .withColumn("_qnorm", _norm(qvec))  # once per probe row, not per pair
+    )
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sim = (_dot(vec, qvec) / (_norm(vec) * F.col("_qnorm"))).alias("sim")
+    scored = (
+        indexed.join(F.broadcast(qx), "centroid")
+        .select("query_id", F.col(id_col), sim)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "rank")
+    )
 
 
 def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
@@ -161,7 +214,9 @@ def lsh_topk(df: DataFrame, query: list[float], k: int = 10, vec_col: str = "emb
     signatures are not recomputed per query."""
     if min_candidates is None:
         min_candidates = max(8 * k, 64)
-    idx_df = df if indexed else build_lsh_index(df, vec_col, len(query), n_planes, seed)
+    # the index frame is read twice (bucket counts + candidate filter):
+    # persist an ad-hoc build so the signature UDF runs once, not twice
+    idx_df = df if indexed else build_lsh_index(df, vec_col, len(query), n_planes, seed).persist()
     order = multiprobe_order(query, n_planes, seed)
     counts = {r["bucket"]: r["n"] for r in
               idx_df.groupBy("bucket").agg(F.count("*").alias("n")).collect()}

@@ -96,3 +96,49 @@ def test_pre_partitioned_encode_has_no_shuffle(spark, tmp_path):
     metrics = encode_job(spark, corpus, out, chunk_bytes=1 << 20, pre_partitioned=True)
     plan = _plan(metrics)
     assert "Exchange" not in plan, plan
+
+
+def test_minhash_estimate_signature_udf_runs_once(spark):
+    """estimate=True references the signature frame 3x (bands + both join
+    sides); the operator must persist it so the expensive pandas-UDF pass
+    runs once — visible as InMemoryTableScan reuse in the plan."""
+    from fsst_spark.pipeline.dedup import minhash_lsh_candidates
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = minhash_lsh_candidates(docs, "text", "doc_id", n_hashes=32, bands=8,
+                                   estimate=True)
+    plan = _plan(pairs)
+    assert plan.count("InMemoryTableScan") >= 3, plan
+
+
+def test_ivf_batch_joins_on_centroid_no_cartesian(spark):
+    """The k-NN join must broadcast the (small) exploded query side and
+    hash-join on centroid — never a cartesian/nested-loop pairing."""
+    from fsst_spark.pipeline.similarity import build_ivf_index, ivf_topk_batch
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    idx, cents = build_ivf_index(emb.filter(F.col("vec_id") >= 4), n_centroids=8)
+    out = ivf_topk_batch(idx, cents, queries, k=5, nprobe=2)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    join_line = next(ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln)
+    assert "centroid" in join_line or "pythonUDF" in join_line, join_line
+
+
+def test_connected_components_shuffles_only_narrow_keys(spark):
+    """Label propagation moves only (long, long) rows — never text."""
+    from fsst_spark.pipeline.dedup import connected_components, neardup_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fp = docs.select("doc_id", F.md5(F.col("text").cast("binary")).alias("fp"))
+    pairs = (fp.alias("a").join(fp.alias("b"),
+             (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")))
+    surv = neardup_dedup(docs, pairs=pairs)
+    plan = _plan(surv)
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line, line

@@ -79,10 +79,18 @@ def test_decode_column_pruning(spark, encoded_dir):
 
 def test_resume_after_injected_failure(spark, corpus, tmp_path):
     out = str(tmp_path / "enc_resume")
-    with pytest.raises(Exception):
-        encode_job(spark, corpus, out, num_partitions=6, chunk_bytes=1 << 20,
-                   _test_fail_pids={1, 3}).collect()
-    done_first = completed_pids(out)
+    # The injected failure can abort the stage before ANY sibling partition
+    # commits its manifest (timing-dependent under a loaded host). Committed
+    # pids are durable and monotonic across attempts, and {1, 3} always
+    # fail, so loop the failing phase until at least one good pid landed.
+    done_first: set[int] = set()
+    for _ in range(10):
+        with pytest.raises(Exception):
+            encode_job(spark, corpus, out, num_partitions=6, chunk_bytes=1 << 20,
+                       _test_fail_pids={1, 3}).collect()
+        done_first = completed_pids(out)
+        if done_first:
+            break
     assert done_first and {1, 3}.isdisjoint(done_first)
     # resume: only missing partitions run; completed ones are skipped
     metrics = encode_job(spark, corpus, out, num_partitions=6, chunk_bytes=1 << 20)
