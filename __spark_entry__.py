@@ -392,10 +392,13 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    from fsst_spark.pipeline.multimodal import extract_features
+    from fsst_spark.pipeline.multimodal import FakeMediaDecoder, extract_features
 
     ev = _docs(spark, sf_dir).withColumn("payload", F.col("text").cast("binary"))
-    feats = extract_features(ev, "payload", "doc_id", feat_dim=8)
+    # payloads are text bytes, not real images: pin the deterministic fake
+    # decoder (the default would pick PIL when installed and reject them)
+    feats = extract_features(ev, "payload", "doc_id", feat_dim=8,
+                             decoder=FakeMediaDecoder())
     return feats.agg(
         F.count("*").alias("n_docs"),
         F.sum("payload_bytes").alias("sum_payload_bytes"),

@@ -319,6 +319,8 @@ def encode_files_job(
     resume: bool = True,
     lineage: dict | None = None,
     batch_rows: int = 16384,
+    files: list[str] | None = None,
+    pid_offset: int = 0,
 ) -> DataFrame:
     """File-granular encode: Spark parallelizes over parquet *files*; each
     task reads its file columnar-natively with pyarrow (no JVM row<->Arrow
@@ -327,16 +329,21 @@ def encode_files_job(
     conversion: the scan stays columnar end-to-end and column pruning is a
     pyarrow ``columns=`` pushdown.
 
-    Partition id = index of the file in the snapshot listing — deterministic
-    for an identical input snapshot, so resume semantics match
-    ``encode_job``. The listing comes from ``sources.table_files``: an
-    Iceberg ``.files`` metadata scan when input is an ``iceberg:`` table
-    (snapshot-consistent, no directory walk at 10^12 scale), else a sorted
-    local glob.
+    Partition id = ``pid_offset`` + index of the file in the snapshot
+    listing — deterministic for an identical input snapshot, so resume
+    semantics match ``encode_job``, and — unlike partition-id keying — the
+    pid->rows mapping is pinned to a stable identity (the file), immune to
+    session-config or cluster-size changes between runs. The listing comes
+    from ``sources.table_files`` (an Iceberg ``.files`` metadata scan when
+    input is an ``iceberg:`` table — snapshot-consistent, no directory walk
+    at 10^12 scale — else a sorted local glob), or from an explicit
+    ``files`` list (e.g. a streaming micro-batch's checkpoint-pinned file
+    set).
     """
     from ..sources import table_files
 
-    files = table_files(spark, input_path)
+    if files is None:
+        files = table_files(spark, input_path)
     os.makedirs(os.path.join(out_dir, "chunks"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
     done = completed_pids(out_dir) if resume else set()
@@ -344,7 +351,8 @@ def encode_files_job(
         {**(lineage or {}), "columns": columns, "n_files": len(files),
          "chunk_bytes": chunk_bytes, "mode": "files"}
     )
-    tasks = [(pid, f) for pid, f in enumerate(files) if pid not in done]
+    tasks = [(pid_offset + i, f) for i, f in enumerate(files)
+             if pid_offset + i not in done]
     if not tasks:
         return spark.createDataFrame([], METRIC_SCHEMA_DDL)
     task_df = spark.createDataFrame(tasks, "pid int, path string") \

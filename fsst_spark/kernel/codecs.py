@@ -291,6 +291,13 @@ _STR_DECODERS = {"str_plain": decode_str_plain, "str_fsst": decode_str_fsst, "st
 # ---------------------------------------------------------------------------
 ALP_MAX_EXP = 14
 ALP_MIN_HIT = 0.95  # below this exact-hit rate the chunk is not decimal data
+# Exact 10^e doubles (10^e is exactly representable in float64 for e <= 22,
+# and int->float conversion is correctly rounded by IEEE 754). Runtime
+# ``10.0 ** e`` goes through libm pow, which is NOT guaranteed correctly
+# rounded on every platform — a chunk encoded under one libm could decode
+# 1 ulp off under another, breaking bit-identity on mixed clusters. Both
+# encoder and decoder read this table instead.
+_EXACT_POW10 = tuple(float(10 ** e) for e in range(ALP_MAX_EXP + 1))
 
 
 def _alp_roundtrip_ok(v: np.ndarray, e: int) -> tuple[np.ndarray, np.ndarray]:
@@ -298,7 +305,7 @@ def _alp_roundtrip_ok(v: np.ndarray, e: int) -> tuple[np.ndarray, np.ndarray]:
     the decoder's exact arithmetic (int64 -> float64 -> * 10^-e), so a hit
     is bit-identical by construction."""
     with np.errstate(invalid="ignore", over="ignore"):
-        cand = np.round(v * (10.0 ** e))
+        cand = np.round(v * _EXACT_POW10[e])
         ok = np.isfinite(cand) & (np.abs(cand) < 2.0 ** 53)
         ints = np.where(ok, cand, 0.0).astype(np.int64)
         # Decode divides by the EXACT double 10^e (exactly representable
@@ -306,7 +313,7 @@ def _alp_roundtrip_ok(v: np.ndarray, e: int) -> tuple[np.ndarray, np.ndarray]:
         # the nearest double to the rational — exactly what parsing the
         # decimal string produced. Multiplying by the inexact 10^-e would
         # miss by 1 ulp on ~30% of real decimal data.
-        recon = ints.astype(np.float64) / (10.0 ** e)
+        recon = ints.astype(np.float64) / _EXACT_POW10[e]
     ok &= recon.view(np.uint64) == v.view(np.uint64)
     return ok, ints
 
@@ -356,7 +363,7 @@ def decode_float_alp(enc: Encoded) -> np.ndarray:
     out = np.empty(p["n"], dtype=np.float64)
     mask = np.ones(p["n"], dtype=bool)
     mask[exc_pos] = False
-    out[mask] = ints.astype(np.float64) / (10.0 ** p["exp"])  # see encoder note
+    out[mask] = ints.astype(np.float64) / _EXACT_POW10[p["exp"]]  # see encoder note
     out[~mask] = np.frombuffer(exc_raw, dtype=np.float64)
     return out
 

@@ -24,14 +24,35 @@ FEATURE_DDL = (
 )
 
 
-class RealMediaDecoder:
-    """Production decoder — requires PIL/ffmpeg, absent in this sandbox."""
+try:  # media extra: present on a production cluster image, not here
+    from PIL import Image as _PILImage
+except ImportError:  # pragma: no cover - sandbox has no PIL
+    _PILImage = None
 
-    def decode(self, payload: bytes) -> np.ndarray:  # pragma: no cover
-        raise NotImplementedError(
-            "media decode requires PIL/ffmpeg; use FakeMediaDecoder in tests "
-            "or install the media extras on the cluster image"
-        )
+
+def pil_available() -> bool:
+    return _PILImage is not None
+
+
+class RealMediaDecoder:
+    """Production image decoder (PIL), import-guarded.
+
+    Instantiable only when PIL is installed; ``default_decoder`` selects it
+    automatically, else falls back to ``FakeMediaDecoder`` so the Spark
+    plumbing stays exercised in environments without media libraries."""
+
+    def __init__(self):
+        if _PILImage is None:
+            raise NotImplementedError(
+                "media decode requires PIL; install the media extras on the "
+                "cluster image (pip install pillow) or use FakeMediaDecoder"
+            )
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        import io
+
+        img = _PILImage.open(io.BytesIO(payload))
+        return np.asarray(img.convert("RGB"), dtype=np.uint8)
 
 
 class FakeMediaDecoder:
@@ -47,6 +68,13 @@ class FakeMediaDecoder:
         return rng.integers(0, 256, (self.h, self.w, 3), dtype=np.uint8)
 
 
+def default_decoder():
+    """RealMediaDecoder when PIL is installed, else the deterministic fake —
+    the Spark-side plumbing (schema, batch shape, partitioning) is identical
+    either way."""
+    return RealMediaDecoder() if pil_available() else FakeMediaDecoder()
+
+
 def extract_features(df: DataFrame, payload_col: str = "html", id_col: str = "doc_id",
                      decoder=None, feat_dim: int = 8) -> DataFrame:
     """mapInPandas feature extraction over binary media payloads.
@@ -56,7 +84,7 @@ def extract_features(df: DataFrame, payload_col: str = "html", id_col: str = "do
     the decoded array). Partitioning is whatever the caller set upstream —
     the op is embarrassingly parallel and preserves it.
     """
-    dec = decoder or FakeMediaDecoder()
+    dec = decoder or default_decoder()
 
     def run(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in frames:

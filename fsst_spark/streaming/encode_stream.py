@@ -6,11 +6,15 @@ stream and encoded into the same chunks/ + manifest/ layout the batch
 streaming-encoded corpus.
 
 Exactly-once without a transactional sink: each micro-batch (epoch) gets a
-disjoint partition-id range (``epoch * PID_STRIDE``); if Spark replays an
-epoch after a crash, every partition it re-runs hits the completed-pid
-skip in ``encode_job`` (manifest row == durable partition), so chunks are
-never duplicated. This is the idempotent-sink pattern recommended for
-``foreachBatch`` sinks.
+disjoint partition-id range (``epoch * PID_STRIDE``), and WITHIN an epoch
+pids are keyed on a stable identity — the sorted list of the epoch's input
+files (pid = stride + index), which the streaming checkpoint pins exactly
+per epoch. A replayed epoch therefore re-derives the identical pid->rows
+mapping regardless of cluster size or session config (a partition-id-based
+mapping would shift with ``maxPartitionBytes``/core count and silently
+drop/duplicate rows on a resized restart); every completed pid hits the
+manifest skip, so chunks are never duplicated. This is the idempotent-sink
+pattern recommended for ``foreachBatch`` sinks.
 
 At 10^12-document scale this is the "encode as data arrives" shape: the
 stream runs with a processing-time trigger against the table's file feed
@@ -23,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
-from ..jobs.encode import encode_job
+from ..jobs.encode import encode_files_job, encode_job
 
 PID_STRIDE = 1_000_000  # max partitions per micro-batch
 
@@ -56,16 +60,35 @@ def encode_stream_job(
         stream = stream.select(*columns)
 
     def sink(batch_df, epoch_id: int) -> None:
-        if not batch_df.isEmpty():
+        if batch_df.isEmpty():
+            return
+        lin = {**(lineage or {}), "stream_epoch": int(epoch_id), "source": input_path}
+        # The epoch's file set is pinned by the stream checkpoint: encode it
+        # file-granularly so pids key on (epoch, sorted-file-index) — a
+        # stable identity that replays identically on any cluster/config.
+        files = sorted(p.removeprefix("file://") for p in batch_df.inputFiles())
+        if files:
+            encode_files_job(
+                spark, input_path, out_dir,
+                columns=columns,
+                chunk_bytes=chunk_bytes,
+                resume=True,  # epoch replay -> completed-pid skip (idempotent)
+                files=files,
+                pid_offset=int(epoch_id) * PID_STRIDE,
+                lineage=lin,
+            ).collect()
+        else:
+            # non-file micro-batch (e.g. a transformed source): fall back to
+            # partition-id keying — idempotent only under unchanged
+            # parallelism/config, hence the file path above is the default
             encode_job(
                 spark, batch_df, out_dir,
                 columns=columns,
                 chunk_bytes=chunk_bytes,
-                resume=True,  # epoch replay -> completed-pid skip (idempotent)
-                pre_partitioned=True,  # micro-batch is already file-partitioned
+                resume=True,
+                pre_partitioned=True,
                 pid_offset=int(epoch_id) * PID_STRIDE,
-                lineage={**(lineage or {}), "stream_epoch": int(epoch_id),
-                         "source": input_path},
+                lineage=lin,
             ).collect()
 
     writer = stream.writeStream.foreachBatch(sink).option(

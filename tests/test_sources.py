@@ -49,3 +49,72 @@ def test_encode_files_job_via_sources(spark, pq_dir, tmp_path):
     out = str(tmp_path / "enc")
     encode_files_job(spark, pq_dir, out, chunk_bytes=1 << 20).collect()
     assert read_manifest(spark, out).agg(F.sum("n_rows")).collect()[0][0] == 300
+
+
+class _Recorder:
+    """Stand-in for spark.read that records the format/load call chain and
+    plays back canned results — pins the Iceberg call contract without an
+    Iceberg runtime on the classpath."""
+
+    def __init__(self, rows):
+        self.calls = []
+        self._rows = rows
+
+    # DataFrameReader surface
+    def format(self, fmt):
+        self.calls.append(("format", fmt))
+        return self
+
+    def load(self, ident):
+        self.calls.append(("load", ident))
+        return self
+
+    # DataFrame surface used by table_files
+    def select(self, *cols):
+        self.calls.append(("select", cols))
+        return self
+
+    def orderBy(self, *cols):
+        self.calls.append(("orderBy", cols))
+        return self
+
+    def collect(self):
+        self.calls.append(("collect",))
+        return self._rows
+
+
+class _FakeSpark:
+    def __init__(self, rows=()):
+        self.read = _Recorder(list(rows))
+
+
+def test_iceberg_read_table_contract(monkeypatch):
+    """Executes the iceberg: branch of read_table against a recorder so
+    signature drift can't hide behind the availability gate."""
+    from fsst_spark.sources import tables
+
+    monkeypatch.setattr(tables, "iceberg_available", lambda s: True)
+    fake = _FakeSpark()
+    out = tables.read_table(fake, "iceberg:cat.db.pages")
+    assert fake.read.calls == [("format", "iceberg"), ("load", "cat.db.pages")]
+    assert out is fake.read  # the loaded frame is returned as-is
+
+
+def test_iceberg_table_files_contract(monkeypatch):
+    """table_files must scan the snapshot's .files metadata table and
+    return file_path values in order."""
+    from fsst_spark.sources import tables
+
+    monkeypatch.setattr(tables, "iceberg_available", lambda s: True)
+    rows = [{"file_path": "s3://b/data/f1.parquet"},
+            {"file_path": "s3://b/data/f2.parquet"}]
+    fake = _FakeSpark(rows)
+    files = tables.table_files(fake, "iceberg:cat.db.pages")
+    assert files == ["s3://b/data/f1.parquet", "s3://b/data/f2.parquet"]
+    assert fake.read.calls == [
+        ("format", "iceberg"),
+        ("load", "cat.db.pages.files"),
+        ("select", ("file_path",)),
+        ("orderBy", ("file_path",)),
+        ("collect",),
+    ]
