@@ -245,14 +245,13 @@ def main() -> None:
     ratio_par = CPUS / SMALL_CPUS
     eff = (big["mb_s"] / small["mb_s"]) / ratio_par
     try:
-        kern_small = _kernel_scaling_probe(corpus_dir, SMALL_CPUS)
-        kern_big = _kernel_scaling_probe(corpus_dir, CPUS)
-        cpu_small = _cpu_control(SMALL_CPUS)
-        cpu_big = _cpu_control(CPUS)
-    except Exception:
-        kern_small = kern_big = cpu_small = cpu_big = 1.0
-    kern_eff = (kern_big / kern_small) / ratio_par
-    cpu_eff = (cpu_big / cpu_small) / ratio_par
+        probes = _scaling_probes(corpus_dir, SMALL_CPUS, CPUS)
+    except Exception as exc:
+        print(f"scaling probes failed: {exc}", file=sys.stderr)
+        probes = {"kernel_small_mb_s": -1.0, "kernel_big_mb_s": -1.0,
+                  "kernel_efficiency": -1.0, "cpu_control_efficiency": -1.0,
+                  "engine_efficiency_vs_cpu_control": -1.0,
+                  "probe_trials": [], "probe_design": "FAILED"}
     eff14 = (four["mb_s"] / one["mb_s"]) / 4
     extras["scaling"] = {
         "n1_mb_s": round(one["mb_s"], 1), "n4_mb_s": round(four["mb_s"], 1),
@@ -264,11 +263,7 @@ def main() -> None:
         "walls_small_sec": small["walls"],
         "walls_big_sec": big["walls"],
         "efficiency": round(eff, 3),
-        "kernel_small_mb_s": round(kern_small, 1),
-        "kernel_big_mb_s": round(kern_big, 1),
-        "kernel_efficiency": round(kern_eff, 3),
-        "cpu_control_efficiency": round(cpu_eff, 3),
-        "engine_efficiency_vs_cpu_control": round(min(kern_eff / max(cpu_eff, 1e-9), 1.0), 3),
+        **probes,
     }
     try:
         _write_baseline_md(extras, queries, sf)
@@ -286,23 +281,75 @@ def main() -> None:
     print(json.dumps(out))
 
 
-def _kernel_scaling_probe(corpus_dir: str, nproc: int, reps: int = 4, trials: int = 3) -> float:
-    """Warm in-memory encode throughput at ``nproc`` parallel workers —
-    isolates engine scalability from this host's page-fault ceiling
-    (data loaded once per worker, workspaces reused, best-of-``trials``)."""
+def _scaling_probes(corpus_dir: str, n_small: int, n_big: int,
+                    trials: int = 5, reps: int = 2) -> dict:
+    """Paired, interleaved kernel-vs-CPU-control scaling probes.
+
+    All four arms (kernel@small, control@small, kernel@big, control@big)
+    run back-to-back WITHIN each trial, so this host's minute-scale
+    multi-tenant noise hits every arm of a trial equally; the reported
+    efficiencies are MEDIANS across >=``trials`` trials, and the headline
+    engine-vs-control number is the median of the per-trial PAIRED ratio
+    (kernel N->4N speedup / control N->4N speedup), which cancels
+    common-mode host slowdowns a sequential A-then-B design cannot.
+    Worker pools (and their warmed malloc heaps — first-touch pages fault
+    at ~10 MB/s here) are built once and reused across all trials."""
     import glob
     import multiprocessing as mp
+    import statistics
 
     files = sorted(glob.glob(os.path.join(corpus_dir, "*.parquet")))
-    tasks = [(files[i % len(files)], reps) for i in range(nproc)]
-    best = 0.0
-    with mp.get_context("spawn").Pool(nproc) as pool:
-        pool.map(_kernel_task, tasks)  # warm (untimed)
-        for _ in range(trials):
-            t0 = time.time()
-            res = pool.map(_kernel_task, tasks)
-            best = max(best, sum(res) / 1e6 / (time.time() - t0))
-    return best
+    ctx = mp.get_context("spawn")
+    pools = {n: ctx.Pool(n) for n in (n_small, n_big)}
+    for n, pool in pools.items():  # warm: import engine + touch heaps
+        pool.map(_kernel_task, [(files[i % len(files)], 1) for i in range(n)])
+        pool.map(_spin_task, range(n))
+
+    def kern(n: int) -> float:
+        tasks = [(files[i % len(files)], reps) for i in range(n)]
+        t0 = time.time()
+        res = pools[n].map(_kernel_task, tasks)
+        return sum(res) / 1e6 / (time.time() - t0)
+
+    def cpu(n: int) -> float:
+        t0 = time.time()
+        pools[n].map(_spin_task, range(n))
+        return n / (time.time() - t0)
+
+    ratio_par = n_big / n_small
+    rows = []
+    for _ in range(trials):
+        ks, cs, kb, cb = kern(n_small), cpu(n_small), kern(n_big), cpu(n_big)
+        rows.append({
+            "kern_small": ks, "cpu_small": cs, "kern_big": kb, "cpu_big": cb,
+            "kern_eff": (kb / ks) / ratio_par,
+            "cpu_eff": (cb / cs) / ratio_par,
+            "engine_vs_control": (kb / ks) / (cb / cs),
+        })
+    for pool in pools.values():
+        pool.terminate()
+
+    def med(key: str) -> float:
+        return statistics.median(r[key] for r in rows)
+
+    return {
+        "kernel_small_mb_s": round(med("kern_small"), 1),
+        "kernel_big_mb_s": round(med("kern_big"), 1),
+        "kernel_efficiency": round(med("kern_eff"), 3),
+        "cpu_control_efficiency": round(med("cpu_eff"), 3),
+        "engine_efficiency_vs_cpu_control": round(min(med("engine_vs_control"), 1.0), 3),
+        "probe_trials": [
+            {k: round(v, 3) for k, v in r.items()} for r in rows
+        ],
+        "probe_design": (
+            f"{trials} trials; per trial the 4 arms run interleaved "
+            "(kernel@N, control@N, kernel@4N, control@4N); medians reported; "
+            "engine_vs_control = median of per-trial paired ratios"
+        ),
+    }
+
+
+_KERNEL_CACHE: dict = {}
 
 
 def _kernel_task(args) -> int:
@@ -313,8 +360,14 @@ def _kernel_task(args) -> int:
     from fsst_spark.kernel.codecs import encode_column
 
     madvise_hugepages()
-    tbl = pq.read_table(path)
-    arrs = [tbl.column(n).combine_chunks() for n in tbl.column_names]
+    # pool workers persist across map calls: load each file once per worker
+    # (the untimed warm pass populates this), so timed trials measure the
+    # encode kernel, not parquet IO/decode
+    arrs = _KERNEL_CACHE.get(path)
+    if arrs is None:
+        tbl = pq.read_table(path)
+        arrs = _KERNEL_CACHE[path] = [tbl.column(n).combine_chunks()
+                                      for n in tbl.column_names]
     tot = 0
     for _ in range(reps):
         for a in arrs:
@@ -401,15 +454,14 @@ def _write_baseline_md(extras: dict, queries: dict, sf: float) -> None:
         f"raw efficiency {s['efficiency']} — the upper point pushes the "
         f"VM's shared I/O ceiling (walls small={s['walls_small_sec']}, "
         f"big={s['walls_big_sec']})",
-        f"- kernel-only probe (warm, in-memory): {s['kernel_small_mb_s']} -> "
-        f"{s['kernel_big_mb_s']} MB/s, efficiency {s['kernel_efficiency']}; "
-        f"a pure-CPU control on the same host scales at "
-        f"{s['cpu_control_efficiency']} over the same range — engine-vs-"
-        f"control ratio **{s['engine_efficiency_vs_cpu_control']}** "
-        "(1.0 = the engine scales exactly as well as the host allows "
-        "anything to scale; the probe also touches the shared page cache, "
-        "so it can read below the control when memory bandwidth is "
-        "contended by neighbors).",
+        f"- kernel-only probe (warm, in-memory; {s.get('probe_design', 'n/a')}): "
+        f"median {s['kernel_small_mb_s']} -> {s['kernel_big_mb_s']} MB/s, "
+        f"median efficiency {s['kernel_efficiency']}; the pure-CPU control "
+        f"measured in the SAME trials scales at {s['cpu_control_efficiency']} "
+        f"— engine-vs-control ratio **{s['engine_efficiency_vs_cpu_control']}** "
+        "(median of per-trial paired ratios; 1.0 = the engine scales exactly "
+        "as well as the host allows anything to scale). Per-trial ratios: "
+        + json.dumps([r.get("engine_vs_control") for r in s.get("probe_trials", [])]),
         "",
         "Structurally the encode job has zero shuffles, per-partition-"
         "independent tasks, O(1) driver work, O(1) training per chunk "
