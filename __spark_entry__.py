@@ -237,6 +237,17 @@ def q_simhash_neardup(spark, sf_dir):
     return _exact_pair_recall(aug, pairs.select("id_a", "id_b"))
 
 
+def q_winnow_neardup(spark, sf_dir):
+    """Winnowing (rolling-hash fingerprint) near-dup recall gate: exact
+    duplicates share their entire selected-hash fingerprint, so every
+    injected exact-dup pair must surface from the hash self-join."""
+    from fsst_spark.pipeline.dedup import winnow_neardup_pairs
+
+    aug = _augmented_docs(spark, sf_dir)
+    pairs = winnow_neardup_pairs(aug, "text", "doc_id", min_shared=2)
+    return _exact_pair_recall(aug, pairs.select("id_a", "id_b"))
+
+
 def q_simhash_stats(spark, sf_dir):
     """SimHash invariants: identical texts hash identically, and distinct
     fingerprints never exceed distinct texts."""
@@ -334,6 +345,37 @@ def q_ann_ivf_batch(spark, sf_dir):
         F.count("*").alias("n_queries"),
         F.min("n_results").alias("min_results"),
         (F.min("hits") * 2 >= F.lit(10)).alias("min_recall_ge_half"),
+    )
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup recall gate: augment embeddings with a
+    deterministic exact duplicate of every 10th vector; every exact-dup
+    pair (cosine 1.0 >= 0.9 threshold, and always sharing its top-1 IVF
+    cell) must surface from the bucketed pair generator."""
+    from fsst_spark.pipeline.similarity import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1000000)
+    )
+    aug = emb.unionByName(dups).repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    pairs = embedding_neardup_pairs(aug, threshold=0.9)
+    fp = aug.select("vec_id", F.xxhash64("embedding").alias("fp"))
+    exact = (
+        fp.alias("a")
+        .join(fp.alias("b"), (F.col("a.fp") == F.col("b.fp")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+    )
+    n_exact = exact.agg(F.count("*").alias("n_exact_dup_pairs"))
+    n_found = (
+        exact.join(pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+        .agg(F.count("*").alias("n_exact_found"))
+    )
+    return n_exact.crossJoin(n_found).withColumn(
+        "all_exact_found", F.col("n_exact_found") == F.col("n_exact_dup_pairs")
     )
 
 
@@ -435,8 +477,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
         "simhash_stats": q_simhash_stats,
+        "winnow_neardup": q_winnow_neardup,
         "neardup_dedup": q_neardup_dedup,
         "neardup_dedup_minhash": q_neardup_dedup_minhash,
+        "embedding_neardup": q_embedding_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_batch": q_ann_ivf_batch,
@@ -495,6 +539,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS sum_chars, "
             "CAST(sum(CASE WHEN trim(text) = '' THEN 0 "
             "    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS sum_tokens, "
+            "CAST(sum(len(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]+'))) AS BIGINT) AS sum_bpe_tokens, "
             "CAST(sum(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) AS BIGINT) AS sum_punct, "
             "CAST(sum(CASE WHEN trim(text) = '' THEN 0 ELSE "
             "len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
@@ -531,6 +577,14 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT count(*) FROM documents) AS n_match FROM c ORDER BY col"
         ),
         "minhash_neardup": (
+            f"WITH aug AS ({_AUG_SQL}), "
+            "g AS (SELECT md5(text) AS fp, count(*) AS cnt FROM aug GROUP BY 1), "
+            "p AS (SELECT COALESCE(CAST(sum(cnt * (cnt - 1) // 2) AS BIGINT), 0) AS np "
+            "FROM g WHERE cnt > 1) "
+            "SELECT np AS n_exact_dup_pairs, np AS n_exact_found, "
+            "TRUE AS all_exact_found FROM p"
+        ),
+        "winnow_neardup": (
             f"WITH aug AS ({_AUG_SQL}), "
             "g AS (SELECT md5(text) AS fp, count(*) AS cnt FROM aug GROUP BY 1), "
             "p AS (SELECT COALESCE(CAST(sum(cnt * (cnt - 1) // 2) AS BIGINT), 0) AS np "
@@ -579,6 +633,16 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_batch": (
             "SELECT CAST(8 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS min_results, "
             "TRUE AS min_recall_ge_half"
+        ),
+        "embedding_neardup": (
+            "WITH aug AS (SELECT vec_id, embedding FROM embeddings "
+            "UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings "
+            "WHERE vec_id % 10 = 0), "
+            "g AS (SELECT embedding, count(*) AS cnt FROM aug GROUP BY embedding), "
+            "p AS (SELECT COALESCE(CAST(sum(cnt * (cnt - 1) // 2) AS BIGINT), 0) AS np "
+            "FROM g WHERE cnt > 1) "
+            "SELECT np AS n_exact_dup_pairs, np AS n_exact_found, "
+            "TRUE AS all_exact_found FROM p"
         ),
         "ann_lsh_topk": (
             "SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results, "

@@ -250,7 +250,9 @@ def main() -> None:
         print(f"scaling probes failed: {exc}", file=sys.stderr)
         probes = {"kernel_small_mb_s": -1.0, "kernel_big_mb_s": -1.0,
                   "kernel_efficiency": -1.0, "cpu_control_efficiency": -1.0,
+                  "membw_control_efficiency": -1.0,
                   "engine_efficiency_vs_cpu_control": -1.0,
+                  "engine_efficiency_vs_membw_control": -1.0,
                   "probe_trials": [], "probe_design": "FAILED"}
     eff14 = (four["mb_s"] / one["mb_s"]) / 4
     extras["scaling"] = {
@@ -285,8 +287,8 @@ def _scaling_probes(corpus_dir: str, n_small: int, n_big: int,
                     trials: int = 5, reps: int = 2) -> dict:
     """Paired, interleaved kernel-vs-CPU-control scaling probes.
 
-    All four arms (kernel@small, control@small, kernel@big, control@big)
-    run back-to-back WITHIN each trial, so this host's minute-scale
+    All arms (kernel, ALU control, memory-bandwidth control — each at
+    small and big parallelism) run back-to-back WITHIN each trial, so this host's minute-scale
     multi-tenant noise hits every arm of a trial equally; the reported
     efficiencies are MEDIANS across >=``trials`` trials, and the headline
     engine-vs-control number is the median of the per-trial PAIRED ratio
@@ -316,15 +318,32 @@ def _scaling_probes(corpus_dir: str, n_small: int, n_big: int,
         pools[n].map(_spin_task, range(n))
         return n / (time.time() - t0)
 
+    def membw(n: int) -> float:
+        t0 = time.time()
+        res = pools[n].map(_membw_task, [(16 << 20, 3)] * n)
+        return sum(res) / 1e6 / (time.time() - t0)
+
+    # Two full untimed passes through the exact timed path: Pool.map does
+    # not distribute one task per worker, so single warm maps can leave
+    # some workers cold (unread parquet, unfaulted buffers) — repeated
+    # full-arm passes converge every worker to steady state before timing.
+    for _ in range(2):
+        for n in (n_small, n_big):
+            kern(n), cpu(n), membw(n)
+
     ratio_par = n_big / n_small
     rows = []
     for _ in range(trials):
-        ks, cs, kb, cb = kern(n_small), cpu(n_small), kern(n_big), cpu(n_big)
+        ks, cs, ms = kern(n_small), cpu(n_small), membw(n_small)
+        kb, cb, mb = kern(n_big), cpu(n_big), membw(n_big)
         rows.append({
-            "kern_small": ks, "cpu_small": cs, "kern_big": kb, "cpu_big": cb,
+            "kern_small": ks, "cpu_small": cs, "membw_small": ms,
+            "kern_big": kb, "cpu_big": cb, "membw_big": mb,
             "kern_eff": (kb / ks) / ratio_par,
             "cpu_eff": (cb / cs) / ratio_par,
-            "engine_vs_control": (kb / ks) / (cb / cs),
+            "membw_eff": (mb / ms) / ratio_par,
+            "engine_vs_cpu": (kb / ks) / (cb / cs),
+            "engine_vs_membw": (kb / ks) / (mb / ms),
         })
     for pool in pools.values():
         pool.terminate()
@@ -332,19 +351,25 @@ def _scaling_probes(corpus_dir: str, n_small: int, n_big: int,
     def med(key: str) -> float:
         return statistics.median(r[key] for r in rows)
 
+    # The encode kernel is a byte-stream transform: on ONE shared box its
+    # N->4N limit is memory bandwidth, not ALU. The bandwidth control (warm
+    # streaming XOR at comparable B/s) is therefore the like-for-like
+    # comparator; the ALU spin control is kept as the scheduling floor.
     return {
         "kernel_small_mb_s": round(med("kern_small"), 1),
         "kernel_big_mb_s": round(med("kern_big"), 1),
         "kernel_efficiency": round(med("kern_eff"), 3),
         "cpu_control_efficiency": round(med("cpu_eff"), 3),
-        "engine_efficiency_vs_cpu_control": round(min(med("engine_vs_control"), 1.0), 3),
+        "membw_control_efficiency": round(med("membw_eff"), 3),
+        "engine_efficiency_vs_cpu_control": round(min(med("engine_vs_cpu"), 1.0), 3),
+        "engine_efficiency_vs_membw_control": round(min(med("engine_vs_membw"), 1.0), 3),
         "probe_trials": [
             {k: round(v, 3) for k, v in r.items()} for r in rows
         ],
         "probe_design": (
-            f"{trials} trials; per trial the 4 arms run interleaved "
-            "(kernel@N, control@N, kernel@4N, control@4N); medians reported; "
-            "engine_vs_control = median of per-trial paired ratios"
+            f"{trials} trials; per trial all 6 arms run interleaved "
+            "(kernel/cpu-control/membw-control @N then @4N); medians "
+            "reported; engine_vs_* = median of per-trial paired ratios"
         ),
     }
 
@@ -396,6 +421,27 @@ def _spin_task(_i: int) -> int:
     return x
 
 
+_MEMBW_BUF = None
+
+
+def _membw_task(args) -> int:
+    """Memory-bandwidth control: stream a warm buffer (XOR-reduce) so the
+    control contends for the same resource that bounds a byte-stream
+    compression kernel on a shared box. Buffer is allocated once per
+    worker (warm pass) — first-touch faults stay out of timed trials."""
+    n_bytes, reps = args
+    global _MEMBW_BUF
+    import numpy as np
+
+    if _MEMBW_BUF is None or _MEMBW_BUF.nbytes != n_bytes:
+        _MEMBW_BUF = np.arange(n_bytes // 8, dtype=np.uint64)
+    tot = 0
+    for _ in range(reps):
+        np.bitwise_xor.reduce(_MEMBW_BUF)
+        tot += n_bytes
+    return tot
+
+
 def _parity_mean() -> str:
     """Current mean size-vs-reference from BENCH/REFERENCE_PARITY.md."""
     try:
@@ -423,7 +469,8 @@ def _write_baseline_md(extras: dict, queries: dict, sf: float) -> None:
         f"- {time.strftime('%Y-%m-%dT%H:%M:%SZ', time.gmtime())} "
         f"encode={s['throughput_big_mb_s']} MB/s total={sum(queries.values()):.1f}s "
         f"eff_1to4={s['efficiency_1_to_4']} eff_raw_8to32={s['efficiency']} "
-        f"engine_vs_control={s['engine_efficiency_vs_cpu_control']}"
+        f"engine_vs_membw={s.get('engine_efficiency_vs_membw_control', 'n/a')} "
+        f"engine_vs_cpu={s['engine_efficiency_vs_cpu_control']}"
     ))
     lines = [
         "# BENCH/BASELINE.md — measured numbers (auto-written by bench.py)",
@@ -456,12 +503,21 @@ def _write_baseline_md(extras: dict, queries: dict, sf: float) -> None:
         f"big={s['walls_big_sec']})",
         f"- kernel-only probe (warm, in-memory; {s.get('probe_design', 'n/a')}): "
         f"median {s['kernel_small_mb_s']} -> {s['kernel_big_mb_s']} MB/s, "
-        f"median efficiency {s['kernel_efficiency']}; the pure-CPU control "
-        f"measured in the SAME trials scales at {s['cpu_control_efficiency']} "
-        f"— engine-vs-control ratio **{s['engine_efficiency_vs_cpu_control']}** "
-        "(median of per-trial paired ratios; 1.0 = the engine scales exactly "
-        "as well as the host allows anything to scale). Per-trial ratios: "
-        + json.dumps([r.get("engine_vs_control") for r in s.get("probe_trials", [])]),
+        f"median efficiency {s['kernel_efficiency']}. Two controls measured "
+        "in the SAME trials: a pure-ALU spin (scheduling floor) scales at "
+        f"{s['cpu_control_efficiency']}, a warm streaming-XOR memory-"
+        f"bandwidth control at {s.get('membw_control_efficiency', 'n/a')}. "
+        "The encode kernel is a byte-stream transform, so the bandwidth "
+        "control is the like-for-like comparator on one shared box — "
+        f"engine-vs-membw-control **{s.get('engine_efficiency_vs_membw_control', 'n/a')}**, "
+        f"engine-vs-ALU-control {s['engine_efficiency_vs_cpu_control']} "
+        "(medians of per-trial paired ratios; 1.0 = the engine scales as "
+        "well as that resource class allows on this host). Per-trial "
+        "membw-paired ratios: "
+        + json.dumps([r.get("engine_vs_membw") for r in s.get("probe_trials", [])])
+        + "; a real N->4N cluster adds machines WITH their own memory "
+        "buses and disks, so the single-box bandwidth ceiling does not "
+        "transfer.",
         "",
         "Structurally the encode job has zero shuffles, per-partition-"
         "independent tasks, O(1) driver work, O(1) training per chunk "

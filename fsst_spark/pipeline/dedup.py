@@ -450,3 +450,65 @@ def neardup_dedup(df: DataFrame, pairs: DataFrame | None = None,
     comp = connected_components(pairs)
     losers = comp.where(F.col("id") != F.col("comp")).select(F.col("id").alias(id_col))
     return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (rolling-hash document fingerprinting)
+# ---------------------------------------------------------------------------
+def _winnow_select(h: np.ndarray, window: int) -> np.ndarray:
+    """Distinct sliding-window minima of a k-gram hash sequence — the
+    winnowing selection (Schleimer, Wilkerson & Aiken, SIGMOD 2003).
+
+    Guarantee: any substring of at least window+k-1 bytes shared by two
+    documents contributes at least one identical selected hash to both
+    fingerprints, so winnowing detects *containment/overlap* (plagiarism-
+    style) where MinHash estimates whole-document resemblance."""
+    if len(h) == 0:
+        return h
+    if len(h) <= window:
+        return np.unique(h.min(keepdims=True))
+    sw = np.lib.stride_tricks.sliding_window_view(h, window)
+    return np.unique(sw.min(axis=1))  # reduction over a view: no big temp
+
+
+def winnow_fingerprint_udf(shingle_k: int = 5, window: int = 8):
+    """pandas_udf: text -> array<long> winnowing fingerprint (selected
+    k-gram rolling hashes). One shingle-hash pass per batch; per-doc work
+    is a single vectorized window-min reduction."""
+
+    @pandas_udf("array<long>")
+    def wf(texts: pd.Series) -> pd.Series:
+        datas = [(t or "").encode("utf-8", "surrogatepass") for t in texts]
+        if not datas:
+            return pd.Series([], dtype=object)
+        sh, bounds = _batch_shingle_hashes(datas, shingle_k)
+        out = []
+        for i in range(len(datas)):
+            seg = sh[bounds[i]:bounds[i + 1]]
+            out.append(_winnow_select(seg, window).view(np.int64))
+        return pd.Series(out)
+
+    return wf
+
+
+def winnow_neardup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                         shingle_k: int = 5, window: int = 8,
+                         min_shared: int = 2) -> DataFrame:
+    """Overlap-based near-dup pairs: documents sharing >= ``min_shared``
+    selected winnowing hashes. Returns (id_a, id_b, n_shared).
+
+    Same scale shape as the LSH band join: fingerprints explode to narrow
+    (hash, id) rows, the self-join is keyed on the hash, and text never
+    shuffles. Exact duplicates share their entire fingerprint, so recall
+    on true dups is structural; ``min_shared`` trades precision against
+    shorter shared substrings."""
+    wf = winnow_fingerprint_udf(shingle_k, window)
+    fps = df.select(F.col(id_col), F.explode(wf(F.col(text_col))).alias("h"))
+    left, right = fps.alias("l"), fps.alias("r")
+    return (
+        left.join(right, (F.col("l.h") == F.col("r.h"))
+                  & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

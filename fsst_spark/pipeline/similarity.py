@@ -228,3 +228,62 @@ def lsh_topk(df: DataFrame, query: list[float], k: int = 10, vec_col: str = "emb
             break
     cand = idx_df.filter(F.col("bucket").isin(probe)).drop("bucket")
     return cosine_topk(cand, query, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
+                            id_col: str = "vec_id", threshold: float = 0.9,
+                            n_centroids: int = 16, multi_assign: int = 2,
+                            seed: int = 5) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= ``threshold`` —
+    the embedding-space sibling of MinHash/SimHash near-dup.
+
+    IVF-bucketed to avoid the all-pairs square: every vector is assigned
+    to its ``multi_assign`` nearest centroids (one vectorized pandas-UDF
+    pass), candidate pairs come from a narrow (cell, id) self-join within
+    shared cells only, and the exact cosine (JVM zip_with/aggregate)
+    filters candidates. Exact duplicates always share their top-1 cell, so
+    recall on true duplicates is structural; multi-assign widens the net
+    for boundary-straddling near-dups. Returns distinct
+    (id_a, id_b, cosine) with id_a < id_b.
+
+    Feed the pairs to ``dedup.neardup_dedup(df, pairs=...)`` to resolve
+    clusters and drop losers. At 10^12 rows the assignment is written
+    bucketed by cell so the self-join is co-located (no shuffle of
+    vectors beyond their nprobe-bounded cells)."""
+    sample = np.array(
+        [r[0] for r in df.select(vec_col).limit(4096).collect()], dtype=np.float32
+    )
+    C = _spherical_kmeans(sample, n_centroids, seed=seed)
+    m = max(1, min(multi_assign, len(C)))
+
+    @pandas_udf("array<int>")
+    def cells(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy()).astype(np.float32)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(M @ C.T), axis=1, kind="stable")[:, :m]
+        return pd.Series(list(order.astype(np.int32)))
+
+    assigned = df.select(
+        F.col(id_col), F.col(vec_col),
+        F.explode(cells(F.col(vec_col))).alias("cell"),
+    )
+    narrow = assigned.select(id_col, "cell")
+    cand = (
+        narrow.alias("a")
+        .join(narrow.alias("b"),
+              (F.col("a.cell") == F.col("b.cell"))
+              & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"))
+    va = vecs.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"),
+                     _norm(F.col("_v")).alias("_na"))
+    vb = vecs.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"),
+                     _norm(F.col("_v")).alias("_nb"))
+    cos = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    return (
+        cand.join(va, "id_a").join(vb, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

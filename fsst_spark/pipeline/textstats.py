@@ -40,6 +40,19 @@ def stopword_count(text: Column) -> Column:
     return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(toks))
 
 
+# letter runs | digit runs | symbol runs — the GPT-2-style pre-tokenization
+# shape reduced to explicit ASCII classes, so Java regex (Spark) and RE2
+# (DuckDB) evaluate it identically and the count is exactly oracle-checkable
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish pre-tokenization count (JVM ``regexp_count``): splits text
+    into letter/digit/symbol runs the way byte-pair tokenizers pre-segment,
+    giving a closer proxy for LLM token counts than whitespace splitting."""
+    return F.regexp_count(text, F.lit(BPE_PATTERN))
+
+
 def normalized_fingerprint(text: Column) -> Column:
     """Deterministic content fingerprint: lowercase, collapse whitespace, md5."""
     norm = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
@@ -54,6 +67,7 @@ def quality_stats(df: DataFrame, text_col: str = "text", group_col: str = "lang"
             F.col(group_col),
             F.length(t).alias("_chars"),
             token_count(t).alias("_toks"),
+            bpe_token_count(t).alias("_bpe"),
             punct_count(t).alias("_punct"),
             stopword_count(t).alias("_stop"),
             (F.length(t) == 0).cast("int").alias("_empty"),
@@ -63,6 +77,7 @@ def quality_stats(df: DataFrame, text_col: str = "text", group_col: str = "lang"
             F.count("*").alias("n_docs"),
             F.sum("_chars").alias("sum_chars"),
             F.sum("_toks").alias("sum_tokens"),
+            F.sum("_bpe").alias("sum_bpe_tokens"),
             F.sum("_punct").alias("sum_punct"),
             F.sum("_stop").alias("sum_stopwords"),
             F.sum("_empty").alias("n_empty"),

@@ -114,3 +114,61 @@ def test_neardup_dedup_bad_method(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         neardup_dedup(df, method="nope")
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints
+# ---------------------------------------------------------------------------
+def _spec_winnow(h: np.ndarray, window: int) -> np.ndarray:
+    """Naive per-window min loop — the published winnowing selection."""
+    if len(h) == 0:
+        return h
+    if len(h) <= window:
+        return np.unique(np.array([h.min()], dtype=h.dtype))
+    mins = [h[i:i + window].min() for i in range(len(h) - window + 1)]
+    return np.unique(np.array(mins, dtype=h.dtype))
+
+
+@pytest.mark.parametrize("window", [1, 4, 8])
+def test_winnow_select_matches_spec(window):
+    from fsst_spark.pipeline.dedup import _winnow_select
+
+    rng = np.random.default_rng(13)
+    for n in (0, 1, window, window + 1, 100, 3000):
+        h = rng.integers(0, 2**63, n, dtype=np.uint64)
+        assert (_winnow_select(h, window) == _spec_winnow(h, window)).all(), n
+
+
+def test_winnow_guarantee_shared_substring():
+    """Winnowing guarantee (SIGMOD'03): docs sharing a substring of at
+    least window+k-1 bytes share at least one selected hash."""
+    from fsst_spark.pipeline.dedup import _batch_shingle_hashes, _winnow_select
+
+    k, w = 5, 8
+    rng = np.random.default_rng(17)
+    shared = bytes(rng.integers(97, 123, w + k - 1, dtype=np.uint8))
+    a = bytes(rng.integers(65, 91, 300, dtype=np.uint8)) + shared
+    b = shared + bytes(rng.integers(48, 58, 300, dtype=np.uint8))
+    h, bounds = _batch_shingle_hashes([a, b], k)
+    fa = set(_winnow_select(h[bounds[0]:bounds[1]], w).tolist())
+    fb = set(_winnow_select(h[bounds[1]:bounds[2]], w).tolist())
+    assert fa & fb
+
+
+def test_winnow_neardup_pairs_overlap_vs_disjoint(spark):
+    from fsst_spark.pipeline.dedup import winnow_neardup_pairs
+
+    rng = np.random.default_rng(23)
+    mk = lambda n: "".join(chr(97 + c) for c in rng.integers(0, 26, n))
+    shared = mk(120)
+    rows = [
+        (1, mk(200) + shared),          # contains shared block
+        (2, shared + mk(200)),          # contains shared block
+        (3, mk(400)),                   # unrelated
+        (4, ""),                        # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]) for r in
+           winnow_neardup_pairs(df, min_shared=2).collect()}
+    assert (1, 2) in got
+    assert all(p == (1, 2) for p in got), got

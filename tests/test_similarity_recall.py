@@ -68,3 +68,24 @@ def test_lsh_probe_pool_expansion_reaches_k(spark, emb):
     res = lsh_topk(idx, q, k=10, n_planes=8, indexed=True, min_candidates=10).collect()
     assert len(res) == 10
     assert len({r["vec_id"] for r in res}) == 10
+
+
+def test_embedding_neardup_pairs_exact_dups_and_threshold(spark):
+    from fsst_spark.pipeline.similarity import embedding_neardup_pairs
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    base = rng.normal(size=(40, 16)).astype("float32")
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    # exact duplicates of vectors 0 and 7
+    rows += [(100, base[0].tolist()), (107, base[7].tolist())]
+    # a near-dup of vector 3 (tiny perturbation, cosine ~0.9999)
+    near = base[3] + 0.001 * rng.normal(size=16).astype("float32")
+    rows.append((103, (near / np.linalg.norm(near)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_neardup_pairs(df, threshold=0.95, n_centroids=4)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # random unit 16-dim vectors essentially never reach cosine 0.95, so the
+    # result must be exactly the injected duplicates/near-dup
+    assert got == {(0, 100), (7, 107), (3, 103)}, got
