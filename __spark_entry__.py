@@ -192,6 +192,38 @@ def q_lang_id(spark, sf_dir):
     )
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-rule quality filter (Rae et al. 2021 A1.1): per-rule pass
+    counts + overall keep count over the documents table; every rule is
+    integer-exact so DuckDB reproduces the flags bit-for-bit."""
+    from fsst_spark.pipeline.textstats import gopher_quality_flags
+
+    flags = gopher_quality_flags(_docs(spark, sf_dir))
+    aggs = [F.count("*").alias("n_docs")]
+    for c in ["word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
+              "bullet_ratio_ok", "dup_line_ok", "stopword_ok", "keep"]:
+        aggs.append(F.sum(F.col(c).cast("bigint")).alias(f"n_{c}"))
+    return flags.agg(*aggs)
+
+
+def q_streaming_dedup(spark, sf_dir):
+    """Ingest-path dedup gate (batch mode of the streaming operator):
+    on the augmented corpus every injected exact duplicate collapses to
+    one survivor per normalized content fingerprint."""
+    from fsst_spark.streaming import streaming_dedup
+
+    aug = _augmented_docs(spark, sf_dir)
+    out = streaming_dedup(aug, text_col="text")
+    n_in = aug.agg(F.count("*").alias("n_in"))
+    stats = out.agg(
+        F.count("*").alias("n_out"),
+        F.countDistinct(F.md5(F.col("text").cast("binary"))).alias("n_distinct_text"),
+    )
+    return n_in.crossJoin(stats).withColumn(
+        "dedup_ok", F.col("n_out") == F.col("n_distinct_text")
+    )
+
+
 def q_minhash_neardup(spark, sf_dir):
     """MinHash-LSH recall gate: every exact-duplicate pair (known from the
     deterministic augmentation) must surface as a verified near-dup pair."""
@@ -474,6 +506,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "token_quality_stats": q_token_quality_stats,
         "lang_id": q_lang_id,
+        "gopher_quality": q_gopher_quality,
+        "streaming_dedup": q_streaming_dedup,
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
         "simhash_stats": q_simhash_stats,
@@ -575,6 +609,50 @@ def oracle_sql() -> dict[str, str]:
             "WITH c(col) AS (VALUES ('doc_id'), ('lang'), ('n_chars'), ('source'), ('text')) "
             'SELECT col AS "column", (SELECT count(*) FROM documents) AS n_rows, '
             "(SELECT count(*) FROM documents) AS n_match FROM c ORDER BY col"
+        ),
+        "gopher_quality": (
+            "WITH f AS (SELECT "
+            "CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words, "
+            "CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'), "
+            "w -> len(w))) END AS sum_wl, "
+            "len(trim(text)) - len(replace(trim(text), '#', '')) AS n_hash, "
+            "len(regexp_extract_all(trim(text), '\\.\\.\\.')) AS n_ell, "
+            "CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(regexp_split_to_array(trim(text), '\\n')) END AS n_lines, "
+            "CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(list_filter(regexp_split_to_array(trim(text), '\\n'), "
+            "ln -> regexp_matches(trim(ln), '^[-*•]'))) END AS n_bullet, "
+            "CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(regexp_split_to_array(trim(text), '\\n')) - "
+            "len(list_distinct(regexp_split_to_array(trim(text), '\\n'))) END AS n_dup, "
+            "CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+            "x -> x IN ('the','and','of','to','is','in','a','that','it','for'))) "
+            "END AS n_stop FROM documents), "
+            "g AS (SELECT (n_words BETWEEN 50 AND 100000) AS wc, "
+            "(3 * n_words <= sum_wl AND sum_wl <= 10 * n_words) AS mwl, "
+            "(10 * (n_hash + n_ell) <= n_words) AS sym, "
+            "(10 * n_bullet < 9 * n_lines) AS bul, "
+            "(10 * n_dup <= 3 * n_lines) AS dup, "
+            "(n_stop >= 2) AS stw FROM f) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(CASE WHEN wc THEN 1 ELSE 0 END) AS BIGINT) AS n_word_count_ok, "
+            "CAST(sum(CASE WHEN mwl THEN 1 ELSE 0 END) AS BIGINT) AS n_mean_word_len_ok, "
+            "CAST(sum(CASE WHEN sym THEN 1 ELSE 0 END) AS BIGINT) AS n_symbol_ratio_ok, "
+            "CAST(sum(CASE WHEN bul THEN 1 ELSE 0 END) AS BIGINT) AS n_bullet_ratio_ok, "
+            "CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_line_ok, "
+            "CAST(sum(CASE WHEN stw THEN 1 ELSE 0 END) AS BIGINT) AS n_stopword_ok, "
+            "CAST(sum(CASE WHEN wc AND mwl AND sym AND bul AND dup AND stw "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_keep FROM g"
+        ),
+        "streaming_dedup": (
+            f"WITH aug AS ({_AUG_SQL}), s AS ("
+            "SELECT CAST(count(*) AS BIGINT) AS n_in, "
+            "CAST(count(DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) "
+            "AS BIGINT) AS n_out FROM aug) "
+            "SELECT n_in, n_out, n_out AS n_distinct_text, TRUE AS dedup_ok FROM s"
         ),
         "minhash_neardup": (
             f"WITH aug AS ({_AUG_SQL}), "

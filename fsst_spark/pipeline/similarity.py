@@ -37,14 +37,18 @@ def cosine_topk(df: DataFrame, query: list[float], k: int = 10,
         .orderBy(F.desc("sim"), F.col(id_col))
         .limit(k)
     )
-    from pyspark.sql.window import Window
-
-    # rank only the <= k post-limit rows; the constant partition key keeps
-    # WindowExec off the no-partition-spec path (which would log a
-    # move-everything-to-one-partition warning on every run — here "all
-    # data" is k rows, but the log noise reads like a scale bug)
-    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("sim"), F.col(id_col))
-    return ranked.select(F.col(id_col), F.row_number().over(w).alias("rank"))
+    # rank the <= k post-limit rows without a window: a global Window (or
+    # one whose constant partition key Catalyst folds away) drops WindowExec
+    # onto the move-everything-to-one-partition path and logs a scale
+    # warning on every run. Sorting the k collected structs (negated sim ->
+    # ascending == sim desc, id breaks ties) gives the same 1-based rank.
+    a = F.array_sort(F.collect_list(F.struct(
+        (-F.col("sim")).alias("_ns"), F.col(id_col).alias("_id"))))
+    return (
+        ranked.agg(a.alias("_a"))
+        .select(F.posexplode("_a").alias("_pos", "_s"))
+        .select(F.col("_s._id").alias(id_col), (F.col("_pos") + 1).alias("rank"))
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -110,3 +110,56 @@ def lang_id(text: Column) -> Column:
         .otherwise(expr)
     )
     return expr
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", appendix A1.1) —
+# the canonical webtext quality filter for LLM training corpora. Every
+# rule is computed with integer-exact JVM built-ins (no floats, no UDFs)
+# so the per-document flags are bit-reproducible and DuckDB-oracled.
+# ---------------------------------------------------------------------------
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Per-document Gopher rule flags + overall ``keep``.
+
+    Rules (integer-scaled comparisons, whitespace tokens, '\\n' lines):
+      word_count_ok     50 <= n_words <= 100000
+      mean_word_len_ok  3 <= sum(len(word))/n_words <= 10
+      symbol_ratio_ok   (#'#' + #'...') <= n_words / 10
+      bullet_ratio_ok   lines starting with bullet < 90%
+      dup_line_ok       duplicate-line fraction <= 30%
+      stopword_ok       >= 2 stopword occurrences
+    """
+    t = F.trim(F.col(text_col))
+    words = F.when(F.length(t) == 0, F.array()).otherwise(F.split(t, r"\s+"))
+    n_words = F.size(words)
+    sum_wl = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    # count non-overlapping '...' occurrences (regexp_count of literal)
+    n_ellipsis = F.regexp_count(t, F.lit(r"\.\.\."))
+    lines = F.when(F.length(t) == 0, F.array()).otherwise(F.split(t, r"\n"))
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(
+        lines, lambda ln: F.trim(ln).rlike(r"^[-*•]")))
+    n_dup_lines = n_lines - F.size(F.array_distinct(lines))
+    return df.select(
+        F.col(id_col),
+        ((n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS))
+        .alias("word_count_ok"),
+        ((3 * n_words <= sum_wl) & (sum_wl <= 10 * n_words))
+        .alias("mean_word_len_ok"),
+        (10 * (n_hash + n_ellipsis) <= n_words).alias("symbol_ratio_ok"),
+        (10 * n_bullet < 9 * n_lines).alias("bullet_ratio_ok"),
+        (10 * n_dup_lines <= 3 * n_lines).alias("dup_line_ok"),
+        (stopword_count(F.col(text_col)) >= 2).alias("stopword_ok"),
+    ).withColumn(
+        "keep",
+        F.col("word_count_ok") & F.col("mean_word_len_ok")
+        & F.col("symbol_ratio_ok") & F.col("bullet_ratio_ok")
+        & F.col("dup_line_ok") & F.col("stopword_ok"),
+    )

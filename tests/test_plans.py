@@ -142,3 +142,17 @@ def test_connected_components_shuffles_only_narrow_keys(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text#" not in line, line
+
+
+def test_gopher_flags_stay_jvm_side(spark):
+    """The Gopher quality rules must compile to pure JVM expressions —
+    no Python/Arrow UDF stage anywhere in the plan."""
+    from fsst_spark.pipeline.textstats import gopher_quality_flags
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(gopher_quality_flags(df))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # only doc_id + text should reach the scan
+    first_line = plan[plan.index("FileScan"):].split("\n")[0]
+    read_schema = first_line.split("ReadSchema")[-1]
+    assert "text" in read_schema and "source" not in read_schema, read_schema

@@ -80,3 +80,42 @@ def test_streaming_stats_match_batch(spark, src_dir, tmp_path):
         for r in spark.sql("SELECT * FROM qstats").collect()
     }
     assert got == expected
+
+
+def test_streaming_dedup_matches_batch_fingerprints(spark, src_dir, tmp_path):
+    from fsst_spark.streaming import streaming_dedup
+
+    batch_df = spark.read.parquet(src_dir)
+    # inject exact + whitespace-trivial duplicates with later timestamps
+    dups = (
+        batch_df.limit(40)
+        .withColumn("url", F.concat(F.lit("dup://"), F.col("url")))
+        .withColumn("text", F.concat(F.col("text"), F.lit("  ")))
+    )
+    src = batch_df.unionByName(dups)
+    d2 = str(tmp_path / "dedup_src")
+    src.write.parquet(d2)
+
+    batch_out = streaming_dedup(spark.read.parquet(d2))
+    n_expected = batch_out.count()
+    # batch dedup keeps exactly one row per normalized fingerprint
+    from fsst_spark.pipeline.textstats import normalized_fingerprint
+    n_fp = src.select(normalized_fingerprint(F.col("text")).alias("fp")).distinct().count()
+    assert n_expected == n_fp
+
+    stream = spark.readStream.schema(src.schema).parquet(d2)
+    q = (
+        streaming_dedup(stream)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("sdedup")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sdedup")
+    assert got.count() == n_fp
+    assert got.select(
+        normalized_fingerprint(F.col("text")).alias("fp")
+    ).distinct().count() == n_fp
+    assert got.columns == src.columns

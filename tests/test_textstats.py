@@ -39,3 +39,30 @@ def test_bpe_ge_whitespace_tokens_on_words(spark):
     rows = df.select(bpe_token_count(F.col("text")).alias("b"),
                      token_count(F.col("text")).alias("w")).collect()
     assert all(r["b"] >= r["w"] for r in rows), rows
+
+
+def test_gopher_quality_flags_rules(spark):
+    from fsst_spark.pipeline.textstats import gopher_quality_flags
+
+    good = ("the quick brown fox jumps over the lazy dog and it runs to "
+            "the barn for a nap in the hay that is warm ") * 3  # >50 words
+    docs = [
+        (1, good),
+        (2, "too short"),                                    # word_count fails
+        (3, "the " + "x" * 2000 + " and " * 60),             # mean word len fails
+        (4, good + " ###### " + "#" * 40),                   # symbol ratio fails
+        (5, "\n".join(["- bullet item"] * 20)),              # bullet ratio fails
+        (6, good + "\n" + "\n".join(["same line"] * 9)),     # dup lines fail
+        (7, "alpha beta gamma delta " * 20),                 # no stopwords
+        (8, ""),                                             # empty
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in gopher_quality_flags(df).collect()}
+    assert got[1]["keep"] is True, got[1]
+    assert got[2]["word_count_ok"] is False and got[2]["keep"] is False
+    assert got[3]["mean_word_len_ok"] is False
+    assert got[4]["symbol_ratio_ok"] is False
+    assert got[5]["bullet_ratio_ok"] is False
+    assert got[6]["dup_line_ok"] is False and got[6]["word_count_ok"] is True
+    assert got[7]["stopword_ok"] is False
+    assert got[8]["keep"] is False
