@@ -192,6 +192,33 @@ def q_lang_id(spark, sf_dir):
     )
 
 
+def q_deterministic_sample(spark, sf_dir):
+    """Content-keyed reproducible sampling: the survivor set is a pure
+    function of (doc_id, salt), so DuckDB reproduces it exactly —
+    sum(doc_id) pins the selection, not just its size."""
+    from fsst_spark.pipeline.sampling import deterministic_sample
+
+    docs = _docs(spark, sf_dir)
+    samp = deterministic_sample(docs, 0.3, "doc_id", salt="sample")
+    return docs.agg(F.count("*").alias("n_total")).crossJoin(
+        samp.agg(F.count("*").alias("n_sampled"),
+                 F.sum("doc_id").alias("sum_sampled_ids"))
+    )
+
+
+def q_cap_per_group(spark, sf_dir):
+    """Domain balancing: at most 7 docs per source (ranked by doc_id);
+    sum(doc_id) pins the exact survivor set."""
+    from fsst_spark.pipeline.sampling import cap_per_group
+
+    capped = cap_per_group(_docs(spark, sf_dir), "source", 7, "doc_id")
+    return capped.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
 def q_gopher_quality(spark, sf_dir):
     """Gopher-rule quality filter (Rae et al. 2021 A1.1): per-rule pass
     counts + overall keep count over the documents table; every rule is
@@ -506,6 +533,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "token_quality_stats": q_token_quality_stats,
         "lang_id": q_lang_id,
+        "deterministic_sample": q_deterministic_sample,
+        "cap_per_group": q_cap_per_group,
         "gopher_quality": q_gopher_quality,
         "streaming_dedup": q_streaming_dedup,
         "minhash_neardup": q_minhash_neardup,
@@ -609,6 +638,21 @@ def oracle_sql() -> dict[str, str]:
             "WITH c(col) AS (VALUES ('doc_id'), ('lang'), ('n_chars'), ('source'), ('text')) "
             'SELECT col AS "column", (SELECT count(*) FROM documents) AS n_rows, '
             "(SELECT count(*) FROM documents) AS n_match FROM c ORDER BY col"
+        ),
+        "deterministic_sample": (
+            "WITH s AS (SELECT doc_id FROM documents "
+            "WHERE substr(md5(doc_id::VARCHAR || ':sample'), 1, 8) < '"
+            + format(int(0.3 * (1 << 32)), "08x") + "') "
+            "SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_total, "
+            "CAST(count(*) AS BIGINT) AS n_sampled, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_sampled_ids FROM s"
+        ),
+        "cap_per_group": (
+            "WITH c AS (SELECT doc_id, source FROM documents "
+            "QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 7) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(count(DISTINCT source) AS BIGINT) AS n_sources, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_ids FROM c"
         ),
         "gopher_quality": (
             "WITH f AS (SELECT "
