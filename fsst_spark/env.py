@@ -33,6 +33,13 @@ def tune_malloc() -> None:
     # Huge-page faults are ~30x cheaper than 4K faults on virtualized hosts;
     # glibc >= 2.35 madvises MADV_HUGEPAGE when this tunable is set.
     os.environ.setdefault("GLIBC_TUNABLES", "glibc.malloc.hugetlb=1")
+    # Route Arrow allocations through glibc malloc (retained by the
+    # settings above) instead of jemalloc/mimalloc, whose decay returns
+    # pages to the OS and re-faults them on every Arrow batch. Measured on
+    # the JVM->Python Arrow transfer path: 30 -> 130+ MB/s warm. Read at
+    # pyarrow's first pool use, and inherited by Spark's Python workers
+    # (driver env -> JVM -> worker daemon).
+    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
     # For the current process (env vars are only read at process start).
     try:
         libc = ctypes.CDLL("libc.so.6", use_errno=True)
