@@ -192,6 +192,16 @@ def q_lang_id(spark, sf_dir):
     )
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end curation: Gopher quality filter -> exact dedup ->
+    per-domain cap(50) -> deterministic 50% sample. Per-stage counts plus
+    the final id-sum pin the whole composed pipeline against one SQL."""
+    from fsst_spark.pipeline.curate import curation_report
+
+    return curation_report(_docs(spark, sf_dir), cap_n=50,
+                           sample_fraction=0.5, salt="curate")
+
+
 def q_deterministic_sample(spark, sf_dir):
     """Content-keyed reproducible sampling: the survivor set is a pure
     function of (doc_id, salt), so DuckDB reproduces it exactly —
@@ -533,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "token_quality_stats": q_token_quality_stats,
         "lang_id": q_lang_id,
+        "curation_pipeline": q_curation_pipeline,
         "deterministic_sample": q_deterministic_sample,
         "cap_per_group": q_cap_per_group,
         "gopher_quality": q_gopher_quality,
@@ -558,6 +569,41 @@ _NORM_FP = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
 _AUG_SQL = (
     "SELECT doc_id, text FROM documents "
     "UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0"
+)
+
+
+# Per-document Gopher rule metrics (shared by the gopher_quality and
+# curation_pipeline oracles); keeps doc_id/source so downstream stages
+# can chain off the keep predicate.
+_GOPHER_F_SQL = (
+    "SELECT doc_id, source, text, "
+    "CASE WHEN trim(text) = '' THEN 0 ELSE "
+    "len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words, "
+    "CASE WHEN trim(text) = '' THEN 0 ELSE "
+    "list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'), "
+    "w -> len(w))) END AS sum_wl, "
+    "len(trim(text)) - len(replace(trim(text), '#', '')) AS n_hash, "
+    "len(regexp_extract_all(trim(text), '\\.\\.\\.')) AS n_ell, "
+    "CASE WHEN trim(text) = '' THEN 0 ELSE "
+    "len(regexp_split_to_array(trim(text), '\\n')) END AS n_lines, "
+    "CASE WHEN trim(text) = '' THEN 0 ELSE "
+    "len(list_filter(regexp_split_to_array(trim(text), '\\n'), "
+    "ln -> regexp_matches(trim(ln), '^[-*•]'))) END AS n_bullet, "
+    "CASE WHEN trim(text) = '' THEN 0 ELSE "
+    "len(regexp_split_to_array(trim(text), '\\n')) - "
+    "len(list_distinct(regexp_split_to_array(trim(text), '\\n'))) END AS n_dup, "
+    "CASE WHEN trim(text) = '' THEN 0 ELSE "
+    "len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+    "x -> x IN ('the','and','of','to','is','in','a','that','it','for'))) "
+    "END AS n_stop FROM documents"
+)
+
+_GOPHER_KEEP_SQL = (
+    "n_words BETWEEN 50 AND 100000 "
+    "AND 3 * n_words <= sum_wl AND sum_wl <= 10 * n_words "
+    "AND 10 * (n_hash + n_ell) <= n_words "
+    "AND 10 * n_bullet < 9 * n_lines "
+    "AND 10 * n_dup <= 3 * n_lines AND n_stop >= 2"
 )
 
 
@@ -655,26 +701,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(doc_id) AS BIGINT) AS sum_ids FROM c"
         ),
         "gopher_quality": (
-            "WITH f AS (SELECT "
-            "CASE WHEN trim(text) = '' THEN 0 ELSE "
-            "len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words, "
-            "CASE WHEN trim(text) = '' THEN 0 ELSE "
-            "list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'), "
-            "w -> len(w))) END AS sum_wl, "
-            "len(trim(text)) - len(replace(trim(text), '#', '')) AS n_hash, "
-            "len(regexp_extract_all(trim(text), '\\.\\.\\.')) AS n_ell, "
-            "CASE WHEN trim(text) = '' THEN 0 ELSE "
-            "len(regexp_split_to_array(trim(text), '\\n')) END AS n_lines, "
-            "CASE WHEN trim(text) = '' THEN 0 ELSE "
-            "len(list_filter(regexp_split_to_array(trim(text), '\\n'), "
-            "ln -> regexp_matches(trim(ln), '^[-*•]'))) END AS n_bullet, "
-            "CASE WHEN trim(text) = '' THEN 0 ELSE "
-            "len(regexp_split_to_array(trim(text), '\\n')) - "
-            "len(list_distinct(regexp_split_to_array(trim(text), '\\n'))) END AS n_dup, "
-            "CASE WHEN trim(text) = '' THEN 0 ELSE "
-            "len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
-            "x -> x IN ('the','and','of','to','is','in','a','that','it','for'))) "
-            "END AS n_stop FROM documents), "
+            f"WITH f AS ({_GOPHER_F_SQL}), "
             "g AS (SELECT (n_words BETWEEN 50 AND 100000) AS wc, "
             "(3 * n_words <= sum_wl AND sum_wl <= 10 * n_words) AS mwl, "
             "(10 * (n_hash + n_ell) <= n_words) AS sym, "
@@ -690,6 +717,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN stw THEN 1 ELSE 0 END) AS BIGINT) AS n_stopword_ok, "
             "CAST(sum(CASE WHEN wc AND mwl AND sym AND bul AND dup AND stw "
             "THEN 1 ELSE 0 END) AS BIGINT) AS n_keep FROM g"
+        ),
+        "curation_pipeline": (
+            f"WITH f AS ({_GOPHER_F_SQL}), "
+            f"q AS (SELECT doc_id, source, text FROM f WHERE {_GOPHER_KEEP_SQL}), "
+            "d AS (SELECT doc_id, source FROM ("
+            "SELECT doc_id, source, row_number() OVER ("
+            "PARTITION BY lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) "
+            "ORDER BY doc_id) AS rn FROM q) WHERE rn = 1), "
+            "c AS (SELECT doc_id, source FROM d "
+            "QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 50), "
+            "s AS (SELECT doc_id FROM c "
+            "WHERE substr(md5(doc_id::VARCHAR || ':curate'), 1, 8) < '80000000') "
+            "SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_input, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM q) AS n_quality, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM d) AS n_deduped, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM c) AS n_capped, "
+            "CAST(count(*) AS BIGINT) AS n_sampled, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_final_ids FROM s"
         ),
         "streaming_dedup": (
             f"WITH aug AS ({_AUG_SQL}), s AS ("
