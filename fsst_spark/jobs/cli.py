@@ -58,6 +58,20 @@ def main(argv: list[str] | None = None) -> int:
                      help="keep running (default: availableNow drain + exit)")
     stm.add_argument("--max-files-per-trigger", type=int, default=None)
 
+    cur = sub.add_parser("curate",
+                         help="quality-filter + dedup + cap + sample a document table")
+    cur.add_argument("--input", required=True,
+                     help="input parquet path or iceberg:<catalog.db.table>")
+    cur.add_argument("--out", required=True, help="curated parquet output dir")
+    cur.add_argument("--text-col", default="text")
+    cur.add_argument("--id-col", default="doc_id")
+    cur.add_argument("--group-col", default=None, help="domain column for per-group cap")
+    cur.add_argument("--cap", type=int, default=50, help="max docs per group")
+    cur.add_argument("--fraction", type=float, default=1.0,
+                     help="deterministic sample fraction")
+    cur.add_argument("--neardup", action="store_true",
+                     help="also resolve MinHash near-dup clusters")
+
     syn = sub.add_parser("synth", help="write a deterministic synthetic web corpus")
     syn.add_argument("--rows", type=int, required=True)
     syn.add_argument("--out", required=True)
@@ -132,6 +146,19 @@ def main(argv: list[str] | None = None) -> int:
             m = read_manifest(spark, args.out).agg(
                 F.count("*"), F.sum("n_rows")).collect()[0]
             print(json.dumps({"partitions": m[0], "rows": m[1]}))
+        elif args.cmd == "curate":
+            from fsst_spark.pipeline.curate import curate
+            from fsst_spark.sources import read_table
+
+            stages = curate(
+                read_table(spark, args.input),
+                text_col=args.text_col, id_col=args.id_col,
+                group_col=args.group_col, cap_n=args.cap,
+                sample_fraction=args.fraction, neardup=args.neardup,
+            )
+            stages["sampled"].write.mode("overwrite").parquet(args.out)
+            n_out = spark.read.parquet(args.out).count()
+            print(json.dumps({"curated_to": args.out, "rows": n_out}))
         elif args.cmd == "synth":
             from fsst_spark.synth.webcorpus import synth_web_df
 

@@ -1,0 +1,32 @@
+"""CLI smoke: the spark-submit entry points run end-to-end in a fresh
+process (the CLI owns and stops its own SparkSession, so it cannot share
+the test-session fixture)."""
+
+import json
+import os
+import subprocess
+import sys
+
+
+def _run(*args):
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    out = subprocess.run(
+        [sys.executable, "-m", "fsst_spark.jobs.cli", *args],
+        capture_output=True, text=True, timeout=420, env=env,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_cli_synth_then_curate(tmp_path):
+    src = str(tmp_path / "corpus")
+    out = str(tmp_path / "curated")
+    r = _run("synth", "--rows", "300", "--out", src)
+    assert r["rows"] == 300
+    r = _run("curate", "--input", src, "--out", out,
+             "--id-col", "url", "--group-col", "lang",
+             "--cap", "40", "--fraction", "0.5")
+    assert 0 < r["rows"] <= 300
+    import glob
+    assert glob.glob(out + "/*.parquet")
