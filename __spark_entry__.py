@@ -192,6 +192,35 @@ def q_lang_id(spark, sf_dir):
     )
 
 
+def q_zonemap_decode(spark, sf_dir):
+    """Selective decode through zone maps: encode (doc_id, n_chars), then
+    decode only chunks whose zone can satisfy n_chars >= 300 and apply the
+    exact row filter — result must equal the plain SQL filter. The id-sum
+    pins the exact row set (chunk pruning must never drop matching rows)."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.decode import decode_filtered
+    from fsst_spark.jobs.encode import encode_job
+
+    out = tempfile.mkdtemp(prefix="fsst_zonemap_q_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+        encode_job(spark, docs, out, chunk_bytes=256 << 10, resume=False,
+                   pre_partitioned=True, unique_col="doc_id").collect()
+        r = decode_filtered(spark, out, "n_chars", ">=", 300).agg(
+            F.count("*").alias("n_rows"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum("doc_id").alias("sum_ids"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["n_rows"], r["sum_chars"], r["sum_ids"])],
+        "n_rows bigint, sum_chars bigint, sum_ids bigint",
+    )
+
+
 def q_curation_pipeline(spark, sf_dir):
     """End-to-end curation: Gopher quality filter -> exact dedup ->
     per-domain cap(50) -> deterministic 50% sample. Per-stage counts plus
@@ -544,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_quality_stats": q_token_quality_stats,
         "lang_id": q_lang_id,
         "curation_pipeline": q_curation_pipeline,
+        "zonemap_decode": q_zonemap_decode,
         "deterministic_sample": q_deterministic_sample,
         "cap_per_group": q_cap_per_group,
         "gopher_quality": q_gopher_quality,
@@ -717,6 +747,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN stw THEN 1 ELSE 0 END) AS BIGINT) AS n_stopword_ok, "
             "CAST(sum(CASE WHEN wc AND mwl AND sym AND bul AND dup AND stw "
             "THEN 1 ELSE 0 END) AS BIGINT) AS n_keep FROM g"
+        ),
+        "zonemap_decode": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_ids "
+            "FROM documents WHERE n_chars >= 300"
         ),
         "curation_pipeline": (
             f"WITH f AS ({_GOPHER_F_SQL}), "

@@ -76,10 +76,52 @@ def decoded_schema_ddl(spark, out_dir: str, columns: list[str] | None = None) ->
     return f"pid int, chunk_id int, {ddl}", ordered
 
 
-def decode_job(spark, out_dir: str, columns: list[str] | None = None) -> DataFrame:
-    """DataFrame of the decoded table (plus pid/chunk_id provenance cols)."""
+_ZONE_OPS = {
+    ">=": lambda v: F.col("zmax_long") >= v,
+    ">": lambda v: F.col("zmax_long") > v,
+    "<=": lambda v: F.col("zmin_long") <= v,
+    "<": lambda v: F.col("zmin_long") < v,
+    "==": lambda v: (F.col("zmin_long") <= v) & (F.col("zmax_long") >= v),
+}
+
+
+def _zone_prune(chunks: DataFrame, zsrc: DataFrame,
+                zone_filter: tuple[str, str, int]) -> DataFrame:
+    """Drop chunk groups whose zone map proves ``col op value`` matches no
+    row. Conservative: chunks with null zones (string columns, all-null
+    chunks, pre-zone-map encodes) are always kept. The zone predicate
+    filters the narrow (pid, chunk_id, zmin, zmax) projection at the
+    parquet scan (PushedFilters), and survivors semi-join back on the
+    narrow chunk key — pruned payload bytes are never read."""
+    col, op, value = zone_filter
+    if op not in _ZONE_OPS:
+        raise ValueError(f"zone op must be one of {sorted(_ZONE_OPS)}, got {op!r}")
+    if "zmin_long" not in chunks.columns:
+        return chunks  # pre-zone-map encode: nothing to prune on
+    keep = (
+        zsrc.filter(F.col("column") == col)
+        .filter(F.col("zmin_long").isNull() | _ZONE_OPS[op](int(value)))
+        .select("pid", "chunk_id")
+    )
+    return chunks.join(keep, ["pid", "chunk_id"], "left_semi")
+
+
+def decode_job(spark, out_dir: str, columns: list[str] | None = None,
+               zone_filter: tuple[str, str, int] | None = None) -> DataFrame:
+    """DataFrame of the decoded table (plus pid/chunk_id provenance cols).
+
+    ``zone_filter=(col, op, value)`` prunes whole chunks via the encode-time
+    zone maps BEFORE any payload is read or decoded — chunk-granular, so the
+    result still contains non-matching rows from surviving chunks; apply the
+    exact row predicate afterwards (``decode_filtered`` does both)."""
     ddl, ordered = decoded_schema_ddl(spark, out_dir, columns)
     chunks = _chunks_df(spark, out_dir, columns)
+    if zone_filter is not None:
+        decoded_schema_ddl(spark, out_dir, [zone_filter[0]])  # KeyError if absent
+        # the zone column may be outside the requested column subset, so
+        # the keep-set reads its own (narrow, zone-only) projection
+        zsrc = _chunks_df(spark, out_dir, [zone_filter[0]])
+        chunks = _zone_prune(chunks, zsrc, zone_filter)
     # Co-locate all column rows of one chunk in one task. Chunk rows are
     # few and fat (payload ~MBs), so the shuffle moves encoded (small)
     # bytes — decoding after the shuffle keeps shuffled volume minimal.
@@ -105,6 +147,29 @@ def decode_job(spark, out_dir: str, columns: list[str] | None = None) -> DataFra
         assert not pending, f"incomplete chunks (missing column rows): {list(pending)[:4]}"
 
     return chunks.mapInArrow(decode_task, ddl)
+
+
+def decode_filtered(spark, out_dir: str, col: str, op: str, value: int,
+                    columns: list[str] | None = None) -> DataFrame:
+    """Selective decode: zone-map chunk pruning + the exact row predicate.
+
+    Returns exactly the rows satisfying ``col op value`` while reading and
+    decoding only the chunks whose zone maps can match — on a corpus whose
+    encode order correlates with ``col`` (time-partitioned crawls, sorted
+    ids) this touches a small fraction of the payload bytes at 100 TB."""
+    cols = columns
+    if cols is not None and col not in cols:
+        cols = [*cols, col]
+    df = decode_job(spark, out_dir, cols, zone_filter=(col, op, value))
+    row_pred = {
+        ">=": F.col(col) >= value, ">": F.col(col) > value,
+        "<=": F.col(col) <= value, "<": F.col(col) < value,
+        "==": F.col(col) == value,
+    }[op]
+    df = df.where(row_pred)
+    if columns is not None and col not in columns:
+        df = df.drop(col)
+    return df
 
 
 def _emit(key: tuple[int, int], cols: dict[str, pa.Array], ordered: list[str]) -> pa.RecordBatch:

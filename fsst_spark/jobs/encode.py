@@ -55,6 +55,12 @@ CHUNK_SCHEMA = pa.schema(
         ("raw_bytes", pa.int64()),
         ("enc_bytes", pa.int64()),
         ("checksum", pa.string()),
+        # zone map: exact per-chunk min/max for int/timestamp columns
+        # (timestamps in their storage unit), null for other types and
+        # all-null chunks. decode_job prunes chunk groups on these at the
+        # parquet scan, so a selective decode never reads pruned payloads.
+        ("zmin_long", pa.int64()),
+        ("zmax_long", pa.int64()),
     ]
 )
 
@@ -265,6 +271,7 @@ def _encode_one_partition(pid: int, batches: Iterator[pa.RecordBatch], out_dir: 
             m["raw"] += raw
             m["enc"] += len(enc["payload"])
             m["codecs"][enc["codec"]] = m["codecs"].get(enc["codec"], 0) + 1
+            has_values = stats.get("n", 0) > stats.get("nulls", 0)
             records.append(
                 {
                     "pid": pid, "chunk_id": chunk_id, "column": name,
@@ -273,6 +280,8 @@ def _encode_one_partition(pid: int, batches: Iterator[pa.RecordBatch], out_dir: 
                     "payload": enc["payload"], "n_rows": len(arr),
                     "raw_bytes": raw, "enc_bytes": len(enc["payload"]),
                     "checksum": canonical_bytes(arr),
+                    "zmin_long": stats.get("min") if has_values else None,
+                    "zmax_long": stats.get("max") if has_values else None,
                 }
             )
         n_rows_total += tbl.num_rows

@@ -1,0 +1,82 @@
+"""Zone-map chunk pruning: selective decode must be exact AND provably
+skip chunks whose min/max excludes the predicate."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fsst_spark.jobs.decode import decode_filtered, decode_job
+from fsst_spark.jobs.encode import encode_job
+
+
+@pytest.fixture(scope="module")
+def encoded(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("zm_enc"))
+    df = (
+        spark.range(0, 4000, 1, 4)  # 4 ordered contiguous partitions
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("text", F.concat(F.lit("document body number "),
+                                     F.col("doc_id").cast("string")))
+    )
+    # chunk flushes happen at Arrow-batch boundaries; shrink the batches so
+    # each partition yields several chunks with disjoint doc_id ranges
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "200")
+    try:
+        encode_job(spark, df, out, chunk_bytes=1 << 10, resume=False,
+                   pre_partitioned=True, unique_col="doc_id").collect()
+    finally:
+        spark.conf.set(key, old)
+    return out
+
+
+def test_zone_filtered_decode_is_exact(spark, encoded):
+    got = {
+        (r["doc_id"], r["text"])
+        for r in decode_filtered(spark, encoded, "doc_id", ">=", 3900).collect()
+    }
+    expect = {(i, f"document body number {i}") for i in range(3900, 4000)}
+    assert got == expect
+
+
+@pytest.mark.parametrize("op,val,lo,hi", [
+    ("<", 150, 0, 149), ("<=", 150, 0, 150),
+    (">", 3849, 3850, 3999), ("==", 2000, 2000, 2000),
+])
+def test_zone_ops_exact(spark, encoded, op, val, lo, hi):
+    ids = sorted(r["doc_id"] for r in
+                 decode_filtered(spark, encoded, "doc_id", op, val,
+                                 columns=["doc_id"]).collect())
+    assert ids == list(range(lo, hi + 1))
+
+
+def test_zone_pruning_skips_chunks(spark, encoded):
+    full = decode_job(spark, encoded)
+    pruned = decode_job(spark, encoded, zone_filter=("doc_id", ">=", 3900))
+    n_full = full.select("pid", "chunk_id").distinct().count()
+    n_pruned = pruned.select("pid", "chunk_id").distinct().count()
+    assert n_full >= 8, f"corpus produced too few chunks ({n_full}) to test pruning"
+    assert n_pruned < n_full / 2, (n_pruned, n_full)
+
+
+def test_zone_keep_filter_pushed_to_scan(spark, encoded):
+    import contextlib
+    import io
+    import re
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        decode_job(spark, encoded,
+                   zone_filter=("doc_id", ">=", 3900)).explain("formatted")
+    plan = buf.getvalue()
+    pushed = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+    # the zone predicate must reach the keep-side parquet scan itself
+    assert any("GreaterThanOrEqual(zmax_long,3900)" in p for p in pushed), pushed
+    # and that scan must be payload-free (narrow zone projection only)
+    scans = re.findall(r"ReadSchema: struct<[^>]*>", plan)
+    assert any("payload" not in s and "zmax_long" in s for s in scans), scans
+
+
+def test_zone_filter_unknown_column_raises(spark, encoded):
+    with pytest.raises(KeyError):
+        decode_job(spark, encoded, zone_filter=("nope", ">=", 1)).collect()
