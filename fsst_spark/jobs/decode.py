@@ -84,9 +84,21 @@ _ZONE_OPS = {
     "==": lambda v: (F.col("zmin_long") <= v) & (F.col("zmax_long") >= v),
 }
 
+# String zones are 8-byte PREFIX bounds (zone_pack8): equal prefixes
+# collapse, so s < X only implies pack(s) <= pack(X) — the strict ops must
+# compare non-strictly or a shared-prefix boundary chunk would be wrongly
+# pruned. Ints use exact zones and keep the strict forms above.
+_ZONE_OPS_PREFIX = {
+    ">=": _ZONE_OPS[">="],
+    ">": _ZONE_OPS[">="],
+    "<=": _ZONE_OPS["<="],
+    "<": _ZONE_OPS["<="],
+    "==": _ZONE_OPS["=="],
+}
+
 
 def _zone_prune(chunks: DataFrame, zsrc: DataFrame,
-                zone_filter: tuple[str, str, int]) -> DataFrame:
+                zone_filter: tuple[str, str, int | str]) -> DataFrame:
     """Drop chunk groups whose zone map proves ``col op value`` matches no
     row. Conservative: chunks with null zones (string columns, all-null
     chunks, pre-zone-map encodes) are always kept. The zone predicate
@@ -98,16 +110,22 @@ def _zone_prune(chunks: DataFrame, zsrc: DataFrame,
         raise ValueError(f"zone op must be one of {sorted(_ZONE_OPS)}, got {op!r}")
     if "zmin_long" not in chunks.columns:
         return chunks  # pre-zone-map encode: nothing to prune on
+    if isinstance(value, (str, bytes)):
+        from .encode import zone_pack8
+
+        zval, ops = zone_pack8(value), _ZONE_OPS_PREFIX
+    else:
+        zval, ops = int(value), _ZONE_OPS
     keep = (
         zsrc.filter(F.col("column") == col)
-        .filter(F.col("zmin_long").isNull() | _ZONE_OPS[op](int(value)))
+        .filter(F.col("zmin_long").isNull() | ops[op](zval))
         .select("pid", "chunk_id")
     )
     return chunks.join(keep, ["pid", "chunk_id"], "left_semi")
 
 
 def decode_job(spark, out_dir: str, columns: list[str] | None = None,
-               zone_filter: tuple[str, str, int] | None = None) -> DataFrame:
+               zone_filter: tuple[str, str, int | str] | None = None) -> DataFrame:
     """DataFrame of the decoded table (plus pid/chunk_id provenance cols).
 
     ``zone_filter=(col, op, value)`` prunes whole chunks via the encode-time
@@ -149,7 +167,7 @@ def decode_job(spark, out_dir: str, columns: list[str] | None = None,
     return chunks.mapInArrow(decode_task, ddl)
 
 
-def decode_filtered(spark, out_dir: str, col: str, op: str, value: int,
+def decode_filtered(spark, out_dir: str, col: str, op: str, value: int | str,
                     columns: list[str] | None = None) -> DataFrame:
     """Selective decode: zone-map chunk pruning + the exact row predicate.
 

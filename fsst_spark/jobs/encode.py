@@ -128,6 +128,42 @@ def raw_size_of(arr: pa.Array) -> int:
     return len(arr) * max(t.bit_width // 8, 1) if hasattr(t, "bit_width") else arr.nbytes
 
 
+def zone_pack8(value: bytes | str) -> int:
+    """Order-preserving int64 of a string/binary prefix.
+
+    Big-endian uint64 of the first 8 bytes (zero-padded), shifted into
+    int64 range: for any s1 <= s2 under bytewise (UTF8_BINARY) collation,
+    zone_pack8(s1) <= zone_pack8(s2). Equal prefixes collapse — the zone
+    stays a conservative bound, never an exact one, which is all pruning
+    needs. Both Spark (UTF8_BINARY default) and DuckDB (binary collation)
+    compare strings bytewise, so the same transform prunes for either.
+
+    Prefix zones only discriminate when values differ within their first
+    8 bytes: a column of full URLs collapses to the constant 'https://'
+    zone (no pruning, still correct). Store URLs scheme-stripped or
+    host-reversed — the standard columnar-layout practice — to make their
+    zones selective."""
+    b = value.encode("utf-8", "surrogatepass") if isinstance(value, str) else value
+    return int.from_bytes(b[:8].ljust(8, b"\0"), "big") - (1 << 63)
+
+
+def _zone_bounds(arr: pa.Array, stats: dict) -> tuple[int | None, int | None]:
+    """Per-chunk zone bounds as int64: exact min/max for ints/timestamps,
+    order-preserving 8-byte prefixes for strings/binary, null otherwise."""
+    if stats.get("n", 0) <= stats.get("nulls", 0):
+        return None, None
+    if "min" in stats:  # ints/timestamps: chunk_stats already scanned them
+        return stats["min"], stats["max"]
+    t = arr.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t) \
+            or pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        import pyarrow.compute as pc
+
+        mm = pc.min_max(arr)
+        return zone_pack8(mm["min"].as_py()), zone_pack8(mm["max"].as_py())
+    return None, None
+
+
 def completed_pids(out_dir: str) -> set[int]:
     mdir = os.path.join(out_dir, "manifest")
     if not os.path.isdir(mdir):
@@ -271,7 +307,7 @@ def _encode_one_partition(pid: int, batches: Iterator[pa.RecordBatch], out_dir: 
             m["raw"] += raw
             m["enc"] += len(enc["payload"])
             m["codecs"][enc["codec"]] = m["codecs"].get(enc["codec"], 0) + 1
-            has_values = stats.get("n", 0) > stats.get("nulls", 0)
+            zmin, zmax = _zone_bounds(arr, stats)
             records.append(
                 {
                     "pid": pid, "chunk_id": chunk_id, "column": name,
@@ -280,8 +316,7 @@ def _encode_one_partition(pid: int, batches: Iterator[pa.RecordBatch], out_dir: 
                     "payload": enc["payload"], "n_rows": len(arr),
                     "raw_bytes": raw, "enc_bytes": len(enc["payload"]),
                     "checksum": canonical_bytes(arr),
-                    "zmin_long": stats.get("min") if has_values else None,
-                    "zmax_long": stats.get("max") if has_values else None,
+                    "zmin_long": zmin, "zmax_long": zmax,
                 }
             )
         n_rows_total += tbl.num_rows

@@ -80,3 +80,49 @@ def test_zone_keep_filter_pushed_to_scan(spark, encoded):
 def test_zone_filter_unknown_column_raises(spark, encoded):
     with pytest.raises(KeyError):
         decode_job(spark, encoded, zone_filter=("nope", ">=", 1)).collect()
+
+
+def test_zone_pack8_is_order_preserving():
+    from fsst_spark.jobs.encode import zone_pack8
+
+    vals = ["", "a", "ab", "ab\x00", "abc", "abcdefgh", "abcdefghZZZ",
+            "b", "zz", "\x7f", "éclair", "￿" * 3]
+    import functools
+    svals = sorted(vals, key=functools.cmp_to_key(
+        lambda x, y: (x.encode() > y.encode()) - (x.encode() < y.encode())))
+    packed = [zone_pack8(v) for v in svals]
+    assert packed == sorted(packed)  # non-strict monotone in byte order
+
+
+def test_zone_string_prefix_pruning_exact_and_effective(spark, tmp_path):
+    out = str(tmp_path / "zs")
+    # scheme-stripped keys: full URLs would share the constant 'https://'
+    # 8-byte prefix and collapse every zone (correct but never prunes)
+    rows = [(i, f"site{i // 1000}.example/page/{i:06d}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, url string").repartition(4, "doc_id")
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "200")
+    try:
+        # url prefixes correlate with encode order only per-partition; sort
+        # within partitions so chunks get tight url zones
+        src = df.sortWithinPartitions("url")
+        encode_job(spark, src, out, chunk_bytes=2 << 10, resume=False,
+                   pre_partitioned=True, unique_col="doc_id").collect()
+    finally:
+        spark.conf.set(key, old)
+
+    got = sorted(r["doc_id"] for r in decode_filtered(
+        spark, out, "url", ">=", "site3.example/").collect())
+    assert got == list(range(3000, 4000))
+
+    pruned = decode_job(spark, out, zone_filter=("url", ">=", "site3.example/"))
+    full = decode_job(spark, out)
+    n_pruned = pruned.select("pid", "chunk_id").distinct().count()
+    n_full = full.select("pid", "chunk_id").distinct().count()
+    assert n_pruned < n_full, (n_pruned, n_full)
+
+    # equality with a shared-prefix boundary value must stay exact
+    probe = "site2.example/page/002500"
+    got_eq = [r["doc_id"] for r in decode_filtered(spark, out, "url", "==", probe).collect()]
+    assert got_eq == [2500]
