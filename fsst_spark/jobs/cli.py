@@ -44,6 +44,9 @@ def main(argv: list[str] | None = None) -> int:
     dec.add_argument("--data", required=True)
     dec.add_argument("--out", required=True)
     dec.add_argument("--columns", default=None)
+    dec.add_argument("--where", default=None, metavar="COL:OP:VALUE",
+                     help="selective decode via zone maps, e.g. doc_id:>=:1000 "
+                          "(ops: >= > <= < ==; VALUE parsed as int when numeric)")
 
     ver = sub.add_parser("verify", help="chunk checksum round-trip verification")
     ver.add_argument("--data", required=True)
@@ -110,12 +113,17 @@ def main(argv: list[str] | None = None) -> int:
                 "rows": m[3], "ratio": round(m[1] / max(m[2], 1), 3),
             }))
         elif args.cmd == "decode":
-            from fsst_spark.jobs.decode import decode_job
+            from fsst_spark.jobs.decode import decode_filtered, decode_job
 
             cols = args.columns.split(",") if args.columns else None
-            decode_job(spark, args.data, cols).drop("pid", "chunk_id") \
-                .write.mode("overwrite").parquet(args.out)
-            print(json.dumps({"decoded_to": args.out}))
+            if args.where:
+                col, op, raw = args.where.split(":", 2)
+                val: int | str = int(raw) if raw.lstrip("-").isdigit() else raw
+                df = decode_filtered(spark, args.data, col, op, val, cols)
+            else:
+                df = decode_job(spark, args.data, cols)
+            df.drop("pid", "chunk_id").write.mode("overwrite").parquet(args.out)
+            print(json.dumps({"decoded_to": args.out, "where": args.where}))
         elif args.cmd == "verify":
             from pyspark.sql import functions as F
 

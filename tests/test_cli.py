@@ -30,3 +30,17 @@ def test_cli_synth_then_curate(tmp_path):
     assert 0 < r["rows"] <= 300
     import glob
     assert glob.glob(out + "/*.parquet")
+
+
+def test_cli_encode_then_selective_decode(tmp_path):
+    src = str(tmp_path / "corpus2")
+    enc = str(tmp_path / "encoded")
+    dec = str(tmp_path / "decoded")
+    _run("synth", "--rows", "400", "--out", src)
+    r = _run("encode", "--input", src, "--out", enc, "--partitions", "4")
+    assert r["rows"] == 400 and r["ratio"] > 1.5
+    _run("decode", "--data", enc, "--out", dec,
+         "--where", "url:>=:https://")
+    import duckdb
+    n = duckdb.sql(f"SELECT count(*) FROM read_parquet('{dec}/*.parquet')").fetchone()[0]
+    assert n == 400  # every synthetic url matches; selective path exercised
