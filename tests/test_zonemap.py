@@ -126,3 +126,50 @@ def test_zone_string_prefix_pruning_exact_and_effective(spark, tmp_path):
     probe = "site2.example/page/002500"
     got_eq = [r["doc_id"] for r in decode_filtered(spark, out, "url", "==", probe).collect()]
     assert got_eq == [2500]
+
+
+def test_zone_pack8_property_order_preserving():
+    """Property: zone_pack8 is non-strict monotone under bytewise order
+    for arbitrary byte strings (the exact invariant pruning relies on)."""
+    from hypothesis import given, settings, strategies as st
+
+    from fsst_spark.jobs.encode import zone_pack8
+
+    @settings(max_examples=500, deadline=None)
+    @given(st.binary(max_size=24), st.binary(max_size=24))
+    def check(a, b):
+        pa_, pb = zone_pack8(a), zone_pack8(b)
+        if a <= b:
+            assert pa_ <= pb
+        else:
+            assert pa_ >= pb
+
+    check()
+
+
+def test_zone_timestamp_filter(spark, tmp_path):
+    """Timestamp columns carry exact int64 zones in their storage unit;
+    decode_filtered takes the threshold in microseconds."""
+    out = str(tmp_path / "zt")
+    base = 1_700_000_000_000_000  # us
+    df = (
+        spark.range(0, 2000, 1, 2)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("ts", F.timestamp_micros(F.lit(base) + F.col("doc_id") * 1_000_000))
+    )
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "200")
+    try:
+        encode_job(spark, df, out, chunk_bytes=1 << 10, resume=False,
+                   pre_partitioned=True, unique_col="doc_id").collect()
+    finally:
+        spark.conf.set(key, old)
+    cutoff = base + 1900 * 1_000_000
+    got = decode_job(spark, out, zone_filter=("ts", ">=", cutoff))
+    full = decode_job(spark, out)
+    assert got.select("pid", "chunk_id").distinct().count() \
+        < full.select("pid", "chunk_id").distinct().count()
+    ids = sorted(r["doc_id"] for r in
+                 got.where(F.unix_micros("ts") >= cutoff).collect())
+    assert ids == list(range(1900, 2000))
