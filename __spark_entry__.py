@@ -221,6 +221,40 @@ def q_zonemap_decode(spark, sf_dir):
     )
 
 
+def q_zonemap_decode_multi(spark, sf_dir):
+    """Conjunctive + typed selective decode: three zone filters AND-ed at
+    the chunk level — an int range pair (n_chars) and a float threshold on
+    an ALP-coded price column — then exact row predicates. Result must
+    equal the plain SQL filter; sum(doc_id) pins the exact row set."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.decode import decode_filtered
+    from fsst_spark.jobs.encode import encode_job
+
+    out = tempfile.mkdtemp(prefix="fsst_zonemap_multi_q_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "n_chars").withColumn(
+            "price", F.col("n_chars").cast("double") / 100.0)
+        encode_job(spark, docs, out, chunk_bytes=256 << 10, resume=False,
+                   pre_partitioned=True, unique_col="doc_id").collect()
+        r = decode_filtered(
+            spark, out,
+            filters=[("n_chars", ">=", 300), ("price", "<=", 9.0),
+                     ("doc_id", ">", 100)],
+        ).agg(
+            F.count("*").alias("n_rows"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum("doc_id").alias("sum_ids"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["n_rows"], r["sum_chars"], r["sum_ids"])],
+        "n_rows bigint, sum_chars bigint, sum_ids bigint",
+    )
+
+
 def q_curation_pipeline(spark, sf_dir):
     """End-to-end curation: Gopher quality filter -> exact dedup ->
     per-domain cap(50) -> deterministic 50% sample. Per-stage counts plus
@@ -279,7 +313,7 @@ def q_streaming_dedup(spark, sf_dir):
     from fsst_spark.streaming import streaming_dedup
 
     aug = _augmented_docs(spark, sf_dir)
-    out = streaming_dedup(aug, text_col="text")
+    out = streaming_dedup(aug, text_col="text", tie_col="doc_id")
     n_in = aug.agg(F.count("*").alias("n_in"))
     stats = out.agg(
         F.count("*").alias("n_out"),
@@ -574,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "curation_pipeline": q_curation_pipeline,
         "zonemap_decode": q_zonemap_decode,
+        "zonemap_decode_multi": q_zonemap_decode_multi,
         "deterministic_sample": q_deterministic_sample,
         "cap_per_group": q_cap_per_group,
         "gopher_quality": q_gopher_quality,
@@ -753,6 +788,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
             "CAST(sum(doc_id) AS BIGINT) AS sum_ids "
             "FROM documents WHERE n_chars >= 300"
+        ),
+        "zonemap_decode_multi": (
+            # price = n_chars/100.0: IEEE division is correctly rounded in
+            # both engines, so the float predicate is deterministic
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_ids "
+            "FROM documents WHERE n_chars >= 300 "
+            "AND CAST(n_chars AS DOUBLE) / 100.0 <= 9.0 AND doc_id > 100"
         ),
         "curation_pipeline": (
             f"WITH f AS ({_GOPHER_F_SQL}), "

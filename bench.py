@@ -256,12 +256,17 @@ def main() -> None:
     # to a real N->4N cluster (which adds machines WITH their own memory
     # buses). The saturated 8->32 regime is kept as a secondary artifact.
     try:
-        probes = _scaling_probes(corpus_dir, 2, 8)
+        # quiet-gated: keep trialing (warm pools) until >=3 control-quiet
+        # windows are captured or the 40-trial budget runs out, so the
+        # committed artifact carries the north-rule evidence, not whatever
+        # noise phase one fixed-length run landed in
+        probes = _scaling_probes(corpus_dir, 2, 8, trials=8,
+                                 min_quiet=3, max_trials=40, deadline_sec=210)
     except Exception as exc:
         print(f"scaling probes failed: {exc}", file=sys.stderr)
         probes = dict(probes_failed)
     try:
-        probes_sat = _scaling_probes(corpus_dir, SMALL_CPUS, CPUS, trials=6)
+        probes_sat = _scaling_probes(corpus_dir, SMALL_CPUS, CPUS, trials=4)
     except Exception as exc:
         print(f"saturated scaling probes failed: {exc}", file=sys.stderr)
         probes_sat = dict(probes_failed)
@@ -292,11 +297,47 @@ def main() -> None:
         "sf": sf,
         **extras,
     }
-    print(json.dumps(out))
+    try:  # full detail (per-trial arrays, walls) lives in a side file
+        with open(os.path.join(REPO, "BENCH", "bench_detail.json"), "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError as exc:
+        print(f"bench detail write failed: {exc}", file=sys.stderr)
+    print(json.dumps(compact_output(out)))
+
+
+# keys whose values are unbounded arrays — dropped from the printed line so
+# the driver's tail capture always parses (the r3 artifact was unparseable
+# because probe_trials pushed the line past the capture window)
+_BULKY_KEYS = ("probe_trials", "walls_1_sec", "walls_4_sec",
+               "walls_small_sec", "walls_big_sec")
+MAX_LINE_BYTES = 4096
+
+
+def compact_output(out: dict) -> dict:
+    """The ONE printed JSON line: everything in ``out`` minus per-trial
+    arrays (kept in BENCH/bench_detail.json). Must stay parseable and short
+    — tests/test_bench_contract.py pins the contract."""
+    def strip(d: dict) -> dict:
+        return {k: strip(v) if isinstance(v, dict) else v
+                for k, v in d.items() if k not in _BULKY_KEYS}
+
+    compact = strip(out)
+    # degrade rather than die: the artifact parsing is the whole point
+    for drop in ("probe_saturated", "probe_design"):
+        if len(json.dumps(compact)) <= MAX_LINE_BYTES:
+            break
+        compact.get("scaling", {}).pop(drop, None)
+    line = json.dumps(compact)
+    assert len(line) <= MAX_LINE_BYTES, (
+        f"bench line grew to {len(line)}B > {MAX_LINE_BYTES}B — move the "
+        "new bulk into BENCH/bench_detail.json (driver tail capture limit)")
+    return compact
 
 
 def _scaling_probes(corpus_dir: str, n_small: int, n_big: int,
-                    trials: int = 10, reps: int | None = None) -> dict:
+                    trials: int = 10, reps: int | None = None,
+                    min_quiet: int = 0, max_trials: int | None = None,
+                    deadline_sec: float | None = None) -> dict:
     """Paired, interleaved kernel-vs-CPU-control scaling probes.
 
     All arms (kernel, ALU control, memory-bandwidth control — each at
@@ -344,7 +385,7 @@ def _scaling_probes(corpus_dir: str, n_small: int, n_big: int,
 
     def membw(n: int) -> float:
         t0 = time.time()
-        res = pools[n].map(_membw_task, [(16 << 20, 48)] * n)
+        res = pools[n].map(_membw_task, [(16 << 20, 24)] * n)
         return sum(res) / 1e6 / (time.time() - t0)
 
     # One full untimed pass through the exact timed path so every worker
@@ -354,10 +395,11 @@ def _scaling_probes(corpus_dir: str, n_small: int, n_big: int,
 
     ratio_par = n_big / n_small
     rows = []
-    for _ in range(trials):
+
+    def one_trial() -> dict:
         ks, cs, ms = kern(n_small), cpu(n_small), membw(n_small)
         kb, cb, mb = kern(n_big), cpu(n_big), membw(n_big)
-        rows.append({
+        return {
             "kern_small": ks, "cpu_small": cs, "membw_small": ms,
             "kern_big": kb, "cpu_big": cb, "membw_big": mb,
             "kern_eff": (kb / ks) / ratio_par,
@@ -365,7 +407,25 @@ def _scaling_probes(corpus_dir: str, n_small: int, n_big: int,
             "membw_eff": (mb / ms) / ratio_par,
             "engine_vs_cpu": (kb / ks) / (cb / cs),
             "engine_vs_membw": (kb / ks) / (mb / ms),
-        })
+        }
+
+    def n_quiet() -> int:
+        return sum(1 for r in rows
+                   if r["cpu_eff"] >= 0.85 and r["membw_eff"] >= 0.75)
+
+    t_loop = time.time()
+    for _ in range(trials):
+        rows.append(one_trial())
+    # Quiet-gated recording: the committed artifact must carry >= min_quiet
+    # control-quiet trials (the north-rule evidence), so instead of recording
+    # whatever noise window the single driver run happened to hit, keep
+    # running trials — pools stay warm — until the host gives quiet windows
+    # or the trial/wall budget runs out (the deadline keeps a saturated
+    # host from stalling the whole bench).
+    while (min_quiet and n_quiet() < min_quiet
+           and len(rows) < (max_trials or trials)
+           and (deadline_sec is None or time.time() - t_loop < deadline_sec)):
+        rows.append(one_trial())
     for pool in pools.values():
         pool.terminate()
 
@@ -473,7 +533,7 @@ def _cpu_control(nproc: int, trials: int = 3) -> float:
 
 def _spin_task(_i: int) -> int:
     x = 0
-    for i in range(20_000_000):
+    for i in range(10_000_000):  # ~1s: dwarfs Pool.map dispatch jitter
         x += i
     return x
 

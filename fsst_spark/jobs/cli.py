@@ -25,6 +25,18 @@ import json
 import sys
 
 
+def _coerce_where(arrow_name: str, raw: str):
+    """CLI --where VALUE -> the filter column's type category."""
+    if arrow_name.startswith("int"):
+        return int(raw)
+    if arrow_name in ("float", "double"):
+        return float(raw)
+    if arrow_name.startswith("timestamp["):
+        # raw int = storage-unit ticks; else ISO-8601 (decode parses it)
+        return int(raw) if raw.lstrip("-").isdigit() else raw
+    return raw  # string/binary columns keep the text verbatim
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="fsst_spark", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -44,9 +56,12 @@ def main(argv: list[str] | None = None) -> int:
     dec.add_argument("--data", required=True)
     dec.add_argument("--out", required=True)
     dec.add_argument("--columns", default=None)
-    dec.add_argument("--where", default=None, metavar="COL:OP:VALUE",
-                     help="selective decode via zone maps, e.g. doc_id:>=:1000 "
-                          "(ops: >= > <= < ==; VALUE parsed as int when numeric)")
+    dec.add_argument("--where", action="append", default=None, metavar="COL:OP:VALUE",
+                     help="selective decode via zone maps, e.g. doc_id:>=:1000; "
+                          "repeatable (conjunction: every predicate must hold). "
+                          "Ops: >= > <= < ==. VALUE is coerced to the COLUMN's "
+                          "type (int/float/timestamp-ISO/string) — a string "
+                          "column keeps numeric-looking text as text")
 
     ver = sub.add_parser("verify", help="chunk checksum round-trip verification")
     ver.add_argument("--data", required=True)
@@ -87,21 +102,39 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name=f"fsst_spark_{args.cmd}")
     try:
         if args.cmd == "encode":
-            from fsst_spark.jobs.encode import encode_job, read_manifest
+            import os
+
+            from fsst_spark.jobs.encode import (encode_files_job, encode_job,
+                                                read_manifest)
             from fsst_spark.sources import read_table
 
-            metrics = encode_job(
-                spark,
-                read_table(spark, args.input),
-                args.out,
-                columns=args.columns.split(",") if args.columns else None,
-                num_partitions=args.partitions,
-                group_cols=args.group_by.split(",") if args.group_by else None,
-                unique_col=args.unique_col,
-                chunk_bytes=args.chunk_mb << 20,
-                resume=not args.no_resume,
-                lineage={"source": args.input, "cli": True},
-            ).collect()
+            cols = args.columns.split(",") if args.columns else None
+            plain_parquet = (os.path.isdir(args.input)
+                             and not args.input.startswith("iceberg:"))
+            if plain_parquet and not args.group_by and not args.partitions:
+                # Fast path: file-granular columnar encode (pyarrow reads in
+                # the task, no JVM row<->Arrow hop, no shuffle) — >2x the
+                # DataFrame-scan arm on the same input. The scan arm stays
+                # for --group-by / --partitions, which need a repartition.
+                metrics = encode_files_job(
+                    spark, args.input, args.out, columns=cols,
+                    chunk_bytes=args.chunk_mb << 20,
+                    resume=not args.no_resume,
+                    lineage={"source": args.input, "cli": True},
+                ).collect()
+            else:
+                metrics = encode_job(
+                    spark,
+                    read_table(spark, args.input),
+                    args.out,
+                    columns=cols,
+                    num_partitions=args.partitions,
+                    group_cols=args.group_by.split(",") if args.group_by else None,
+                    unique_col=args.unique_col,
+                    chunk_bytes=args.chunk_mb << 20,
+                    resume=not args.no_resume,
+                    lineage={"source": args.input, "cli": True},
+                ).collect()
             from pyspark.sql import functions as F
 
             m = read_manifest(spark, args.out).agg(
@@ -113,13 +146,23 @@ def main(argv: list[str] | None = None) -> int:
                 "rows": m[3], "ratio": round(m[1] / max(m[2], 1), 3),
             }))
         elif args.cmd == "decode":
-            from fsst_spark.jobs.decode import decode_filtered, decode_job
+            from fsst_spark.jobs.decode import (column_arrow_types,
+                                                decode_filtered, decode_job)
 
             cols = args.columns.split(",") if args.columns else None
             if args.where:
-                col, op, raw = args.where.split(":", 2)
-                val: int | str = int(raw) if raw.lstrip("-").isdigit() else raw
-                df = decode_filtered(spark, args.data, col, op, val, cols)
+                # coerce each VALUE by the COLUMN's stored type, not by
+                # whether the text looks numeric: zero-padded string ids
+                # must stay strings (an int against pack8 prefix zones
+                # would prune every chunk and silently return nothing)
+                types = column_arrow_types(spark, args.data)
+                filters = []
+                for clause in args.where:
+                    col, op, raw = clause.split(":", 2)
+                    if col not in types:
+                        raise KeyError(f"column {col!r} not in encoded data")
+                    filters.append((col, op, _coerce_where(types[col], raw)))
+                df = decode_filtered(spark, args.data, columns=cols, filters=filters)
             else:
                 df = decode_job(spark, args.data, cols)
             df.drop("pid", "chunk_id").write.mode("overwrite").parquet(args.out)

@@ -40,8 +40,8 @@ def _chunks_df(spark, out_dir: str, columns: list[str] | None) -> DataFrame:
     return df
 
 
-def decoded_schema_ddl(spark, out_dir: str, columns: list[str] | None = None) -> tuple[str, list[str]]:
-    """Recover the decoded schema from ONE chunk file.
+def column_arrow_types(spark, out_dir: str, columns: list[str] | None = None) -> dict[str, str]:
+    """{column: arrow type name} recovered from ONE chunk file.
 
     Every encode partition writes all its columns into its own chunk file,
     so any single file carries the full schema — a driver-side footer read,
@@ -71,6 +71,12 @@ def decoded_schema_ddl(spark, out_dir: str, columns: list[str] | None = None) ->
         missing = [c for c in columns if c not in cols]
         if missing:
             raise KeyError(f"columns not present in encoded data: {missing}")
+    return cols
+
+
+def decoded_schema_ddl(spark, out_dir: str, columns: list[str] | None = None) -> tuple[str, list[str]]:
+    """(Spark DDL of the decoded frame, ordered column list)."""
+    cols = column_arrow_types(spark, out_dir, columns)
     ordered = columns or sorted(cols)
     ddl = ", ".join(f"{c} {_spark_type(cols[c])}" for c in ordered)
     return f"pid int, chunk_id int, {ddl}", ordered
@@ -97,25 +103,92 @@ _ZONE_OPS_PREFIX = {
 }
 
 
+_TS_UNIT_PER_SEC = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}
+
+
+def _ts_unit(arrow_name: str) -> str:
+    return arrow_name[len("timestamp["):-1].split(",")[0]
+
+
+def _ts_ticks(arrow_name: str, value) -> int:
+    """Coerce a timestamp filter value to the column's storage-unit ticks.
+
+    Accepts raw int ticks, datetime/date, or an ISO-8601 string. Naive
+    datetimes are taken as UTC (Spark stores timestamps as UTC micros).
+    Integer arithmetic throughout — ``datetime.timestamp()`` returns float
+    seconds, which is not exact at microsecond granularity."""
+    import datetime as dt
+
+    if isinstance(value, bool) or not isinstance(value, (int, str, dt.date, dt.datetime)):
+        raise TypeError(
+            f"timestamp filter value must be int ticks, datetime, or ISO "
+            f"string, got {type(value).__name__}")
+    if isinstance(value, int):
+        return value
+    if isinstance(value, str):
+        value = dt.datetime.fromisoformat(value)
+    if not isinstance(value, dt.datetime):  # plain date
+        value = dt.datetime(value.year, value.month, value.day)
+    if value.tzinfo is None:
+        value = value.replace(tzinfo=dt.timezone.utc)
+    delta = value - dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+    secs = delta.days * 86400 + delta.seconds
+    mult = _TS_UNIT_PER_SEC[_ts_unit(arrow_name)]
+    return secs * mult + delta.microseconds * mult // 10**6
+
+
+_STRINGY = ("string", "large_string", "binary", "large_binary")
+_INTY = ("int8", "int16", "int32", "int64")
+
+
+def _zone_key(arrow_name: str, value) -> tuple[int, dict]:
+    """(packed zone value, zone-op table) for a filter on a column of the
+    given arrow type. Raises TypeError on a value/column type mismatch —
+    silently packing e.g. an int against string-prefix zones would prune
+    every chunk (ints sit below all ASCII pack8 keys) and return an empty
+    result for a predicate that matches rows."""
+    from .encode import zone_pack8, zone_packf
+
+    if arrow_name in _STRINGY:
+        if not isinstance(value, (str, bytes)):
+            raise TypeError(
+                f"column is {arrow_name} but filter value is "
+                f"{type(value).__name__}; pass a str/bytes value")
+        return zone_pack8(value), _ZONE_OPS_PREFIX
+    if arrow_name in _INTY:
+        if isinstance(value, bool) or not isinstance(value, int):
+            raise TypeError(
+                f"column is {arrow_name} but filter value is "
+                f"{type(value).__name__}; pass an int value")
+        return int(value), _ZONE_OPS
+    if arrow_name.startswith("timestamp["):
+        return _ts_ticks(arrow_name, value), _ZONE_OPS
+    if arrow_name in ("float", "double"):
+        if isinstance(value, bool) or not isinstance(value, (int, float)):
+            raise TypeError(
+                f"column is {arrow_name} but filter value is "
+                f"{type(value).__name__}; pass a float value")
+        return zone_packf(float(value)), _ZONE_OPS
+    raise ValueError(f"no zone-map support for column type {arrow_name}")
+
+
 def _zone_prune(chunks: DataFrame, zsrc: DataFrame,
-                zone_filter: tuple[str, str, int | str]) -> DataFrame:
+                zone_filter: tuple[str, str, int | str],
+                arrow_name: str) -> DataFrame:
     """Drop chunk groups whose zone map proves ``col op value`` matches no
-    row. Conservative: chunks with null zones (string columns, all-null
-    chunks, pre-zone-map encodes) are always kept. The zone predicate
-    filters the narrow (pid, chunk_id, zmin, zmax) projection at the
-    parquet scan (PushedFilters), and survivors semi-join back on the
-    narrow chunk key — pruned payload bytes are never read."""
+    row. Conservative: chunks with null zones (all-null chunks,
+    pre-zone-map encodes) are always kept. The zone predicate filters the
+    narrow (pid, chunk_id, zmin, zmax) projection at the parquet scan
+    (PushedFilters), and survivors semi-join back on the narrow chunk key
+    — pruned payload bytes are never read. Dispatch is on the COLUMN's
+    arrow type, never the Python type of the value (a numeric-looking
+    string id must still use prefix zones)."""
     col, op, value = zone_filter
     if op not in _ZONE_OPS:
         raise ValueError(f"zone op must be one of {sorted(_ZONE_OPS)}, got {op!r}")
+    zval, ops = _zone_key(arrow_name, value)  # typed: raises on mismatch
     if "zmin_long" not in chunks.columns:
         return chunks  # pre-zone-map encode: nothing to prune on
-    if isinstance(value, (str, bytes)):
-        from .encode import zone_pack8
-
-        zval, ops = zone_pack8(value), _ZONE_OPS_PREFIX
-    else:
-        zval, ops = int(value), _ZONE_OPS
     keep = (
         zsrc.filter(F.col("column") == col)
         .filter(F.col("zmin_long").isNull() | ops[op](zval))
@@ -124,26 +197,101 @@ def _zone_prune(chunks: DataFrame, zsrc: DataFrame,
     return chunks.join(keep, ["pid", "chunk_id"], "left_semi")
 
 
+def _dict_value_keep(spark, out_dir: str, col: str, value: str | bytes) -> DataFrame:
+    """(pid, chunk_id) keep-set for ``col == value`` using the dict codec's
+    dictionary: a ``str_dict`` chunk whose dictionary lacks the value
+    provably contains no matching row, so the other columns of that chunk
+    are never read or decoded. Chunks under any other codec are kept
+    (conservative). The pass reads ONLY the filter column's payloads (the
+    ``column ==`` predicate pushes to the chunk parquet scan) and decodes
+    only the (tiny) dictionary section — codes stay encoded. On
+    categorical columns (lang, source, content-type) this turns a value
+    probe into a near-metadata scan at 100 TB."""
+    vb = value.encode("utf-8", "surrogatepass") if isinstance(value, str) else bytes(value)
+    src = _chunks_df(spark, out_dir, [col]).select(
+        "pid", "chunk_id", "codec", "params", "payload")
+
+    def task(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..kernel.codecs import _split_sections, decode_bytes_like
+
+        for batch in batches:
+            pids, cids = [], []
+            for row in batch.to_pylist():
+                keep = True
+                if row["codec"] == "str_dict":
+                    p = json.loads(row["params"])
+                    payload = row["payload"]
+                    if "n_total" in p:  # strip the appended validity bits
+                        payload = payload[: p["validity_len"]]
+                    _, up = _split_sections(p, payload)
+                    buf, off = decode_bytes_like(
+                        {"codec": p["values"]["codec"],
+                         "params": p["values"]["params"], "payload": up},
+                        kind="str")
+                    lens = off[1:] - off[:-1]
+                    keep = any(
+                        buf[off[i]: off[i + 1]].tobytes() == vb
+                        for i in (lens == len(vb)).nonzero()[0]
+                    )
+                if keep:
+                    pids.append(row["pid"])
+                    cids.append(row["chunk_id"])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(pids, pa.int32()), pa.array(cids, pa.int32())],
+                names=["pid", "chunk_id"])
+
+    return src.mapInArrow(task, "pid int, chunk_id int")
+
+
 def decode_job(spark, out_dir: str, columns: list[str] | None = None,
-               zone_filter: tuple[str, str, int | str] | None = None) -> DataFrame:
+               zone_filter: tuple[str, str, int | str] | None = None,
+               zone_filters: list[tuple[str, str, int | str]] | None = None,
+               dict_prune: bool = True) -> DataFrame:
     """DataFrame of the decoded table (plus pid/chunk_id provenance cols).
 
-    ``zone_filter=(col, op, value)`` prunes whole chunks via the encode-time
-    zone maps BEFORE any payload is read or decoded — chunk-granular, so the
-    result still contains non-matching rows from surviving chunks; apply the
-    exact row predicate afterwards (``decode_filtered`` does both)."""
+    ``zone_filter=(col, op, value)`` — or a conjunction via
+    ``zone_filters=[(col, op, value), ...]`` (all must hold) — prunes whole
+    chunks via the encode-time zone maps BEFORE any payload is read or
+    decoded — chunk-granular, so the result still contains non-matching
+    rows from surviving chunks; apply the exact row predicate afterwards
+    (``decode_filtered`` does both). String equality filters additionally
+    prune via the dict codec's dictionary (``dict_prune``): chunks whose
+    dictionary lacks the value are skipped without decoding any payload
+    beyond the dictionary itself."""
     ddl, ordered = decoded_schema_ddl(spark, out_dir, columns)
     chunks = _chunks_df(spark, out_dir, columns)
+    filters = list(zone_filters or [])
     if zone_filter is not None:
-        decoded_schema_ddl(spark, out_dir, [zone_filter[0]])  # KeyError if absent
-        # the zone column may be outside the requested column subset, so
-        # the keep-set reads its own (narrow, zone-only) projection
-        zsrc = _chunks_df(spark, out_dir, [zone_filter[0]])
-        chunks = _zone_prune(chunks, zsrc, zone_filter)
+        filters.append(zone_filter)
+    if filters:
+        types = column_arrow_types(spark, out_dir)  # KeyError guard below
+        for zf in filters:
+            if zf[0] not in types:
+                raise KeyError(f"columns not present in encoded data: [{zf[0]!r}]")
+            # the zone column may be outside the requested column subset, so
+            # each keep-set reads its own (narrow, zone-only) projection
+            zsrc = _chunks_df(spark, out_dir, [zf[0]])
+            chunks = _zone_prune(chunks, zsrc, zf, types[zf[0]])
+            if dict_prune and zf[1] == "==" and types[zf[0]] in _STRINGY:
+                keep = _dict_value_keep(spark, out_dir, zf[0], zf[2])
+                chunks = chunks.join(keep, ["pid", "chunk_id"], "left_semi")
     # Co-locate all column rows of one chunk in one task. Chunk rows are
     # few and fat (payload ~MBs), so the shuffle moves encoded (small)
     # bytes — decoding after the shuffle keeps shuffled volume minimal.
-    chunks = chunks.repartition(F.col("pid"), F.col("chunk_id"))
+    # Partition count tracks the store size (one manifest file per encode
+    # partition — a driver-side listing, no data read): a small encode gets
+    # a few real tasks instead of defaultParallelism near-empty ones, a big
+    # store still fans out to full parallelism.
+    import glob as _glob
+    import os as _os
+
+    n_pids = len(_glob.glob(_os.path.join(out_dir, "manifest", "*.parquet")))
+    n_part = min(spark.sparkContext.defaultParallelism * 2,
+                 max(1, n_pids * 4)) if n_pids else None
+    if n_part:
+        chunks = chunks.repartition(n_part, F.col("pid"), F.col("chunk_id"))
+    else:  # non-globbable store: keep the default-parallelism shuffle
+        chunks = chunks.repartition(F.col("pid"), F.col("chunk_id"))
 
     def decode_task(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from ..env import madvise_hugepages
@@ -167,26 +315,53 @@ def decode_job(spark, out_dir: str, columns: list[str] | None = None,
     return chunks.mapInArrow(decode_task, ddl)
 
 
-def decode_filtered(spark, out_dir: str, col: str, op: str, value: int | str,
-                    columns: list[str] | None = None) -> DataFrame:
-    """Selective decode: zone-map chunk pruning + the exact row predicate.
+def _row_predicate(col: str, op: str, value, arrow_name: str):
+    """Exact row predicate for one zone filter, typed by the COLUMN.
 
-    Returns exactly the rows satisfying ``col op value`` while reading and
-    decoding only the chunks whose zone maps can match — on a corpus whose
-    encode order correlates with ``col`` (time-partitioned crawls, sorted
-    ids) this touches a small fraction of the payload bytes at 100 TB."""
-    cols = columns
-    if cols is not None and col not in cols:
-        cols = [*cols, col]
-    df = decode_job(spark, out_dir, cols, zone_filter=(col, op, value))
-    row_pred = {
-        ">=": F.col(col) >= value, ">": F.col(col) > value,
-        "<=": F.col(col) <= value, "<": F.col(col) < value,
-        "==": F.col(col) == value,
+    Timestamp columns compare in storage-unit ticks (``unix_micros`` for
+    the us-precision Spark type) — a bare ``F.col(ts) >= int`` raises
+    AnalysisException (TIMESTAMP vs BIGINT), so int/datetime/ISO-string
+    values are all coerced through ``_ts_ticks``."""
+    if arrow_name.startswith("timestamp["):
+        ticks = _ts_ticks(arrow_name, value)
+        mult = _TS_UNIT_PER_SEC[_ts_unit(arrow_name)]
+        lhs, rhs = F.unix_micros(F.col(col)), F.lit(ticks * 10**6 // mult)
+    else:
+        _zone_key(arrow_name, value)  # type check only
+        lhs, rhs = F.col(col), F.lit(float(value) if arrow_name in ("float", "double") else value)
+    return {
+        ">=": lhs >= rhs, ">": lhs > rhs,
+        "<=": lhs <= rhs, "<": lhs < rhs, "==": lhs == rhs,
     }[op]
-    df = df.where(row_pred)
-    if columns is not None and col not in columns:
-        df = df.drop(col)
+
+
+def decode_filtered(spark, out_dir: str, col: str | None = None, op: str | None = None,
+                    value: int | str | float | None = None,
+                    columns: list[str] | None = None,
+                    filters: list[tuple] | None = None) -> DataFrame:
+    """Selective decode: zone-map chunk pruning + the exact row predicates.
+
+    Pass one predicate positionally (``col, op, value``) or a conjunction
+    via ``filters=[(col, op, value), ...]`` — all must hold. Returns
+    exactly the matching rows while reading and decoding only the chunks
+    whose zone maps can match EVERY predicate — on a corpus whose encode
+    order correlates with a filter column (time-partitioned crawls, sorted
+    ids) this touches a small fraction of the payload bytes at 100 TB."""
+    flt = list(filters or [])
+    if col is not None:
+        flt.insert(0, (col, op, value))
+    if not flt:
+        raise ValueError("decode_filtered needs (col, op, value) or filters=[...]")
+    fcols = [f[0] for f in flt]
+    cols = columns
+    if cols is not None:
+        cols = cols + [c for c in fcols if c not in cols]
+    types = column_arrow_types(spark, out_dir)
+    df = decode_job(spark, out_dir, cols, zone_filters=flt)
+    for fc, fop, fval in flt:
+        df = df.where(_row_predicate(fc, fop, fval, types[fc]))
+    if columns is not None:
+        df = df.drop(*[c for c in fcols if c not in columns])
     return df
 
 

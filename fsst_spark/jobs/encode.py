@@ -147,9 +147,31 @@ def zone_pack8(value: bytes | str) -> int:
     return int.from_bytes(b[:8].ljust(8, b"\0"), "big") - (1 << 63)
 
 
+def zone_packf(value: float) -> int:
+    """Order-preserving int64 of a float64 (IEEE total-order bit trick).
+
+    Flip all bits of negatives, set the sign bit of non-negatives: for any
+    f1 <= f2, zone_packf(f1) <= zone_packf(f2). -0.0 is normalized to +0.0
+    first (SQL engines compare them equal, so a -0.0-only chunk must not
+    be pruned for ``x >= 0.0``); NaN packs to int64 max, matching Spark's
+    ordering where NaN sorts above every value (and NaN == NaN)."""
+    import math
+    import struct
+
+    if math.isnan(value):
+        return (1 << 63) - 1
+    if value == 0.0:
+        value = 0.0  # collapse -0.0
+    bits = struct.unpack("<Q", struct.pack("<d", float(value)))[0]
+    key = (~bits & 0xFFFFFFFFFFFFFFFF) if bits >> 63 else (bits | (1 << 63))
+    return key - (1 << 63)
+
+
 def _zone_bounds(arr: pa.Array, stats: dict) -> tuple[int | None, int | None]:
     """Per-chunk zone bounds as int64: exact min/max for ints/timestamps,
-    order-preserving 8-byte prefixes for strings/binary, null otherwise."""
+    order-preserving 8-byte prefixes for strings/binary, total-order float
+    keys for float32/64 (NaN chunks get an open upper bound — Spark/DuckDB
+    sort NaN above everything), null otherwise."""
     if stats.get("n", 0) <= stats.get("nulls", 0):
         return None, None
     if "min" in stats:  # ints/timestamps: chunk_stats already scanned them
@@ -161,6 +183,14 @@ def _zone_bounds(arr: pa.Array, stats: dict) -> tuple[int | None, int | None]:
 
         mm = pc.min_max(arr)
         return zone_pack8(mm["min"].as_py()), zone_pack8(mm["max"].as_py())
+    if pa.types.is_floating(t):
+        v = arr.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+        finite = v[~np.isnan(v)]
+        if len(finite) == 0:  # all-NaN chunk: only NaN predicates match
+            return zone_packf(float("nan")), zone_packf(float("nan"))
+        zmax = zone_packf(float("nan")) if len(finite) < len(v) \
+            else zone_packf(float(finite.max()))
+        return zone_packf(float(finite.min())), zmax
     return None, None
 
 

@@ -405,10 +405,20 @@ def chunk_stats(arr: pa.Array) -> dict[str, Any]:
     elif pa.types.is_string(t) or pa.types.is_binary(t) or pa.types.is_large_string(t) or pa.types.is_large_binary(t):
         _, offsets = _arrow_bytes_buffers(arr)
         stats["total_bytes"] = int(offsets[-1] - offsets[0])
-        head = arr.slice(0, min(n, 2048)).drop_null()
-        ndv_head = len(pc.unique(head))
-        stats["ndv_est"] = ndv_head if len(head) < 2048 else int(ndv_head / max(len(head), 1) * n)
-        stats["ndv_ratio"] = ndv_head / max(len(head), 1)
+        # Strided sample, not the head: value-clustered chunks (sorted or
+        # encode-order-correlated columns) have unrepresentative heads —
+        # 2048 rows of one domain would dict-route a high-NDV chunk (or
+        # vice versa). Every ceil(n/2048)-th row costs the same and stays
+        # unbiased under clustering. Correctness never depends on this
+        # (every codec round-trips); only size/speed of the choice does.
+        if n <= 2048:
+            sample = arr.drop_null()
+        else:
+            idx = np.arange(0, n, -(-n // 2048), dtype=np.int64)
+            sample = arr.take(pa.array(idx)).drop_null()
+        ndv_s = len(pc.unique(sample))
+        stats["ndv_est"] = ndv_s if n <= 2048 else int(ndv_s / max(len(sample), 1) * n)
+        stats["ndv_ratio"] = ndv_s / max(len(sample), 1)
     return stats
 
 

@@ -159,11 +159,25 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                            n_hashes: int = 64, bands: int = 16, shingle_k: int = 5,
                            seed: int = 1, estimate: bool = False,
-                           sig_df: DataFrame | None = None) -> DataFrame:
+                           sig_df: DataFrame | None = None,
+                           persisted_out: list | None = None,
+                           bucket_cap: int | None = 4096) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
     Returns distinct (id_a, id_b) with id_a < id_b. Shuffles only narrow
     (band, bucket_hash, id) rows; text never moves.
+
+    ``bucket_cap`` bounds the quadratic blow-up of pathological buckets:
+    a real web corpus has boilerplate ("404 not found" pages, cookie
+    banners) whose shared band signature collects millions of docs — an
+    uncapped self-join on that bucket emits m^2 candidate rows before any
+    filter. Buckets larger than the cap are DROPPED (standard LSH bucket
+    ceiling): a pair inside a dropped bucket is still found through any
+    of its other ``bands-1`` buckets that stay under the cap, and content
+    so duplicated that ALL its buckets overflow is exact-duplicate-grade
+    boilerplate, which ``exact_dedup`` removes before near-dup runs. The
+    over-cap key list is tiny (only pathological buckets), so the guard
+    is one narrow-key count plus a broadcast anti-join.
 
     With ``estimate=True`` each pair also carries ``est_jaccard`` — the
     fraction of agreeing signature slots, a JVM-side zip_with/aggregate,
@@ -175,16 +189,23 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str = 
     The signature frame is referenced up to three times (bands + both
     sides of the estimate join): pass a prebuilt ``sig_df`` (from
     ``minhash_signatures``, materialized), else it is persisted here so
-    the pandas-UDF signature pass runs exactly once per job, not 3x."""
+    the pandas-UDF signature pass runs exactly once per job, not 3x.
+    The ad-hoc persist is appended to ``persisted_out`` when given so the
+    caller can ``unpersist()`` once its consumers have materialized
+    (``neardup_dedup`` does); otherwise it lives until LRU eviction or
+    session stop — long-lived sessions should pass the list or a prebuilt
+    ``sig_df``."""
     assert n_hashes % bands == 0
     rows_per_band = n_hashes // bands
     sig = sig_df if sig_df is not None else minhash_signatures(
         df, text_col, id_col, n_hashes, shingle_k, seed)
     if sig_df is None and estimate:
         # 3 downstream references -> cache the one expensive UDF pass.
-        # (Evicted LRU / on session stop; at real scale prefer a written
-        # signature table via minhash_signatures.)
+        # (At real scale prefer a written signature table via
+        # minhash_signatures.)
         sig = sig.persist()
+        if persisted_out is not None:
+            persisted_out.append(sig)
     band_cols = [
         F.xxhash64(F.slice("sig", i * rows_per_band + 1, rows_per_band).cast("string"), F.lit(i)).alias("bucket")
         for i in range(bands)
@@ -193,6 +214,10 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str = 
         F.col(id_col),
         F.posexplode(F.array(*band_cols)).alias("band", "bucket"),
     )
+    if bucket_cap:
+        over = (banded.groupBy("band", "bucket").count()
+                .where(F.col("count") > bucket_cap).select("band", "bucket"))
+        banded = banded.join(F.broadcast(over), ["band", "bucket"], "left_anti")
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -414,6 +439,19 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausted max_rounds with the probe still reporting changes:
+        # labels are NOT converged (clusters split -> duplicates survive).
+        # Surface it — a silent partial resolution under-deduplicates.
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge in {max_rounds} rounds; "
+            "labels are partial (some near-dup clusters remain split). "
+            "Raise max_rounds — O(log diameter) rounds suffice, so this "
+            "indicates a pathological pair graph.",
+            RuntimeWarning, stacklevel=2,
+        )
     edges.unpersist()
     return labels
 
@@ -435,10 +473,12 @@ def neardup_dedup(df: DataFrame, pairs: DataFrame | None = None,
         exact shingle-Jaccard >= threshold
       * 'simhash': banded SimHash, hamming <= max_hamming
     """
+    persisted: list = []
     if pairs is None:
         if method == "minhash":
             cand = minhash_lsh_candidates(df, text_col, id_col, n_hashes=n_hashes,
-                                          bands=bands, estimate=True)
+                                          bands=bands, estimate=True,
+                                          persisted_out=persisted)
             cand = cand.filter(F.col("est_jaccard") >= threshold - 0.2).select("id_a", "id_b")
             pairs = ngram_jaccard_verify(df, cand, text_col, id_col,
                                          threshold=threshold).select("id_a", "id_b")
@@ -448,6 +488,11 @@ def neardup_dedup(df: DataFrame, pairs: DataFrame | None = None,
         else:
             raise ValueError(f"method must be 'minhash' or 'simhash', got {method!r}")
     comp = connected_components(pairs)
+    # CC ran eagerly (per-round convergence probes + localCheckpoints), so
+    # the signature cache has served all its consumers — release it now
+    # instead of pressuring executor storage until LRU eviction.
+    for frame in persisted:
+        frame.unpersist()
     losers = comp.where(F.col("id") != F.col("comp")).select(F.col("id").alias(id_col))
     return df.join(losers, id_col, "left_anti")
 
@@ -493,7 +538,8 @@ def winnow_fingerprint_udf(shingle_k: int = 5, window: int = 8):
 
 def winnow_neardup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                          shingle_k: int = 5, window: int = 8,
-                         min_shared: int = 2) -> DataFrame:
+                         min_shared: int = 2,
+                         hash_doc_cap: int | None = 4096) -> DataFrame:
     """Overlap-based near-dup pairs: documents sharing >= ``min_shared``
     selected winnowing hashes. Returns (id_a, id_b, n_shared).
 
@@ -501,9 +547,21 @@ def winnow_neardup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "d
     (hash, id) rows, the self-join is keyed on the hash, and text never
     shuffles. Exact duplicates share their entire fingerprint, so recall
     on true dups is structural; ``min_shared`` trades precision against
-    shorter shared substrings."""
+    shorter shared substrings.
+
+    ``hash_doc_cap`` is the stop-hash guard (winnowing's stop-word
+    analogue): a k-gram shared by m documents — boilerplate navigation,
+    cookie banners — would emit m^2 join rows. Hashes appearing in more
+    than the cap's worth of documents are removed from every fingerprint
+    before the join; like stop-words, a hash that common carries no
+    discriminating signal, and overlapping documents still share their
+    rarer selected hashes. One narrow count + broadcast anti-join."""
     wf = winnow_fingerprint_udf(shingle_k, window)
     fps = df.select(F.col(id_col), F.explode(wf(F.col(text_col))).alias("h"))
+    if hash_doc_cap:
+        over = (fps.groupBy("h").count()
+                .where(F.col("count") > hash_doc_cap).select("h"))
+        fps = fps.join(F.broadcast(over), "h", "left_anti")
     left, right = fps.alias("l"), fps.alias("r")
     return (
         left.join(right, (F.col("l.h") == F.col("r.h"))

@@ -39,23 +39,40 @@ def deterministic_sample(df: DataFrame, fraction: float,
 
 
 def cap_per_group(df: DataFrame, group_col: str = "source", n: int = 10,
-                  order_col: str = "doc_id") -> DataFrame:
+                  order_col: str = "doc_id", salt_partitions: int = 16) -> DataFrame:
     """Keep at most ``n`` rows per group — domain balancing for crawls
     (a handful of mega-domains otherwise dominate the corpus).
 
     Deterministic survivor set: rows ranked by ``order_col`` within each
-    group, first ``n`` kept. One narrow-key shuffle on ``group_col``; at
-    10^12 rows a skewed mega-domain lands on one reducer, so for those
-    corpora pre-aggregate with a salted local cap first (each salted
-    sub-partition keeps n, then the global pass re-caps — survivors of the
-    global rank are always survivors of the local one, so the result is
-    identical).
+    group, first ``n`` kept. Two-phase salted execution: phase 1 caps each
+    (group, salt) sub-partition locally at ``n`` — a mega-domain's rows
+    spread over ``salt_partitions`` reducers instead of one, and at most
+    ``n * salt_partitions`` rows per group survive to phase 2, which
+    applies the true global rank. The result is provably identical to the
+    single-window plan: any row in a group's global top-``n`` by
+    ``order_col`` is also in the top-``n`` of whichever salt bucket holds
+    it (the global top-n restricted to a bucket is a subset of that
+    bucket's top-n), so phase 1 never drops a final survivor. At 10^12
+    rows the unsalted window on a skewed domain column is a
+    single-reducer straggler; here the skewed shuffle is bounded and
+    phase 2's input is metadata-scale (<= n * salt_partitions per group).
+
+    ``salt_partitions=1`` degrades to the plain single-window plan.
     """
     from pyspark.sql.window import Window
 
+    ranked = df
+    if salt_partitions > 1:
+        salt = F.pmod(F.xxhash64(F.col(order_col)), F.lit(salt_partitions))
+        w_local = Window.partitionBy(group_col, salt).orderBy(F.col(order_col))
+        ranked = (
+            df.withColumn("_lrn", F.row_number().over(w_local))
+            .where(F.col("_lrn") <= n)
+            .drop("_lrn")
+        )
     w = Window.partitionBy(group_col).orderBy(F.col(order_col))
     return (
-        df.withColumn("_rn", F.row_number().over(w))
+        ranked.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= n)
         .drop("_rn")
     )

@@ -105,10 +105,34 @@ def ivf_topk(indexed: DataFrame, centroids: np.ndarray, query: list[float], k: i
     return cosine_topk(cand, query, k=k, vec_col=vec_col, id_col=id_col)
 
 
+def _partition_topk(scored: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Per-partition (query_id, top-k by sim desc / id asc) combine.
+
+    Runs WITHOUT a shuffle (mapInPandas over existing partitions) and
+    bounds each partition's output to k rows per query, so the global
+    top-k window downstream sees <= k * n_partitions rows per query
+    instead of every scored pair — the partial-aggregation step that makes
+    the k-NN join viable at 10^12 corpus rows. Ordering matches the final
+    window exactly (sim desc, id asc), so the local head(k) is always a
+    superset of that partition's contribution to the global top-k."""
+
+    def task(pdfs: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        best = None
+        for pdf in pdfs:
+            cur = pdf if best is None else pd.concat((best, pdf), ignore_index=True)
+            cur = cur.sort_values(["query_id", "sim", id_col],
+                                  ascending=[True, False, True])
+            best = cur.groupby("query_id", sort=False).head(k)
+        if best is not None:
+            yield best
+
+    return scored.mapInPandas(task, scored.schema)
+
+
 def ivf_topk_batch(indexed: DataFrame, centroids: np.ndarray, queries: DataFrame,
                    k: int = 10, nprobe: int = 4, vec_col: str = "embedding",
                    id_col: str = "vec_id", q_id_col: str = "query_id",
-                   q_vec_col: str = "embedding") -> DataFrame:
+                   q_vec_col: str = "embedding", local_topk: bool = True) -> DataFrame:
     """Batch ANN (k-NN join): IVF top-k corpus neighbors for EVERY query row.
 
     Returns (query_id, vec_id, rank) — rank 1..k per query by cosine desc.
@@ -118,10 +142,11 @@ def ivf_topk_batch(indexed: DataFrame, centroids: np.ndarray, queries: DataFrame
     rows per query, the small side — broadcast-joins the indexed corpus
     on ``centroid``, so a corpus vector is scored only against queries
     probing its cell (never a cartesian). Cosine is JVM zip_with/aggregate;
-    per-query top-k is a window keyed on query_id (narrow (qid, id, sim)
-    rows; at 10^12 corpus rows add a per-partition top-k combine before
-    the window). ``nprobe >= len(centroids)`` degrades to exact brute
-    force — the recall-oracle baseline."""
+    a shuffle-free per-partition top-k combine (``local_topk``) caps the
+    window's input at k rows per (query, partition), then the final
+    per-query rank is a window keyed on query_id over those narrow
+    (qid, id, sim) rows. ``nprobe >= len(centroids)`` degrades to exact
+    brute force — the recall-oracle baseline."""
     C = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
     nprobe = max(1, min(nprobe, len(C)))
 
@@ -144,6 +169,8 @@ def ivf_topk_batch(indexed: DataFrame, centroids: np.ndarray, queries: DataFrame
         indexed.join(F.broadcast(qx), "centroid")
         .select("query_id", F.col(id_col), sim)
     )
+    if local_topk:
+        scored = _partition_topk(scored, k, id_col)
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col(id_col))
@@ -215,7 +242,11 @@ def lsh_topk(df: DataFrame, query: list[float], k: int = 10, vec_col: str = "emb
     rows); at scale they come from the index's bucket stats, and the probe
     reads only the chosen buckets instead of scanning the corpus. Pass a
     pre-built index (``build_lsh_index``) with ``indexed=True`` so
-    signatures are not recomputed per query."""
+    signatures are not recomputed per query — ALSO the way to control cache
+    lifetime: without it each call persists an ad-hoc index that must stay
+    cached until the returned (lazy) frame is consumed, and is then only
+    reclaimed by LRU eviction/session stop. Repeated ad-hoc calls in a
+    long-lived session should build the index once instead."""
     if min_candidates is None:
         min_candidates = max(8 * k, 64)
     # the index frame is read twice (bucket counts + candidate filter):
@@ -237,7 +268,8 @@ def lsh_topk(df: DataFrame, query: list[float], k: int = 10, vec_col: str = "emb
 def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
                             id_col: str = "vec_id", threshold: float = 0.9,
                             n_centroids: int = 16, multi_assign: int = 2,
-                            seed: int = 5) -> DataFrame:
+                            seed: int = 5,
+                            cell_cap: int | None = 65536) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= ``threshold`` —
     the embedding-space sibling of MinHash/SimHash near-dup.
 
@@ -249,6 +281,19 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
     recall on true duplicates is structural; multi-assign widens the net
     for boundary-straddling near-dups. Returns distinct
     (id_a, id_b, cosine) with id_a < id_b.
+
+    ``cell_cap`` bounds the within-cell square: a cell is ~N/k vectors on
+    uniform data, but a real corpus clusters (boilerplate pages, template
+    embeddings) and one mega-cell of m members would emit m^2 candidate
+    rows. Cells above the cap are sub-split by an id-hash salt into
+    ceil(m/cap) sub-cells and pairs form only within a sub-cell, so
+    candidates per cell are bounded by ~cap * m instead of m^2. The
+    accepted trade: cross-salt pairs inside a mega-cell are not emitted —
+    a near-dup CLUSTER that large still collapses per-sub-cell (each
+    sub-cell's members pair among themselves), it just resolves to
+    ceil(m/cap) survivors instead of 1. Normal cells (the overwhelming
+    majority) take one broadcast join against the tiny over-cap list and
+    keep salt 0.
 
     Feed the pairs to ``dedup.neardup_dedup(df, pairs=...)`` to resolve
     clusters and drop losers. At 10^12 rows the assignment is written
@@ -272,10 +317,27 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
         F.explode(cells(F.col(vec_col))).alias("cell"),
     )
     narrow = assigned.select(id_col, "cell")
+    if cell_cap:
+        over = (narrow.groupBy("cell").count()
+                .where(F.col("count") > cell_cap)
+                .withColumn("_nsplit",
+                            F.ceil(F.col("count") / cell_cap).cast("int"))
+                .select("cell", "_nsplit"))
+        narrow = (
+            narrow.join(F.broadcast(over), "cell", "left")
+            .withColumn("_salt",
+                        F.when(F.col("_nsplit").isNull(), F.lit(0)).otherwise(
+                            F.pmod(F.xxhash64(F.col(id_col)), F.col("_nsplit"))
+                            .cast("int")))
+            .select(id_col, "cell", "_salt")
+        )
+    else:
+        narrow = narrow.withColumn("_salt", F.lit(0))
     cand = (
         narrow.alias("a")
         .join(narrow.alias("b"),
               (F.col("a.cell") == F.col("b.cell"))
+              & (F.col("a._salt") == F.col("b._salt"))
               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()

@@ -171,6 +171,29 @@ def test_stats_shape():
     assert s["n_runs"] == 100 and s["max"] == 99
 
 
+def test_stats_ndv_strided_not_head_biased():
+    """A value-CLUSTERED chunk (sorted by the column) must not fool the
+    NDV estimate: the first 2048 rows are one value, but the chunk is
+    high-NDV overall — head sampling would dict-route it; the strided
+    sample must route it to FSST/plain."""
+    from fsst_spark.kernel.codecs import encode_column
+
+    # 3000 rows of one domain, then 3000 distinct URLs (clustered layout)
+    vals = ["https://one.example/landing"] * 3000 + [
+        f"https://site{i}.example/p/{i:05d}" for i in range(3000)]
+    arr = pa.array(vals, type=pa.string())
+    s = chunk_stats(arr)
+    # true ndv ratio is ~0.5; a head sample would report ~1/2048
+    assert s["ndv_ratio"] > 0.2, s
+    assert encode_column(arr, s)["codec"] != "str_dict"
+
+    # and the mirror case: a genuinely low-NDV chunk whose head happens to
+    # be its rare values still dict-encodes
+    vals2 = [f"rare{i}" for i in range(20)] + ["en"] * 4000
+    s2 = chunk_stats(pa.array(vals2, type=pa.string()))
+    assert s2["ndv_ratio"] < 0.1, s2
+
+
 @settings(max_examples=25, deadline=None)
 @given(st.lists(st.one_of(st.none(), st.text(max_size=30)), max_size=60))
 def test_hypothesis_string_column(vals):

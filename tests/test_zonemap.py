@@ -147,9 +147,38 @@ def test_zone_pack8_property_order_preserving():
     check()
 
 
+def test_zone_packf_property_order_preserving():
+    """Property: zone_packf is monotone w.r.t. float order, collapses
+    -0.0/+0.0 (SQL-equal), and puts NaN above everything (Spark/DuckDB
+    sort order) — the invariants float pruning relies on."""
+    import math
+
+    from hypothesis import given, settings, strategies as st
+
+    from fsst_spark.jobs.encode import zone_packf
+
+    @settings(max_examples=500, deadline=None)
+    @given(st.floats(allow_nan=False), st.floats(allow_nan=False))
+    def check(a, b):
+        ka, kb = zone_packf(a), zone_packf(b)
+        if a < b:
+            assert ka < kb or (a == 0.0 and b == 0.0)  # only ±0 collapses
+        elif a == b:
+            assert ka == kb
+        else:
+            assert ka > kb
+
+    check()
+    assert zone_packf(-0.0) == zone_packf(0.0)
+    assert zone_packf(float("nan")) > zone_packf(float("inf"))
+    assert math.isfinite(1.5) and zone_packf(1.5) > zone_packf(-1.5)
+
+
 def test_zone_timestamp_filter(spark, tmp_path):
-    """Timestamp columns carry exact int64 zones in their storage unit;
-    decode_filtered takes the threshold in microseconds."""
+    """Timestamp columns carry exact int64 zones in their storage unit, and
+    decode_filtered itself takes the threshold as int ticks (micros), a
+    datetime, or an ISO string — the row predicate is built in the storage
+    unit, not as a raw TIMESTAMP-vs-BIGINT comparison."""
     out = str(tmp_path / "zt")
     base = 1_700_000_000_000_000  # us
     df = (
@@ -170,6 +199,130 @@ def test_zone_timestamp_filter(spark, tmp_path):
     full = decode_job(spark, out)
     assert got.select("pid", "chunk_id").distinct().count() \
         < full.select("pid", "chunk_id").distinct().count()
+    # decode_filtered end-to-end: int micros AND ISO string thresholds
     ids = sorted(r["doc_id"] for r in
-                 got.where(F.unix_micros("ts") >= cutoff).collect())
+                 decode_filtered(spark, out, "ts", ">=", cutoff).collect())
     assert ids == list(range(1900, 2000))
+    import datetime as dt
+
+    iso = dt.datetime.fromtimestamp(cutoff / 1e6, dt.timezone.utc) \
+        .strftime("%Y-%m-%dT%H:%M:%S+00:00")
+    ids_iso = sorted(r["doc_id"] for r in
+                     decode_filtered(spark, out, "ts", ">=", iso).collect())
+    assert ids_iso == ids
+
+
+def test_zone_float_filter(spark, tmp_path):
+    """float64 columns carry total-order zone keys; selective decode prunes
+    chunks and returns exactly the matching rows (ALP-coded prices)."""
+    out = str(tmp_path / "zf")
+    df = (
+        spark.range(0, 4000, 1, 4)
+        .withColumnRenamed("id", "doc_id")
+        # decimal-looking prices, ordered with doc_id -> tight float zones
+        .withColumn("price", (F.col("doc_id") * 25).cast("double") / 100.0)
+    )
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "200")
+    try:
+        encode_job(spark, df, out, chunk_bytes=1 << 10, resume=False,
+                   pre_partitioned=True, unique_col="doc_id").collect()
+    finally:
+        spark.conf.set(key, old)
+    got = sorted(r["doc_id"] for r in
+                 decode_filtered(spark, out, "price", ">=", 975.0).collect())
+    assert got == list(range(3900, 4000))
+    pruned = decode_job(spark, out, zone_filter=("price", ">=", 975.0))
+    full = decode_job(spark, out)
+    assert pruned.select("pid", "chunk_id").distinct().count() \
+        < full.select("pid", "chunk_id").distinct().count() / 2
+    # negative range + equality stay exact
+    ids_eq = [r["doc_id"] for r in decode_filtered(spark, out, "price", "==", 500.25).collect()]
+    assert ids_eq == [2001]
+
+
+def test_zone_conjunction(spark, encoded):
+    """decode_filtered with filters=[...] ANDs predicates; the chunk
+    keep-set intersects every zone filter."""
+    got = sorted(r["doc_id"] for r in decode_filtered(
+        spark, encoded,
+        filters=[("doc_id", ">=", 1000), ("doc_id", "<", 1100)]).collect())
+    assert got == list(range(1000, 1100))
+    pruned = decode_job(spark, encoded,
+                        zone_filters=[("doc_id", ">=", 1000), ("doc_id", "<", 1100)])
+    one_sided = decode_job(spark, encoded, zone_filter=("doc_id", ">=", 1000))
+    assert pruned.select("pid", "chunk_id").distinct().count() \
+        < one_sided.select("pid", "chunk_id").distinct().count()
+
+
+def test_zone_type_mismatch_raises(spark, tmp_path):
+    """An int value against a STRING column must raise, not silently prune
+    everything (ints sit below every ASCII pack8 key)."""
+    out = str(tmp_path / "zm_str")
+    rows = [(i, f"{i:04d}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, sid string").coalesce(1)
+    encode_job(spark, df, out, resume=False, pre_partitioned=True,
+               unique_col="doc_id").collect()
+    with pytest.raises(TypeError):
+        decode_filtered(spark, out, "sid", ">=", 150).collect()
+    with pytest.raises(TypeError):
+        decode_filtered(spark, out, "doc_id", ">=", "0150").collect()
+    # the correctly-typed string filter works on numeric-looking text
+    got = sorted(r["doc_id"] for r in
+                 decode_filtered(spark, out, "sid", ">=", "0150").collect())
+    assert got == list(range(150, 200))
+
+
+def test_dict_membership_prune_skips_chunks(spark, tmp_path):
+    """String ``==`` on a dict-coded column must skip chunks whose
+    DICTIONARY lacks the value even when the prefix zones span it: a chunk
+    of {'aa','zz'} has zone [aa..zz] ∋ 'de' but provably no 'de' row."""
+    out = str(tmp_path / "dp")
+    # partition 0: langs {'aa','zz'} only; partition 1: {'de','zz'} — built
+    # as a union of two single-partition frames so every chunk is a full
+    # 500-row batch (a tiny range-split tail chunk would have ndv_ratio
+    # > 0.1 and fall off the dict codec)
+    p0 = spark.createDataFrame([(i, ["aa", "zz"][i % 2]) for i in range(2000)],
+                               "doc_id long, lang string").coalesce(1)
+    p1 = spark.createDataFrame([(10000 + i, ["de", "zz"][i % 2]) for i in range(2000)],
+                               "doc_id long, lang string").coalesce(1)
+    df = p0.union(p1)
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "500")
+    try:
+        encode_job(spark, df, out, chunk_bytes=1 << 10, resume=False,
+                   pre_partitioned=True, unique_col="doc_id").collect()
+    finally:
+        spark.conf.set(key, old)
+    # sanity: the low-NDV column dict-encoded
+    import pyarrow.parquet as pq
+    import glob
+    codecs = {r["codec"] for f in glob.glob(f"{out}/chunks/*.parquet")
+              for r in pq.read_table(f, columns=["column", "codec"]).to_pylist()
+              if r["column"] == "lang"}
+    assert codecs == {"str_dict"}, codecs
+
+    with_prune = decode_job(spark, out, zone_filters=[("lang", "==", "de")])
+    without = decode_job(spark, out, zone_filters=[("lang", "==", "de")],
+                         dict_prune=False)
+    n_with = with_prune.select("pid", "chunk_id").distinct().count()
+    n_without = without.select("pid", "chunk_id").distinct().count()
+    # prefix zones alone cannot separate the partitions ('aa'<'de'<'zz'
+    # in both); the dictionary can
+    assert n_with <= n_without / 2, (n_with, n_without)
+    got = sorted(r["doc_id"] for r in
+                 decode_filtered(spark, out, "lang", "==", "de").collect())
+    assert got == [10000 + i for i in range(2000) if i % 2 == 0]
+
+
+def test_cli_where_coercion():
+    from fsst_spark.jobs.cli import _coerce_where
+
+    assert _coerce_where("string", "0150") == "0150"  # stays text
+    assert _coerce_where("int64", "150") == 150
+    assert _coerce_where("double", "1.5") == 1.5
+    assert _coerce_where("timestamp[us, tz=UTC]", "1700000000000000") == 1700000000000000
+    assert _coerce_where("timestamp[us, tz=UTC]", "2023-11-14T22:13:20+00:00") \
+        == "2023-11-14T22:13:20+00:00"
