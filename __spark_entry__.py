@@ -255,6 +255,32 @@ def q_zonemap_decode_multi(spark, sf_dir):
     )
 
 
+def q_dict_prune_decode(spark, sf_dir):
+    """Dictionary-membership selective decode: ``lang == 'de'`` skips
+    dict-coded chunks whose dictionary lacks 'de' (and zone-prunes the
+    rest); the decoded row set must equal the plain SQL filter, pinned by
+    sum(doc_id)."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.decode import decode_filtered
+    from fsst_spark.jobs.encode import encode_job
+
+    out = tempfile.mkdtemp(prefix="fsst_dictprune_q_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "lang")
+        encode_job(spark, docs, out, chunk_bytes=256 << 10, resume=False,
+                   pre_partitioned=True, unique_col="doc_id").collect()
+        r = decode_filtered(spark, out, "lang", "==", "de").agg(
+            F.count("*").alias("n_rows"),
+            F.sum("doc_id").alias("sum_ids"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["n_rows"], r["sum_ids"])], "n_rows bigint, sum_ids bigint")
+
+
 def q_curation_pipeline(spark, sf_dir):
     """End-to-end curation: Gopher quality filter -> exact dedup ->
     per-domain cap(50) -> deterministic 50% sample. Per-stage counts plus
@@ -609,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "zonemap_decode": q_zonemap_decode,
         "zonemap_decode_multi": q_zonemap_decode_multi,
+        "dict_prune_decode": q_dict_prune_decode,
         "deterministic_sample": q_deterministic_sample,
         "cap_per_group": q_cap_per_group,
         "gopher_quality": q_gopher_quality,
@@ -797,6 +824,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(doc_id) AS BIGINT) AS sum_ids "
             "FROM documents WHERE n_chars >= 300 "
             "AND CAST(n_chars AS DOUBLE) / 100.0 <= 9.0 AND doc_id > 100"
+        ),
+        "dict_prune_decode": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_ids "
+            "FROM documents WHERE lang = 'de'"
         ),
         "curation_pipeline": (
             f"WITH f AS ({_GOPHER_F_SQL}), "

@@ -355,10 +355,12 @@ def _scaling_probes(corpus_dir: str, n_small: int, n_big: int,
 
     files = sorted(glob.glob(os.path.join(corpus_dir, "*.parquet")))
     if reps is None:
-        # target ~50 MB of encode work per worker per timed arm, so the
-        # arm wall (>=1s) dwarfs Pool.map dispatch jitter at any sf
+        # target ~120 MB of encode work per worker per timed arm: the arm
+        # wall (~2-3s) has to dwarf not just Pool.map dispatch jitter but
+        # the second-scale neighbor bursts of this multi-tenant box — at
+        # ~1s arms the 2-core measurement was observed swinging 3x
         med_size = statistics.median(os.path.getsize(f) for f in files)
-        reps = max(1, min(32, round(5e7 / max(med_size, 1))))
+        reps = max(1, min(64, round(1.2e8 / max(med_size, 1))))
     ctx = mp.get_context("spawn")
     # Rank-pinned workers: Pool.map assigns tasks to arbitrary workers, so
     # path-keyed tasks keep hitting workers whose cache misses — each miss
@@ -409,9 +411,16 @@ def _scaling_probes(corpus_dir: str, n_small: int, n_big: int,
             "engine_vs_membw": (kb / ks) / (mb / ms),
         }
 
+    def is_quiet(r: dict) -> bool:
+        # BAND gate, not a floor: an efficiency far ABOVE 1.0 means the
+        # SMALL arm was the one crushed by neighbor load — that trial is
+        # noisy, not quiet, and floor-only gating let such trials pollute
+        # the quiet median (observed: cpu_eff 1.8 trials passing).
+        return (0.85 <= r["cpu_eff"] <= 1.18
+                and 0.75 <= r["membw_eff"] <= 1.33)
+
     def n_quiet() -> int:
-        return sum(1 for r in rows
-                   if r["cpu_eff"] >= 0.85 and r["membw_eff"] >= 0.75)
+        return sum(1 for r in rows if is_quiet(r))
 
     t_loop = time.time()
     for _ in range(trials):
@@ -439,7 +448,7 @@ def _scaling_probes(corpus_dir: str, n_small: int, n_big: int,
     # it answers "when 4x the resources were truly available, did the
     # kernel scale?", which is the question a real N->4N cluster (own
     # machines, own memory buses) poses.
-    quiet = [r for r in rows if r["cpu_eff"] >= 0.85 and r["membw_eff"] >= 0.75]
+    quiet = [r for r in rows if is_quiet(r)]
 
     # The encode kernel is a byte-stream transform: on ONE shared box its
     # N->4N limit is memory bandwidth, not ALU. The bandwidth control (warm
@@ -468,8 +477,10 @@ def _scaling_probes(corpus_dir: str, n_small: int, n_big: int,
             "(kernel/cpu-control/membw-control @N then @4N); medians "
             "reported; engine_vs_* = median of per-trial paired ratios; "
             "quiet_kernel_efficiency = median kernel efficiency over "
-            "trials where both controls saw >=0.85/0.75 of ideal scaling "
-            "(host-quiet gate, conditioned on controls only)"
+            "trials where both controls landed IN BAND around ideal scaling "
+            "(cpu 0.85-1.18, membw 0.75-1.33; a far-above-1 efficiency means "
+            "the small arm was crushed — noisy, not quiet). Gate reads only "
+            "the controls, never the kernel"
         ),
     }
 
@@ -578,9 +589,10 @@ def _probe_md(s: dict, title: str) -> list[str]:
     quiet = s.get("quiet_kernel_efficiency")
     quiet_txt = (
         f"**quiet-host kernel efficiency {quiet}** over {s.get('quiet_trials')} "
-        "control-gated trials (trials where BOTH controls saw >=0.85/0.75 of "
-        "ideal scaling — the gate reads only the controls, so it is not "
-        "selection on the kernel's own result)"
+        "control-gated trials (trials where BOTH controls landed in band "
+        "around ideal scaling: cpu 0.85-1.18, membw 0.75-1.33 — the gate "
+        "reads only the controls, so it is not selection on the kernel's "
+        "own result)"
         if quiet is not None else
         "no control-quiet trials this run (host saturated throughout)"
     )

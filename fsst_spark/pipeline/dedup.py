@@ -334,14 +334,20 @@ def _simhash_batch(datas: list[bytes], seed: int, max_token_bytes: int = 256) ->
 
 
 def simhash_neardup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                          max_hamming: int = 3, seed: int = 2) -> DataFrame:
+                          max_hamming: int = 3, seed: int = 2,
+                          bucket_cap: int | None = 4096) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, banded for scale.
 
     Pigeonhole: two 64-bit fingerprints within hamming distance <= 3 agree
     exactly on at least one of 4 disjoint 16-bit bands, so candidates come
     from 4 narrow (band, band_bits, id) self-joins — never an all-pairs
     scan — and the exact hamming check is JVM ``bit_count(a ^ b)``.
-    Returns distinct (id_a, id_b, hamming) with id_a < id_b."""
+    Returns distinct (id_a, id_b, hamming) with id_a < id_b.
+
+    ``bucket_cap`` drops (band, bits) buckets above the cap — the same
+    boilerplate guard as the MinHash-LSH bucket ceiling (a pair in a
+    dropped bucket still collides in its other 3 bands; content that
+    overflows all 4 is exact-dup-grade and handled by ``exact_dedup``)."""
     n_bands = 4
     assert max_hamming < n_bands, "pigeonhole needs max_hamming < n_bands"
     sh = df.select(F.col(id_col), simhash_udf(seed)(F.col(text_col)).alias("sh"))
@@ -352,6 +358,10 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "
             for i in range(n_bands)
         ])).alias("band", "bits"),
     )
+    if bucket_cap:
+        over = (bands.groupBy("band", "bits").count()
+                .where(F.col("count") > bucket_cap).select("band", "bits"))
+        bands = bands.join(F.broadcast(over), ["band", "bits"], "left_anti")
     left, right = bands.alias("l"), bands.alias("r")
     pairs = (
         left.join(

@@ -54,6 +54,16 @@ def test_winnow_stop_hash_cap_bounds_candidates(spark):
     assert (1000, 1001) in got  # rare shared hashes survive the stop list
 
 
+def test_simhash_bucket_cap_bounds_candidates(spark):
+    from fsst_spark.pipeline.dedup import simhash_neardup_pairs
+
+    df = _corpus(spark)
+    uncapped = simhash_neardup_pairs(df, bucket_cap=None).count()
+    assert uncapped >= 7140  # identical docs: hamming 0, every band collides
+    capped = simhash_neardup_pairs(df, bucket_cap=20).count()
+    assert capped < 100, capped
+
+
 def test_embedding_cell_cap_bounds_candidates(spark):
     import numpy as np
 

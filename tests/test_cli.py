@@ -44,3 +44,20 @@ def test_cli_encode_then_selective_decode(tmp_path):
     import duckdb
     n = duckdb.sql(f"SELECT count(*) FROM read_parquet('{dec}/*.parquet')").fetchone()[0]
     assert n == 400  # every synthetic url matches; selective path exercised
+
+
+def test_cli_encode_fast_path_and_conjunctive_where(tmp_path):
+    """Without --partitions/--group-by a parquet input routes to the
+    file-granular columnar encode (no JVM row hop); repeated --where
+    clauses AND at the chunk level with values coerced by column type."""
+    src = str(tmp_path / "corpus3")
+    enc = str(tmp_path / "encoded3")
+    dec = str(tmp_path / "decoded3")
+    _run("synth", "--rows", "400", "--out", src)
+    r = _run("encode", "--input", src, "--out", enc)
+    assert r["rows"] == 400 and r["ratio"] > 1.5
+    _run("decode", "--data", enc, "--out", dec,
+         "--where", "url:>=:https://", "--where", "url:<=:zzzz")
+    import duckdb
+    n = duckdb.sql(f"SELECT count(*) FROM read_parquet('{dec}/*.parquet')").fetchone()[0]
+    assert n == 400
