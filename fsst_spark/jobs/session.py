@@ -24,6 +24,15 @@ def get_spark(master: str | None = None, app_name: str = "fsst_spark",
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        # JVM->Python Arrow batches capped by BYTES, not just records: on
+        # wide web rows (~7 KB) the 64 MB default builds batches whose
+        # allocation churn falls out of the retained warm heap and
+        # re-faults (measured on the DataFrame-scan encode arm: 16-27 MB
+        # batches ~6-9 s, 54+ MB batches 35-120 s on the same input).
+        # Smaller batches also pipeline JVM serialization with Python-side
+        # encode. Row-count cap stays high so narrow rows still batch big.
+        .config("spark.sql.execution.arrow.maxBytesPerBatch",
+                os.environ.get("SPARK_GRAFT_ARROW_BATCH_BYTES", "16777216"))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -61,3 +61,51 @@ def test_cli_encode_fast_path_and_conjunctive_where(tmp_path):
     import duckdb
     n = duckdb.sql(f"SELECT count(*) FROM read_parquet('{dec}/*.parquet')").fetchone()[0]
     assert n == 400
+
+
+def test_spark_submit_py_files_packaging(tmp_path):
+    """North-rule shipping shape: zip the package, run a job via
+    ``spark-submit --py-files fsst_spark.zip`` in a clean cwd (so the
+    import MUST come from the zip), and verify the encode round-trips."""
+    import shutil
+    import zipfile
+
+    spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    if not os.path.exists(spark_submit):
+        import pytest
+
+        pytest.skip("spark-submit not on this host")
+
+    pkg_zip = str(tmp_path / "fsst_spark.zip")
+    with zipfile.ZipFile(pkg_zip, "w") as zf:
+        for root, _dirs, files in os.walk("/root/repo/fsst_spark"):
+            for f in files:
+                if f.endswith(".py"):
+                    p = os.path.join(root, f)
+                    zf.write(p, os.path.relpath(p, "/root/repo"))
+    # driver script lives OUTSIDE the repo so nothing resolves accidentally
+    driver = str(tmp_path / "driver.py")
+    src, enc = str(tmp_path / "corpus"), str(tmp_path / "encoded")
+    with open(driver, "w") as f:
+        f.write(
+            "import json\n"
+            "from fsst_spark.jobs.session import get_spark\n"
+            "from fsst_spark.jobs.encode import encode_job, read_manifest\n"
+            "from fsst_spark.jobs.verify import roundtrip_summary\n"
+            "from fsst_spark.synth.webcorpus import synth_web_df\n"
+            "spark = get_spark('local[2]')\n"
+            f"synth_web_df(spark, 200, seed=7).write.mode('overwrite').parquet({src!r})\n"
+            f"encode_job(spark, spark.read.parquet({src!r}), {enc!r},\n"
+            "           num_partitions=2, resume=False).collect()\n"
+            f"ok = all(r['all_ok'] for r in roundtrip_summary(spark, {enc!r}).collect())\n"
+            f"rows = read_manifest(spark, {enc!r}).groupBy().sum('n_rows').collect()[0][0]\n"
+            "print(json.dumps({'ok': ok, 'rows': int(rows)}))\n"
+            "spark.stop()\n"
+        )
+    out = subprocess.run(
+        [spark_submit, "--master", "local[2]", "--py-files", pkg_zip, driver],
+        capture_output=True, text=True, timeout=420, cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    r = json.loads(out.stdout.strip().splitlines()[-1])
+    assert r == {"ok": True, "rows": 200}
