@@ -197,19 +197,23 @@ def _zone_prune(chunks: DataFrame, zsrc: DataFrame,
     return chunks.join(keep, ["pid", "chunk_id"], "left_semi")
 
 
-def _dict_value_keep(spark, out_dir: str, col: str, value: str | bytes) -> DataFrame:
-    """(pid, chunk_id) keep-set for ``col == value`` using the dict codec's
-    dictionary: a ``str_dict`` chunk whose dictionary lacks the value
-    provably contains no matching row, so the other columns of that chunk
-    are never read or decoded. Chunks under any other codec are kept
-    (conservative). The pass reads ONLY the filter column's payloads (the
-    ``column ==`` predicate pushes to the chunk parquet scan) and decodes
-    only the (tiny) dictionary section — codes stay encoded. On
-    categorical columns (lang, source, content-type) this turns a value
-    probe into a near-metadata scan at 100 TB."""
+def _dict_value_drop(spark, out_dir: str, col: str, value: str | bytes) -> DataFrame:
+    """(pid, chunk_id) DROP-set for ``col == value``: the ``str_dict``
+    chunks whose dictionary provably lacks the value — they contain no
+    matching row, so none of their columns need be read or decoded. The
+    pass scans only the filter column's DICT-CODED chunk rows (both the
+    ``column ==`` and ``codec == 'str_dict'`` predicates push to the chunk
+    parquet scan, so non-dict payloads are never read) and decodes only
+    the (tiny) dictionary section — codes stay encoded. On categorical
+    columns (lang, source, content-type) this turns a value probe into a
+    near-metadata scan at 100 TB; on columns with no dict chunks the scan
+    matches zero rows and costs footer reads only."""
     vb = value.encode("utf-8", "surrogatepass") if isinstance(value, str) else bytes(value)
-    src = _chunks_df(spark, out_dir, [col]).select(
-        "pid", "chunk_id", "codec", "params", "payload")
+    src = (
+        _chunks_df(spark, out_dir, [col])
+        .filter(F.col("codec") == "str_dict")  # pushed: plain/fsst payloads unread
+        .select("pid", "chunk_id", "params", "payload")
+    )
 
     def task(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from ..kernel.codecs import _split_sections, decode_bytes_like
@@ -217,23 +221,21 @@ def _dict_value_keep(spark, out_dir: str, col: str, value: str | bytes) -> DataF
         for batch in batches:
             pids, cids = [], []
             for row in batch.to_pylist():
-                keep = True
-                if row["codec"] == "str_dict":
-                    p = json.loads(row["params"])
-                    payload = row["payload"]
-                    if "n_total" in p:  # strip the appended validity bits
-                        payload = payload[: p["validity_len"]]
-                    _, up = _split_sections(p, payload)
-                    buf, off = decode_bytes_like(
-                        {"codec": p["values"]["codec"],
-                         "params": p["values"]["params"], "payload": up},
-                        kind="str")
-                    lens = off[1:] - off[:-1]
-                    keep = any(
-                        buf[off[i]: off[i + 1]].tobytes() == vb
-                        for i in (lens == len(vb)).nonzero()[0]
-                    )
-                if keep:
+                p = json.loads(row["params"])
+                payload = row["payload"]
+                if "n_total" in p:  # strip the appended validity bits
+                    payload = payload[: p["validity_len"]]
+                _, up = _split_sections(p, payload)
+                buf, off = decode_bytes_like(
+                    {"codec": p["values"]["codec"],
+                     "params": p["values"]["params"], "payload": up},
+                    kind="str")
+                lens = off[1:] - off[:-1]
+                has_value = any(
+                    buf[off[i]: off[i + 1]].tobytes() == vb
+                    for i in (lens == len(vb)).nonzero()[0]
+                )
+                if not has_value:
                     pids.append(row["pid"])
                     cids.append(row["chunk_id"])
             yield pa.RecordBatch.from_arrays(
@@ -273,8 +275,8 @@ def decode_job(spark, out_dir: str, columns: list[str] | None = None,
             zsrc = _chunks_df(spark, out_dir, [zf[0]])
             chunks = _zone_prune(chunks, zsrc, zf, types[zf[0]])
             if dict_prune and zf[1] == "==" and types[zf[0]] in _STRINGY:
-                keep = _dict_value_keep(spark, out_dir, zf[0], zf[2])
-                chunks = chunks.join(keep, ["pid", "chunk_id"], "left_semi")
+                drop = _dict_value_drop(spark, out_dir, zf[0], zf[2])
+                chunks = chunks.join(drop, ["pid", "chunk_id"], "left_anti")
     # Co-locate all column rows of one chunk in one task. Chunk rows are
     # few and fat (payload ~MBs), so the shuffle moves encoded (small)
     # bytes — decoding after the shuffle keeps shuffled volume minimal.

@@ -316,6 +316,19 @@ def test_dict_membership_prune_skips_chunks(spark, tmp_path):
                  decode_filtered(spark, out, "lang", "==", "de").collect())
     assert got == [10000 + i for i in range(2000) if i % 2 == 0]
 
+    # the drop-set scan must push BOTH predicates to parquet so non-dict
+    # payloads of other columns are never read
+    import contextlib
+    import io
+    import re
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        with_prune.explain("formatted")
+    plan = buf.getvalue()
+    pushed = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+    assert any("EqualTo(codec,str_dict)" in p and "EqualTo(column,lang)" in p
+               for p in pushed), pushed
+
 
 def test_cli_where_coercion():
     from fsst_spark.jobs.cli import _coerce_where
