@@ -281,6 +281,26 @@ def q_dict_prune_decode(spark, sf_dir):
         [(r["n_rows"], r["sum_ids"])], "n_rows bigint, sum_ids bigint")
 
 
+def q_url_sort_key(spark, sf_dir):
+    """Host-reversed URL layout keys: Spark builds full https:// URLs and
+    applies url_sort_key (scheme strip + host reversal); the oracle builds
+    the SAME urls WITHOUT the scheme and reverses with DuckDB list ops —
+    they agree only if the scheme strip and reversal are both exact."""
+    from fsst_spark.pipeline.textstats import url_sort_key
+
+    docs = _docs(spark, sf_dir)
+    url = F.concat(F.lit("https://www."), F.col("source"),
+                   F.lit(".example.com/docs/"), F.col("doc_id").cast("string"))
+    keys = docs.select(url_sort_key(url).alias("key"))
+    return keys.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("key").alias("n_keys"),
+        F.min("key").alias("min_key"),
+        F.max("key").alias("max_key"),
+        F.sum(F.length("key")).alias("sum_len"),
+    )
+
+
 def q_curation_pipeline(spark, sf_dir):
     """End-to-end curation: Gopher quality filter -> exact dedup ->
     per-domain cap(50) -> deterministic 50% sample. Per-stage counts plus
@@ -636,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonemap_decode": q_zonemap_decode,
         "zonemap_decode_multi": q_zonemap_decode_multi,
         "dict_prune_decode": q_dict_prune_decode,
+        "url_sort_key": q_url_sort_key,
         "deterministic_sample": q_deterministic_sample,
         "cap_per_group": q_cap_per_group,
         "gopher_quality": q_gopher_quality,
@@ -829,6 +850,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
             "CAST(sum(doc_id) AS BIGINT) AS sum_ids "
             "FROM documents WHERE lang = 'de'"
+        ),
+        "url_sort_key": (
+            # same urls WITHOUT the scheme: agreement proves the Spark
+            # side's scheme strip + host reversal are exact
+            "WITH u AS (SELECT doc_id, 'www.' || source || "
+            "'.example.com/docs/' || doc_id AS c FROM documents), "
+            "k AS (SELECT array_to_string(list_reverse(string_split("
+            "regexp_extract(c, '^([^/]*)', 1), '.')), '.') || "
+            "substr(c, length(regexp_extract(c, '^([^/]*)', 1)) + 1) AS key "
+            "FROM u) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(count(DISTINCT key) AS BIGINT) AS n_keys, "
+            "min(key) AS min_key, max(key) AS max_key, "
+            "CAST(sum(length(key)) AS BIGINT) AS sum_len FROM k"
         ),
         "curation_pipeline": (
             f"WITH f AS ({_GOPHER_F_SQL}), "

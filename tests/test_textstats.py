@@ -66,3 +66,27 @@ def test_gopher_quality_flags_rules(spark):
     assert got[6]["dup_line_ok"] is False and got[6]["word_count_ok"] is True
     assert got[7]["stopword_ok"] is False
     assert got[8]["keep"] is False
+
+
+def test_url_sort_key_format_and_zone_selectivity(spark):
+    from fsst_spark.pipeline.textstats import url_sort_key
+    from pyspark.sql import functions as F
+
+    rows = [(1, "https://www.blog.example.com/a/b?q=1"),
+            (2, "http://example.org/"),
+            (3, "example.net/nopath"),       # schemeless passes through
+            (4, "https://HOST.example.com")]  # no path at all
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {r["id"]: r["k"] for r in
+           df.select("id", url_sort_key(F.col("url")).alias("k")).collect()}
+    assert got[1] == "com.example.blog.www/a/b?q=1"
+    assert got[2] == "org.example/"
+    assert got[3] == "net.example/nopath"
+    assert got[4] == "com.example.HOST"
+    # the point of the key: one site's pages share a long common prefix,
+    # so 8-byte prefix zones (zone_pack8) discriminate between sites
+    from fsst_spark.jobs.encode import zone_pack8
+
+    k_a = zone_pack8("com.example.blog.www/a")
+    k_b = zone_pack8("org.example/")
+    assert k_a != k_b
