@@ -301,6 +301,21 @@ def q_url_sort_key(spark, sf_dir):
     )
 
 
+def q_quota_filter(spark, sf_dir):
+    """Per-host byte-quota admission (batch arm of the stateful streaming
+    operator): each source admits its doc_id-order prefix until 2000 text
+    bytes have been seen; sum(doc_id) pins the admitted set."""
+    from fsst_spark.streaming import quota_filter
+
+    out = quota_filter(_docs(spark, sf_dir), 2000, group_col="source",
+                       size_col="text", order_col="doc_id")
+    return out.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("source").alias("n_groups"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
 def q_curation_pipeline(spark, sf_dir):
     """End-to-end curation: Gopher quality filter -> exact dedup ->
     per-domain cap(50) -> deterministic 50% sample. Per-stage counts plus
@@ -657,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonemap_decode_multi": q_zonemap_decode_multi,
         "dict_prune_decode": q_dict_prune_decode,
         "url_sort_key": q_url_sort_key,
+        "quota_filter": q_quota_filter,
         "deterministic_sample": q_deterministic_sample,
         "cap_per_group": q_cap_per_group,
         "gopher_quality": q_gopher_quality,
@@ -850,6 +866,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
             "CAST(sum(doc_id) AS BIGINT) AS sum_ids "
             "FROM documents WHERE lang = 'de'"
+        ),
+        "quota_filter": (
+            "WITH s AS (SELECT doc_id, source, length(text) AS sz "
+            "FROM documents), "
+            "c AS (SELECT doc_id, source, coalesce(sum(sz) OVER ("
+            "PARTITION BY source ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS used_before FROM s) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(count(DISTINCT source) AS BIGINT) AS n_groups, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_ids "
+            "FROM c WHERE used_before < 2000"
         ),
         "url_sort_key": (
             # same urls WITHOUT the scheme: agreement proves the Spark

@@ -119,3 +119,51 @@ def test_streaming_dedup_matches_batch_fingerprints(spark, src_dir, tmp_path):
         normalized_fingerprint(F.col("text")).alias("fp")
     ).distinct().count() == n_fp
     assert got.columns == src.columns
+
+
+def test_quota_filter_stream_matches_batch_across_microbatches(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): the per-host byte
+    counter must PERSIST across micro-batches — a host exhausted in batch
+    1 admits nothing in batch 2 — and the admitted set must equal the
+    batch-mode running-sum window on the same (in-order) input."""
+    from fsst_spark.streaming import quota_filter
+
+    src = str(tmp_path / "quota_src")
+    # two files = two micro-batches (maxFilesPerTrigger=1); ts order
+    # matches file order so stream arrival order == order_col order
+    d1 = synth_web_df(spark, 300, seed=21, parallelism=1)
+    d1.write.mode("append").parquet(src)
+    base_ts = d1.agg(F.max("warc_ts")).collect()[0][0]
+    d2 = (synth_web_df(spark, 300, seed=22, parallelism=1)
+          .withColumn("warc_ts", F.timestamp_micros(
+              F.unix_micros(F.lit(base_ts)) + F.unix_micros("warc_ts") % 10**9)))
+    d2.write.mode("append").parquet(src)
+
+    batch_df = spark.read.parquet(src)
+    quota = 60_000  # bytes of text per lang: exhausts mid-stream
+    expected = sorted(r["url"] for r in
+                      quota_filter(batch_df, quota).select("url").collect())
+    n_all = batch_df.count()
+    assert 0 < len(expected) < n_all, (len(expected), n_all)
+
+    stream = (spark.readStream.schema(batch_df.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (
+        quota_filter(stream, quota)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("quota_out")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "quota_ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(r["url"] for r in
+                 spark.sql("SELECT url FROM quota_out").collect())
+    assert got == expected
+    # state really crossed batches: batch 2 alone under a fresh counter
+    # would admit more rows than the carried-over counter allows
+    fresh_b2 = quota_filter(
+        spark.read.parquet(src).where(F.col("warc_ts") > base_ts), quota)
+    b2_urls = {r["url"] for r in fresh_b2.select("url").collect()}
+    got_b2 = {u for u in got} & b2_urls
+    assert len(got_b2) < len(b2_urls)
