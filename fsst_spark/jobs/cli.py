@@ -57,11 +57,12 @@ def main(argv: list[str] | None = None) -> int:
     dec.add_argument("--out", required=True)
     dec.add_argument("--columns", default=None)
     dec.add_argument("--where", action="append", default=None, metavar="COL:OP:VALUE",
-                     help="selective decode via zone maps, e.g. doc_id:>=:1000; "
-                          "repeatable (conjunction: every predicate must hold). "
-                          "Ops: >= > <= < ==. VALUE is coerced to the COLUMN's "
-                          "type (int/float/timestamp-ISO/string) — a string "
-                          "column keeps numeric-looking text as text")
+                     help="selective decode via zone maps, e.g. doc_id:>=:1000 "
+                          "or lang:in:de,fr; repeatable (conjunction: every "
+                          "predicate must hold). Ops: >= > <= < == in "
+                          "(comma-separated values). VALUE is coerced to the "
+                          "COLUMN's type (int/float/timestamp-ISO/string) — a "
+                          "string column keeps numeric-looking text as text")
 
     ver = sub.add_parser("verify", help="chunk checksum round-trip verification")
     ver.add_argument("--data", required=True)
@@ -161,7 +162,9 @@ def main(argv: list[str] | None = None) -> int:
                     col, op, raw = clause.split(":", 2)
                     if col not in types:
                         raise KeyError(f"column {col!r} not in encoded data")
-                    filters.append((col, op, _coerce_where(types[col], raw)))
+                    val = ([_coerce_where(types[col], v) for v in raw.split(",")]
+                           if op == "in" else _coerce_where(types[col], raw))
+                    filters.append((col, op, val))
                 df = decode_filtered(spark, args.data, columns=cols, filters=filters)
             else:
                 df = decode_job(spark, args.data, cols)

@@ -184,22 +184,36 @@ def _zone_prune(chunks: DataFrame, zsrc: DataFrame,
     arrow type, never the Python type of the value (a numeric-looking
     string id must still use prefix zones)."""
     col, op, value = zone_filter
-    if op not in _ZONE_OPS:
-        raise ValueError(f"zone op must be one of {sorted(_ZONE_OPS)}, got {op!r}")
-    zval, ops = _zone_key(arrow_name, value)  # typed: raises on mismatch
+    if op == "in":
+        # set membership: a chunk can match iff it can match ANY element
+        values = list(value)
+        if not values:
+            raise ValueError("'in' filter needs a non-empty value list")
+        packed = [_zone_key(arrow_name, v) for v in values]
+        pred = packed[0][1]["=="](packed[0][0])
+        for zv, ops in packed[1:]:
+            pred = pred | ops["=="](zv)
+    elif op in _ZONE_OPS:
+        zval, ops = _zone_key(arrow_name, value)  # typed: raises on mismatch
+        pred = ops[op](zval)
+    else:
+        raise ValueError(
+            f"zone op must be one of {sorted(_ZONE_OPS) + ['in']}, got {op!r}")
     if "zmin_long" not in chunks.columns:
         return chunks  # pre-zone-map encode: nothing to prune on
     keep = (
         zsrc.filter(F.col("column") == col)
-        .filter(F.col("zmin_long").isNull() | ops[op](zval))
+        .filter(F.col("zmin_long").isNull() | pred)
         .select("pid", "chunk_id")
     )
     return chunks.join(keep, ["pid", "chunk_id"], "left_semi")
 
 
-def _dict_value_drop(spark, out_dir: str, col: str, value: str | bytes) -> DataFrame:
-    """(pid, chunk_id) DROP-set for ``col == value``: the ``str_dict``
-    chunks whose dictionary provably lacks the value — they contain no
+def _dict_value_drop(spark, out_dir: str, col: str,
+                     value: "str | bytes | list") -> DataFrame:
+    """(pid, chunk_id) DROP-set for ``col == value`` (or ``col IN values``
+    when a list is given): the ``str_dict`` chunks whose dictionary
+    provably lacks EVERY probed value — they contain no
     matching row, so none of their columns need be read or decoded. The
     pass scans only the filter column's DICT-CODED chunk rows (both the
     ``column ==`` and ``codec == 'str_dict'`` predicates push to the chunk
@@ -208,7 +222,12 @@ def _dict_value_drop(spark, out_dir: str, col: str, value: str | bytes) -> DataF
     columns (lang, source, content-type) this turns a value probe into a
     near-metadata scan at 100 TB; on columns with no dict chunks the scan
     matches zero rows and costs footer reads only."""
-    vb = value.encode("utf-8", "surrogatepass") if isinstance(value, str) else bytes(value)
+    vals = value if isinstance(value, (list, tuple, set)) else [value]
+    probes = {v.encode("utf-8", "surrogatepass") if isinstance(v, str) else bytes(v)
+              for v in vals}
+    by_len: dict[int, set] = {}
+    for vb in probes:
+        by_len.setdefault(len(vb), set()).add(vb)
     src = (
         _chunks_df(spark, out_dir, [col])
         .filter(F.col("codec") == "str_dict")  # pushed: plain/fsst payloads unread
@@ -232,8 +251,9 @@ def _dict_value_drop(spark, out_dir: str, col: str, value: str | bytes) -> DataF
                     kind="str")
                 lens = off[1:] - off[:-1]
                 has_value = any(
-                    buf[off[i]: off[i + 1]].tobytes() == vb
-                    for i in (lens == len(vb)).nonzero()[0]
+                    buf[off[i]: off[i + 1]].tobytes() in vset
+                    for ln, vset in by_len.items()
+                    for i in (lens == ln).nonzero()[0]
                 )
                 if not has_value:
                     pids.append(row["pid"])
@@ -274,7 +294,7 @@ def decode_job(spark, out_dir: str, columns: list[str] | None = None,
             # each keep-set reads its own (narrow, zone-only) projection
             zsrc = _chunks_df(spark, out_dir, [zf[0]])
             chunks = _zone_prune(chunks, zsrc, zf, types[zf[0]])
-            if dict_prune and zf[1] == "==" and types[zf[0]] in _STRINGY:
+            if dict_prune and zf[1] in ("==", "in") and types[zf[0]] in _STRINGY:
                 drop = _dict_value_drop(spark, out_dir, zf[0], zf[2])
                 chunks = chunks.join(drop, ["pid", "chunk_id"], "left_anti")
     # Co-locate all column rows of one chunk in one task. Chunk rows are
@@ -324,13 +344,18 @@ def _row_predicate(col: str, op: str, value, arrow_name: str):
     the us-precision Spark type) — a bare ``F.col(ts) >= int`` raises
     AnalysisException (TIMESTAMP vs BIGINT), so int/datetime/ISO-string
     values are all coerced through ``_ts_ticks``."""
-    if arrow_name.startswith("timestamp["):
-        ticks = _ts_ticks(arrow_name, value)
-        mult = _TS_UNIT_PER_SEC[_ts_unit(arrow_name)]
-        lhs, rhs = F.unix_micros(F.col(col)), F.lit(ticks * 10**6 // mult)
-    else:
-        _zone_key(arrow_name, value)  # type check only
-        lhs, rhs = F.col(col), F.lit(float(value) if arrow_name in ("float", "double") else value)
+    def coerce(v):
+        if arrow_name.startswith("timestamp["):
+            mult = _TS_UNIT_PER_SEC[_ts_unit(arrow_name)]
+            return _ts_ticks(arrow_name, v) * 10**6 // mult
+        _zone_key(arrow_name, v)  # type check only
+        return float(v) if arrow_name in ("float", "double") else v
+
+    lhs = (F.unix_micros(F.col(col)) if arrow_name.startswith("timestamp[")
+           else F.col(col))
+    if op == "in":
+        return lhs.isin(*[coerce(v) for v in value])
+    rhs = F.lit(coerce(value))
     return {
         ">=": lhs >= rhs, ">": lhs > rhs,
         "<=": lhs <= rhs, "<": lhs < rhs, "==": lhs == rhs,

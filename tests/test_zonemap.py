@@ -330,6 +330,40 @@ def test_dict_membership_prune_skips_chunks(spark, tmp_path):
                for p in pushed), pushed
 
 
+def test_in_filter_with_dict_prune(spark, tmp_path):
+    """``col IN (...)`` prunes via zones AND dictionary membership (a dict
+    chunk is dropped only when it lacks EVERY probed value), and returns
+    exactly the matching rows. Also exercises int IN."""
+    out = str(tmp_path / "inp")
+    p0 = spark.createDataFrame([(i, ["aa", "zz"][i % 2]) for i in range(2000)],
+                               "doc_id long, lang string").coalesce(1)
+    p1 = spark.createDataFrame([(10000 + i, ["de", "fr"][i % 2]) for i in range(2000)],
+                               "doc_id long, lang string").coalesce(1)
+    df = p0.union(p1)
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "500")
+    try:
+        encode_job(spark, df, out, chunk_bytes=1 << 10, resume=False,
+                   pre_partitioned=True, unique_col="doc_id").collect()
+    finally:
+        spark.conf.set(key, old)
+    got = sorted(r["doc_id"] for r in
+                 decode_filtered(spark, out, "lang", "in", ["de", "fr"]).collect())
+    assert got == list(range(10000, 12000))
+    # dict prune: the {'aa','zz'} partition's chunks never decode
+    pruned = decode_job(spark, out, zone_filters=[("lang", "in", ["de", "fr"])])
+    full = decode_job(spark, out)
+    assert pruned.select("pid", "chunk_id").distinct().count() \
+        <= full.select("pid", "chunk_id").distinct().count() / 2
+    # int IN via zones
+    ids = sorted(r["doc_id"] for r in
+                 decode_filtered(spark, out, "doc_id", "in", [5, 10007, 11999]).collect())
+    assert ids == [5, 10007, 11999]
+    with pytest.raises(TypeError):
+        decode_filtered(spark, out, "lang", "in", ["de", 7]).collect()
+
+
 def test_cli_where_coercion():
     from fsst_spark.jobs.cli import _coerce_where
 
