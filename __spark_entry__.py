@@ -316,6 +316,31 @@ def q_quota_filter(spark, sf_dir):
     )
 
 
+def q_encoded_stats(spark, sf_dir):
+    """Stats-only query answering: count/min/max recovered from the
+    encoded store's chunk METADATA (zone maps + row counts) without
+    reading or decoding any payload — must equal SQL aggregates over the
+    source table."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.encode import encode_job
+    from fsst_spark.jobs.stats import encoded_column_stats
+
+    out = tempfile.mkdtemp(prefix="fsst_encstats_q_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+        encode_job(spark, docs, out, chunk_bytes=256 << 10, resume=False,
+                   pre_partitioned=True, unique_col="doc_id").collect()
+        rows = encoded_column_stats(spark, out, ["doc_id", "n_chars"]).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["column"], r["n_rows"], r["min_long"], r["max_long"]) for r in rows],
+        "column string, n_rows bigint, min_long bigint, max_long bigint",
+    )
+
+
 def q_curation_pipeline(spark, sf_dir):
     """End-to-end curation: Gopher quality filter -> exact dedup ->
     per-domain cap(50) -> deterministic 50% sample. Per-stage counts plus
@@ -673,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dict_prune_decode": q_dict_prune_decode,
         "url_sort_key": q_url_sort_key,
         "quota_filter": q_quota_filter,
+        "encoded_stats": q_encoded_stats,
         "deterministic_sample": q_deterministic_sample,
         "cap_per_group": q_cap_per_group,
         "gopher_quality": q_gopher_quality,
@@ -866,6 +892,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
             "CAST(sum(doc_id) AS BIGINT) AS sum_ids "
             "FROM documents WHERE lang = 'de'"
+        ),
+        "encoded_stats": (
+            "SELECT * FROM ("
+            "SELECT 'doc_id' AS \"column\", CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(min(doc_id) AS BIGINT) AS min_long, "
+            "CAST(max(doc_id) AS BIGINT) AS max_long FROM documents "
+            "UNION ALL "
+            "SELECT 'n_chars', CAST(count(*) AS BIGINT), "
+            "CAST(min(n_chars) AS BIGINT), CAST(max(n_chars) AS BIGINT) "
+            "FROM documents) ORDER BY \"column\""
         ),
         "quota_filter": (
             "WITH s AS (SELECT doc_id, source, length(text) AS sz "

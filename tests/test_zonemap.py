@@ -373,3 +373,30 @@ def test_cli_where_coercion():
     assert _coerce_where("timestamp[us, tz=UTC]", "1700000000000000") == 1700000000000000
     assert _coerce_where("timestamp[us, tz=UTC]", "2023-11-14T22:13:20+00:00") \
         == "2023-11-14T22:13:20+00:00"
+
+
+def test_encoded_column_stats_metadata_only(spark, encoded):
+    """min/max/count recovered from chunk metadata must equal true
+    aggregates, the scan must never read payload bytes, and non-exact
+    column types must raise."""
+    from fsst_spark.jobs.stats import encoded_column_stats
+
+    rows = {r["column"]: r for r in
+            encoded_column_stats(spark, encoded, ["doc_id"]).collect()}
+    assert rows["doc_id"]["n_rows"] == 4000
+    assert rows["doc_id"]["min_long"] == 0
+    assert rows["doc_id"]["max_long"] == 3999
+
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        encoded_column_stats(spark, encoded, ["doc_id"]).explain("formatted")
+    import re
+    scans = re.findall(r"ReadSchema: struct<[^>]*>", buf.getvalue())
+    assert scans and all("payload" not in s for s in scans), scans
+
+    with pytest.raises(ValueError):
+        encoded_column_stats(spark, encoded, ["text"])  # string: prefix zones
+    with pytest.raises(KeyError):
+        encoded_column_stats(spark, encoded, ["nope"])
