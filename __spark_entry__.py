@@ -341,6 +341,15 @@ def q_encoded_stats(spark, sf_dir):
     )
 
 
+def q_token_topk(spark, sf_dir):
+    """Per-language heavy-hitter tokens (top-5 by count, token breaks
+    ties): exact window oracle over the unnested token stream."""
+    from fsst_spark.pipeline.textstats import token_topk
+
+    return token_topk(_docs(spark, sf_dir), k=5).select(
+        F.col("lang"), F.col("tok"), F.col("cnt"), F.col("rank"))
+
+
 def q_curation_pipeline(spark, sf_dir):
     """End-to-end curation: Gopher quality filter -> exact dedup ->
     per-domain cap(50) -> deterministic 50% sample. Per-stage counts plus
@@ -699,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_sort_key": q_url_sort_key,
         "quota_filter": q_quota_filter,
         "encoded_stats": q_encoded_stats,
+        "token_topk": q_token_topk,
         "deterministic_sample": q_deterministic_sample,
         "cap_per_group": q_cap_per_group,
         "gopher_quality": q_gopher_quality,
@@ -892,6 +902,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
             "CAST(sum(doc_id) AS BIGINT) AS sum_ids "
             "FROM documents WHERE lang = 'de'"
+        ),
+        "token_topk": (
+            "WITH t AS (SELECT lang, unnest(regexp_split_to_array("
+            "lower(trim(text)), '\\s+')) AS tok FROM documents "
+            "WHERE trim(text) <> ''), "
+            "c AS (SELECT lang, tok, count(*) AS cnt FROM t "
+            "WHERE tok <> '' GROUP BY 1, 2), "
+            "r AS (SELECT lang, tok, CAST(cnt AS BIGINT) AS cnt, "
+            "CAST(row_number() OVER (PARTITION BY lang "
+            "ORDER BY cnt DESC, tok) AS INTEGER) AS rank FROM c) "
+            "SELECT lang, tok, cnt, rank FROM r WHERE rank <= 5"
         ),
         "encoded_stats": (
             "SELECT * FROM ("

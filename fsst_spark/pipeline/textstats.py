@@ -181,3 +181,44 @@ def url_sort_key(url: Column) -> Column:
     path = c.substr(F.length(host) + 1, F.length(c))
     rev = F.array_join(F.reverse(F.split(host, r"\.")), ".")
     return F.concat(rev, path)
+
+
+def token_topk(df: DataFrame, k: int = 5, text_col: str = "text",
+               group_col: str = "lang") -> DataFrame:
+    """Top-``k`` most frequent whitespace tokens per group (vocabulary
+    heavy hitters — the standard corpus-analysis pass before tokenizer
+    training / stopword curation). Returns (group, tok, cnt, rank), rank
+    1..k by count desc (token asc breaks ties deterministically).
+
+    Scale shape: tokens explode to narrow (group, tok) rows and aggregate
+    with map-side partial counts; a shuffle-free per-partition top-k
+    combine (mapInPandas over the counted frame) then caps the final
+    window's input at k rows per (group, partition) — a 10^8-token
+    vocabulary never lands on one reducer as a whole."""
+    import pandas as pd
+
+    toks = (
+        df.select(F.col(group_col), F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    counts = toks.groupBy(group_col, "tok").agg(F.count("*").alias("cnt"))
+
+    def local_topk(pdfs):
+        best = None
+        for pdf in pdfs:
+            cur = pdf if best is None else pd.concat((best, pdf), ignore_index=True)
+            cur = cur.sort_values([group_col, "cnt", "tok"],
+                                  ascending=[True, False, True])
+            best = cur.groupby(group_col, sort=False).head(k)
+        if best is not None:
+            yield best
+
+    combined = counts.mapInPandas(local_topk, counts.schema)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.desc("cnt"), F.col("tok"))
+    return (
+        combined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
