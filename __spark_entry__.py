@@ -925,7 +925,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) ORDER BY \"column\""
         ),
         "quota_filter": (
-            "WITH s AS (SELECT doc_id, source, length(text) AS sz "
+            # strlen = BYTE length in DuckDB (length() is characters),
+            # matching Spark's octet_length — the quota is a byte budget
+            "WITH s AS (SELECT doc_id, source, strlen(text) AS sz "
             "FROM documents), "
             "c AS (SELECT doc_id, source, coalesce(sum(sz) OVER ("
             "PARTITION BY source ORDER BY doc_id "

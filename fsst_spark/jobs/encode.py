@@ -207,6 +207,37 @@ def completed_pids(out_dir: str) -> set[int]:
     return out
 
 
+def _resume_mode_guard(out_dir: str, mode: str, resume: bool) -> None:
+    """Refuse to resume a store encoded under a different pid-keying mode.
+
+    ``encode_files_job`` keys pids by file index; ``encode_job`` keys by
+    shuffle partition id. Both share ``completed_pids`` resume state, so
+    resuming a partial store under the other scheme would skip pids that
+    were completed under the other keying — a silently mixed/wrong store.
+    The manifest's lineage records the mode; a mismatch demands an explicit
+    ``resume=False`` (CLI ``--no-resume``) or a fresh output dir.
+    """
+    if not resume:
+        return
+    mdir = os.path.join(out_dir, "manifest")
+    if not os.path.isdir(mdir):
+        return
+    for f in sorted(os.listdir(mdir)):
+        if f.startswith("part-") and f.endswith(".parquet"):
+            tbl = pq.read_table(os.path.join(mdir, f), columns=["lineage"])
+            if tbl.num_rows == 0:
+                continue
+            prev = json.loads(tbl.column(0)[0].as_py() or "{}").get("mode", "dataframe")
+            if prev != mode:
+                raise ValueError(
+                    f"refusing to resume {out_dir!r}: its manifest was written "
+                    f"by the {prev!r} encode mode but this invocation uses "
+                    f"{mode!r}; pid keying differs between modes, so resuming "
+                    "would skip the wrong partitions. Re-run with resume=False "
+                    "(--no-resume) or a fresh output dir.")
+            return
+
+
 def _atomic_write(table: pa.Table, path: str) -> None:
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     pq.write_table(table, tmp, compression="none")
@@ -275,10 +306,12 @@ def encode_job(
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism * 2
     os.makedirs(os.path.join(out_dir, "chunks"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
+    _resume_mode_guard(out_dir, "dataframe", resume)
     done = completed_pids(out_dir) if resume else set()
     lineage_json = json.dumps(
         {**(lineage or {}), "columns": cols, "num_partitions": num_partitions,
-         "group_cols": group_cols, "chunk_bytes": chunk_bytes}
+         "group_cols": group_cols, "chunk_bytes": chunk_bytes,
+         "mode": "dataframe"}
     )
 
     if pre_partitioned:
@@ -420,6 +453,7 @@ def encode_files_job(
         files = table_files(spark, input_path)
     os.makedirs(os.path.join(out_dir, "chunks"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
+    _resume_mode_guard(out_dir, "files", resume)
     done = completed_pids(out_dir) if resume else set()
     lineage_json = json.dumps(
         {**(lineage or {}), "columns": columns, "n_files": len(files),

@@ -42,10 +42,12 @@ def encoded_column_stats(spark, out_dir: str, columns: list[str]) -> DataFrame:
             raise ValueError(
                 f"exact metadata stats need int/timestamp zones; column {c!r} "
                 f"is {t} (string/float zones are conservative bounds only)")
-    chunks = _chunks_df(spark, out_dir, list(columns)).select(
-        "column", "n_rows", "zmin_long", "zmax_long")
+    chunks = _chunks_df(spark, out_dir, list(columns))
+    # column-presence check BEFORE the projection: selecting a missing
+    # column raises AnalysisException first, making a post-select guard dead
     if "zmin_long" not in chunks.columns:
         raise ValueError("store has no zone maps (pre-zone encode)")
+    chunks = chunks.select("column", "n_rows", "zmin_long", "zmax_long")
     return (
         chunks.groupBy("column")
         .agg(

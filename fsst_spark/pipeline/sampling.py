@@ -39,38 +39,52 @@ def deterministic_sample(df: DataFrame, fraction: float,
 
 
 def cap_per_group(df: DataFrame, group_col: str = "source", n: int = 10,
-                  order_col: str = "doc_id", salt_partitions: int = 16) -> DataFrame:
+                  order_col: str = "doc_id", salt_partitions: int = 16,
+                  tie_col: str | None = None) -> DataFrame:
     """Keep at most ``n`` rows per group — domain balancing for crawls
     (a handful of mega-domains otherwise dominate the corpus).
 
-    Deterministic survivor set: rows ranked by ``order_col`` within each
-    group, first ``n`` kept. Two-phase salted execution: phase 1 caps each
-    (group, salt) sub-partition locally at ``n`` — a mega-domain's rows
-    spread over ``salt_partitions`` reducers instead of one, and at most
-    ``n * salt_partitions`` rows per group survive to phase 2, which
-    applies the true global rank. The result is provably identical to the
-    single-window plan: any row in a group's global top-``n`` by
-    ``order_col`` is also in the top-``n`` of whichever salt bucket holds
-    it (the global top-n restricted to a bucket is a subset of that
-    bucket's top-n), so phase 1 never drops a final survivor. At 10^12
-    rows the unsalted window on a skewed domain column is a
-    single-reducer straggler; here the skewed shuffle is bounded and
+    Deterministic survivor set: rows ranked by (``order_col``,
+    ``tie_col``) within each group, first ``n`` kept. Two-phase salted
+    execution: phase 1 caps each (group, salt) sub-partition locally at
+    ``n`` — a mega-domain's rows spread over ``salt_partitions`` reducers
+    instead of one, and at most ``n * salt_partitions`` rows per group
+    survive to phase 2, which applies the true global rank. The result is
+    provably identical to the single-window plan: any row in a group's
+    global top-``n`` by the ordering is also in the top-``n`` of whichever
+    salt bucket holds it (the global top-n restricted to a bucket is a
+    subset of that bucket's top-n), so phase 1 never drops a final
+    survivor. At 10^12 rows the unsalted window on a skewed domain column
+    is a single-reducer straggler; here the skewed shuffle is bounded and
     phase 2's input is metadata-scale (<= n * salt_partitions per group).
+
+    The identity proof needs a TOTAL order: with duplicate ``order_col``
+    values and no ``tie_col``, ``row_number`` breaks ties arbitrarily and
+    phase 1 can keep a different tied row than the unsalted plan would
+    (survivor COUNTS never differ, survivor SETS can). Pass ``tie_col``
+    (any per-row-unique column, e.g. the doc id) whenever ``order_col``
+    is not unique; the default ``order_col="doc_id"`` is unique in this
+    engine's tables, so ``tie_col=None`` is safe there.
 
     ``salt_partitions=1`` degrades to the plain single-window plan.
     """
     from pyspark.sql.window import Window
 
+    order = [F.col(order_col)] + ([F.col(tie_col)] if tie_col else [])
     ranked = df
     if salt_partitions > 1:
-        salt = F.pmod(F.xxhash64(F.col(order_col)), F.lit(salt_partitions))
-        w_local = Window.partitionBy(group_col, salt).orderBy(F.col(order_col))
+        # salt on the FULL ordering key: salting on order_col alone would
+        # scatter tied rows across buckets in an order the local windows
+        # cannot reproduce, re-introducing the tie ambiguity
+        salt_src = [F.col(order_col)] + ([F.col(tie_col)] if tie_col else [])
+        salt = F.pmod(F.xxhash64(*salt_src), F.lit(salt_partitions))
+        w_local = Window.partitionBy(group_col, salt).orderBy(*order)
         ranked = (
             df.withColumn("_lrn", F.row_number().over(w_local))
             .where(F.col("_lrn") <= n)
             .drop("_lrn")
         )
-    w = Window.partitionBy(group_col).orderBy(F.col(order_col))
+    w = Window.partitionBy(group_col).orderBy(*order)
     return (
         ranked.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= n)

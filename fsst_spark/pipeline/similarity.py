@@ -27,7 +27,17 @@ def _norm(a):
 def cosine_topk(df: DataFrame, query: list[float], k: int = 10,
                 vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Exact brute-force cosine top-k. Returns (id, rank) ordered by
-    (similarity desc, id) — rank is 1-based."""
+    (similarity desc, id) — rank is 1-based.
+
+    k is capped at 10^4: the ranking collects the post-limit top-k into ONE
+    aggregate row (deliberately — a global Window would funnel the whole
+    scored corpus through one partition), so k must stay metadata-scale.
+    Callers needing bulk neighborhoods should use ``ivf_topk_batch``."""
+    if k > 10_000:
+        raise ValueError(
+            f"cosine_topk collects the top-k into a single driver-side "
+            f"aggregate row; k={k} exceeds the metadata-scale cap of 10000 "
+            "— use ivf_topk_batch for bulk k-NN")
     q = F.array(*[F.lit(float(x)) for x in query])
     qn = float(np.sqrt(np.dot(query, query)))
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))

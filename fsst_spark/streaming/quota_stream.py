@@ -43,7 +43,10 @@ def quota_filter(
     cumulative-bytes counter per group, no timeout — a crawl budget never
     expires); batch frames use the equivalent running-sum window.
     """
-    sized = df.withColumn("_sz", F.length(F.col(size_col)).cast("long"))
+    # octet_length, not length: the quota is a BYTE budget and length()
+    # counts characters — multi-byte UTF-8 text would under-count against
+    # the crawl byte budget (admitting more bytes than the quota)
+    sized = df.withColumn("_sz", F.octet_length(F.col(size_col)).cast("long"))
     if not df.isStreaming:
         from pyspark.sql.window import Window
 
@@ -63,10 +66,15 @@ def quota_filter(
 
     def admit(key, pdfs, state) -> "pd.DataFrame":
         used = state.get[0] if state.exists else 0
-        for pdf in pdfs:
-            # within a micro-batch, rows of one group arrive in partition
-            # order; rank by the declared order so admission is
-            # deterministic per batch
+        # Concatenate the group's chunks BEFORE sorting: a group's
+        # micro-batch may span several pandas chunks, and per-chunk sorting
+        # would admit out of global order_col order within the batch,
+        # breaking the documented batch/stream equality on in-order
+        # sources. State is already per-group and the whole batch must fit
+        # the executor anyway, so one concat costs nothing extra.
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if parts:
+            pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
             pdf = pdf.sort_values(order_col, kind="stable")
             sizes = pdf["_sz"].to_numpy()
             before = used + sizes.cumsum() - sizes  # bytes seen BEFORE each row

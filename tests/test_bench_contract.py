@@ -49,6 +49,10 @@ def _fat_output() -> dict:
 
 def test_compact_line_parses_and_fits():
     line = json.dumps(bench.compact_output(_fat_output()))
+    # the driver captures the LAST 2,000 bytes of stdout; an over-budget
+    # line comes back head-truncated mid-JSON and records "parsed": null
+    # (the r3 AND r4 artifacts both failed exactly this way)
+    assert bench.MAX_LINE_BYTES <= 1900
     assert len(line) <= bench.MAX_LINE_BYTES
     parsed = json.loads(line)
     # headline fields survive compaction
@@ -65,6 +69,29 @@ def test_compact_line_parses_and_fits():
     assert "probe_trials" not in s
     assert "probe_trials" not in s.get("probe_saturated", {})
     assert "walls_big_sec" not in s
+    # the ~600-char probe prose is a pointer now (full text in bench_detail)
+    assert s["probe_design"] == "see bench_detail"
+    assert s["probe_saturated"]["probe_design"] == "see bench_detail"
+
+
+def test_oversized_output_degrades_instead_of_dying():
+    """An output dict that cannot fit even after the standard strips must
+    shrink (dropping low-priority keys) rather than raise — the r4 builder
+    used an assert here, which both crashes after a multi-minute run and
+    vanishes under python -O."""
+    out = _fat_output()
+    # inflate beyond any budget with un-stripped junk at both levels
+    out["scaling"]["giant_note"] = "y" * 4000
+    out["giant_top"] = "z" * 4000
+    compact = bench.compact_output(out)  # must not raise
+    line = json.dumps(compact)
+    assert len(line) <= bench.MAX_LINE_BYTES
+    parsed = json.loads(line)
+    # north-rule headline fields survive even the aggressive degrade
+    assert parsed["value"] == 20.5
+    assert parsed["queries"]
+    assert parsed["scaling"]["quiet_kernel_efficiency"] == 0.91
+    assert parsed["scaling"]["efficiency_1_to_4"] == 0.96
 
 
 def test_compact_is_lossless_on_scalars():

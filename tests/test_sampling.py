@@ -79,3 +79,24 @@ def test_cap_per_group_salted_bounds_final_window_input(spark):
     assert plan.count("Window") >= 2, plan
     assert "xxhash64" in plan, plan
     assert out.count() == 5
+
+
+def test_cap_per_group_ties_with_tie_col_identical_sets(spark):
+    """With DUPLICATE order values the salted/unsalted identity needs a
+    total order: tie_col restores it. Every doc shares one of 3 scores;
+    survivor SETS (not just counts) must match across plans and across
+    salt_partitions settings."""
+    rows = [(i, "mega", i % 3) for i in range(3000)] + \
+           [(10000 + i, f"dom{i % 5}", 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score long")
+    plain = sorted(r["doc_id"] for r in
+                   cap_per_group(df, "source", 7, "score",
+                                 salt_partitions=1, tie_col="doc_id").collect())
+    salted = sorted(r["doc_id"] for r in
+                    cap_per_group(df, "source", 7, "score",
+                                  salt_partitions=16, tie_col="doc_id").collect())
+    assert salted == plain
+    # deterministic winner: mega keeps the 7 smallest (score, doc_id) rows
+    # = scores 0 at doc_id 0,3,6,9,12,15,18
+    mega = [d for d in plain if d < 10000]
+    assert mega == [0, 3, 6, 9, 12, 15, 18]

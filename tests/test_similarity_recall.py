@@ -89,3 +89,14 @@ def test_embedding_neardup_pairs_exact_dups_and_threshold(spark):
     # random unit 16-dim vectors essentially never reach cosine 0.95, so the
     # result must be exactly the injected duplicates/near-dup
     assert got == {(0, 100), (7, 107), (3, 103)}, got
+
+
+def test_cosine_topk_k_guard():
+    """k is metadata-scale by contract (the rank step collects top-k into
+    one aggregate row); a silent k=10^7 request must raise instead."""
+    import pytest
+
+    from fsst_spark.pipeline.similarity import cosine_topk
+
+    with pytest.raises(ValueError, match="ivf_topk_batch"):
+        cosine_topk(None, [1.0, 0.0], k=10_001)

@@ -162,3 +162,33 @@ def test_encode_files_job_roundtrip_and_resume(spark, tmp_path):
     res = verify_against_source(spark.read.parquet(src_dir), dec,
                                 columns=["url", "warc_ts", "html", "text", "lang"])
     assert res["match"], res
+
+
+def test_resume_refuses_cross_mode(spark, tmp_path):
+    """encode_job keys pids by shuffle partition, encode_files_job by file
+    index; both share completed_pids resume state. Resuming a store under
+    the OTHER mode must refuse loudly instead of silently skipping pids
+    completed under the other keying (r4 ADVICE)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from fsst_spark.jobs.encode import encode_files_job, encode_job
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.md5(F.col("id").cast("string")).alias("text"))
+    src = str(tmp_path / "src")
+    df.coalesce(2).write.parquet(src)
+    out = str(tmp_path / "enc")
+    encode_job(spark, spark.read.parquet(src), out, num_partitions=2,
+               unique_col="doc_id").collect()
+    with pytest.raises(ValueError, match="encode mode"):
+        encode_files_job(spark, src, out).collect()
+    # and the mirror direction: a files-mode store resumed by the DF job
+    out2 = str(tmp_path / "enc2")
+    encode_files_job(spark, src, out2).collect()
+    with pytest.raises(ValueError, match="encode mode"):
+        encode_job(spark, spark.read.parquet(src), out2, num_partitions=2,
+                   unique_col="doc_id").collect()
+    # explicit resume=False (CLI --no-resume) takes control back
+    encode_files_job(spark, src, out, resume=False).collect()

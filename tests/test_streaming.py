@@ -167,3 +167,17 @@ def test_quota_filter_stream_matches_batch_across_microbatches(spark, tmp_path):
     b2_urls = {r["url"] for r in fresh_b2.select("url").collect()}
     got_b2 = {u for u in got} & b2_urls
     assert len(got_b2) < len(b2_urls)
+
+
+def test_quota_filter_counts_bytes_not_characters(spark):
+    """The quota is a BYTE budget: multi-byte UTF-8 must count at
+    octet_length, not character length (r4 ADVICE). Three 4-byte rows
+    against an 8-byte quota admit exactly two; character counting (2 chars
+    each) would admit all three."""
+    from fsst_spark.streaming import quota_filter
+
+    rows = [(i, "g", "éé") for i in range(3)]  # 'éé': 2 chars, 4 bytes
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = quota_filter(df, 8, group_col="source", size_col="text",
+                       order_col="doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == [0, 1]
