@@ -316,6 +316,49 @@ def q_quota_filter(spark, sf_dir):
     )
 
 
+def q_clustered_decode(spark, sf_dir):
+    """Layout clustering wired into the encode job (sort_key=): documents
+    get a host-reversed URL layout key (textstats.url_sort_key), the
+    encode range-partitions + sorts on it, and a selective decode on the
+    key must return exactly the SQL-filtered rows. The pruning MAGNITUDE
+    (clustered reads ~10% of chunks, unclustered reads all) is pinned by
+    tests/test_zonemap.py; this gate pins exactness at the driver scale."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.decode import decode_job
+    from fsst_spark.jobs.encode import encode_job
+    from fsst_spark.pipeline.textstats import url_sort_key
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    df = docs.withColumn(
+        "url", F.concat(F.lit("https://"), F.col("source"), F.lit(".net/d/"),
+                        F.col("doc_id").cast("string")))
+    df = df.withColumn("url_key", url_sort_key(F.col("url"))).drop("url")
+    out = tempfile.mkdtemp(prefix="fsst_cluster_q_")
+    try:
+        encode_job(spark, df, out, num_partitions=4, chunk_bytes=64 << 10,
+                   resume=False, unique_col="doc_id",
+                   sort_key="url_key").collect()
+        rows = (
+            decode_job(spark, out, zone_filter=("url_key", ">=", "net.src5"))
+            .where(F.col("url_key") >= "net.src5")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("doc_id").alias("sum_ids"),
+                F.min("url_key").alias("min_key"),
+                F.max("url_key").alias("max_key"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["n_rows"], r["sum_ids"], r["min_key"], r["max_key"]) for r in rows],
+        "n_rows bigint, sum_ids bigint, min_key string, max_key string",
+    )
+
+
 def q_encoded_stats(spark, sf_dir):
     """Stats-only query answering: count/min/max recovered from the
     encoded store's chunk METADATA (zone maps + row counts) without
@@ -707,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dict_prune_decode": q_dict_prune_decode,
         "url_sort_key": q_url_sort_key,
         "quota_filter": q_quota_filter,
+        "clustered_decode": q_clustered_decode,
         "encoded_stats": q_encoded_stats,
         "token_topk": q_token_topk,
         "deterministic_sample": q_deterministic_sample,
@@ -923,6 +967,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'n_chars', CAST(count(*) AS BIGINT), "
             "CAST(min(n_chars) AS BIGINT), CAST(max(n_chars) AS BIGINT) "
             "FROM documents) ORDER BY \"column\""
+        ),
+        "clustered_decode": (
+            # same layout key synthesized in SQL: host('<source>.net')
+            # reversed = 'net.<source>', then the path — agreement proves
+            # the clustered encode + zone-pruned decode returns exactly
+            # the filter's rows
+            "WITH k AS (SELECT doc_id, 'net.' || source || '/d/' || doc_id "
+            "AS key FROM documents) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_ids, "
+            "min(key) AS min_key, max(key) AS max_key "
+            "FROM k WHERE key >= 'net.src5'"
         ),
         "quota_filter": (
             # strlen = BYTE length in DuckDB (length() is characters),

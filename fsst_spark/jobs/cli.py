@@ -25,6 +25,38 @@ import json
 import sys
 
 
+def _parse_cluster_by(raw: str | None):
+    """--cluster-by grammar: comma-separated entries, each a plain column
+    name or ``url_sort_key(COL)``. Returns (names, exprs): ``exprs`` is
+    non-empty iff any entry is an expression, in which case ALL entries are
+    returned as Spark Columns (expressions force the DataFrame-scan path —
+    the file-granular path sorts pyarrow-side and takes names only)."""
+    if not raw:
+        return [], []
+    import re
+
+    entries = [e.strip() for e in raw.split(",") if e.strip()]
+    has_expr = any("(" in e for e in entries)
+    if not has_expr:
+        return entries, []
+    from pyspark.sql import functions as F
+
+    from fsst_spark.pipeline.textstats import url_sort_key
+
+    exprs = []
+    for e in entries:
+        m = re.fullmatch(r"url_sort_key\(\s*([A-Za-z0-9_]+)\s*\)", e)
+        if m:
+            exprs.append(url_sort_key(F.col(m.group(1))))
+        elif "(" in e:
+            raise ValueError(
+                f"unsupported --cluster-by expression {e!r}: only "
+                "url_sort_key(COL) or plain column names are accepted")
+        else:
+            exprs.append(F.col(e))
+    return [], exprs
+
+
 def _coerce_where(arrow_name: str, raw: str):
     """CLI --where VALUE -> the filter column's type category."""
     if arrow_name.startswith("int"):
@@ -50,6 +82,13 @@ def main(argv: list[str] | None = None) -> int:
     enc.add_argument("--unique-col", default="url")
     enc.add_argument("--chunk-mb", type=int, default=32)
     enc.add_argument("--columns", default=None, help="comma-separated column subset")
+    enc.add_argument("--cluster-by", default=None,
+                     help="comma-separated layout sort keys applied before "
+                          "encoding — makes zone maps selective for "
+                          "selective decode. Plain column names, or "
+                          "url_sort_key(COL) for the scheme-stripped "
+                          "host-reversed URL key (e.g. "
+                          "--cluster-by 'url_sort_key(url)')")
     enc.add_argument("--no-resume", action="store_true")
 
     dec = sub.add_parser("decode", help="decode chunks back to a parquet table")
@@ -110,17 +149,21 @@ def main(argv: list[str] | None = None) -> int:
             from fsst_spark.sources import read_table
 
             cols = args.columns.split(",") if args.columns else None
+            sort_names, sort_exprs = _parse_cluster_by(args.cluster_by)
             plain_parquet = (os.path.isdir(args.input)
                              and not args.input.startswith("iceberg:"))
-            if plain_parquet and not args.group_by and not args.partitions:
+            if (plain_parquet and not args.group_by and not args.partitions
+                    and not sort_exprs):
                 # Fast path: file-granular columnar encode (pyarrow reads in
                 # the task, no JVM row<->Arrow hop, no shuffle) — >2x the
                 # DataFrame-scan arm on the same input. The scan arm stays
-                # for --group-by / --partitions, which need a repartition.
+                # for --group-by / --partitions (need a repartition) and for
+                # expression cluster keys (need Spark-side sort).
                 metrics = encode_files_job(
                     spark, args.input, args.out, columns=cols,
                     chunk_bytes=args.chunk_mb << 20,
                     resume=not args.no_resume,
+                    sort_key=sort_names or None,
                     lineage={"source": args.input, "cli": True},
                 ).collect()
             else:
@@ -134,6 +177,7 @@ def main(argv: list[str] | None = None) -> int:
                     unique_col=args.unique_col,
                     chunk_bytes=args.chunk_mb << 20,
                     resume=not args.no_resume,
+                    sort_key=sort_exprs or sort_names or None,
                     lineage={"source": args.input, "cli": True},
                 ).collect()
             from pyspark.sql import functions as F

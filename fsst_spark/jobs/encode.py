@@ -294,12 +294,27 @@ def encode_job(
     lineage: dict | None = None,
     pre_partitioned: bool = False,
     pid_offset: int = 0,
+    sort_key=None,
     _test_fail_pids: set[int] | None = None,
 ) -> DataFrame:
     """Run the encode pipeline; returns the per-partition metrics DataFrame.
 
     The returned frame is the manifest content (already durably written by
     the tasks themselves); collecting it is only for display/driver logic.
+
+    ``sort_key`` (column name, Column expression — e.g.
+    ``textstats.url_sort_key(F.col("url"))`` — or a list of either)
+    physically clusters the layout before encoding, the step that makes
+    the per-chunk zone maps selective (``zone_pack8``'s docstring: raw
+    URLs collapse to the constant ``https://`` zone; a host-reversed sort
+    key gives every chunk a tight URL range, so ``decode_filtered`` prunes
+    almost everything). Without ``group_cols`` the frame is
+    range-repartitioned on the key (global clustering — each partition
+    owns a key range, the Iceberg/lakehouse sort-order shape) and sorted
+    within partitions; with ``group_cols`` or ``pre_partitioned`` the
+    existing partitioning is kept and only the within-partition sort
+    applies. Round-trip content is unchanged either way — clustering is a
+    row permutation, verified bit-identical per chunk by checksum.
     """
     cols = columns or df.columns
     df = df.select(*cols)
@@ -308,10 +323,15 @@ def encode_job(
     os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
     _resume_mode_guard(out_dir, "dataframe", resume)
     done = completed_pids(out_dir) if resume else set()
+    sort_cols = None
+    if sort_key is not None:
+        keys = sort_key if isinstance(sort_key, (list, tuple)) else [sort_key]
+        sort_cols = [F.col(k) if isinstance(k, str) else k for k in keys]
     lineage_json = json.dumps(
         {**(lineage or {}), "columns": cols, "num_partitions": num_partitions,
          "group_cols": group_cols, "chunk_bytes": chunk_bytes,
-         "mode": "dataframe"}
+         "mode": "dataframe",
+         "sort_key": [str(k) for k in sort_cols] if sort_cols else None}
     )
 
     if pre_partitioned:
@@ -320,9 +340,18 @@ def encode_job(
         # deterministic for an identical input listing, so resume still
         # holds; prefer this when the scan already yields even partitions.
         part = df
+    elif sort_cols and not group_cols:
+        # Global clustering: each partition owns a contiguous key range
+        # (RangePartitioner boundaries come from a deterministic sample of
+        # the same input, so pid->rows stays stable for identical input and
+        # resume holds). One shuffle — the same cost as the hash
+        # repartition it replaces.
+        part = df.repartitionByRange(num_partitions, *sort_cols)
     else:
         part = salted_repartition(df, num_partitions, group_cols=group_cols, unique_col=unique_col,
                                   size_col=_pick_size_col(df, cols))
+    if sort_cols:
+        part = part.sortWithinPartitions(*sort_cols)
 
     fail_pids = _test_fail_pids or set()
 
@@ -428,6 +457,7 @@ def encode_files_job(
     batch_rows: int = 16384,
     files: list[str] | None = None,
     pid_offset: int = 0,
+    sort_key: "str | list[str] | None" = None,
 ) -> DataFrame:
     """File-granular encode: Spark parallelizes over parquet *files*; each
     task reads its file columnar-natively with pyarrow (no JVM row<->Arrow
@@ -446,18 +476,30 @@ def encode_files_job(
     at 10^12 scale — else a sorted local glob), or from an explicit
     ``files`` list (e.g. a streaming micro-batch's checkpoint-pinned file
     set).
+
+    ``sort_key`` (column name(s) — names only here; the sort happens
+    pyarrow-side inside the task, so Spark expressions don't apply) sorts
+    each FILE's rows before chunking: zones inside a file become tight key
+    ranges. File granularity is preserved (no cross-file shuffle), so this
+    clusters per-file — when input files already partition the key space
+    (e.g. an upstream range-partitioned write), the result is a globally
+    clustered layout at zero shuffle cost; use ``encode_job(sort_key=...)``
+    to impose global clustering on an unclustered source.
     """
     from ..sources import table_files
 
     if files is None:
         files = table_files(spark, input_path)
+    sort_cols = ([sort_key] if isinstance(sort_key, str) else
+                 list(sort_key) if sort_key else None)
     os.makedirs(os.path.join(out_dir, "chunks"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
     _resume_mode_guard(out_dir, "files", resume)
     done = completed_pids(out_dir) if resume else set()
     lineage_json = json.dumps(
         {**(lineage or {}), "columns": columns, "n_files": len(files),
-         "chunk_bytes": chunk_bytes, "mode": "files"}
+         "chunk_bytes": chunk_bytes, "mode": "files",
+         "sort_key": sort_cols}
     )
     tasks = [(pid_offset + i, f) for i, f in enumerate(files)
              if pid_offset + i not in done]
@@ -467,13 +509,29 @@ def encode_files_job(
         .repartitionByRange(len(tasks), "pid")
 
     def encode_file(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as _pc
         import pyarrow.parquet as _pq
 
         for batch in batches:
             for task_row in batch.to_pylist():
                 pid, path = task_row["pid"], task_row["path"]
                 pf = _pq.ParquetFile(path)
-                reader = pf.iter_batches(batch_size=batch_rows, columns=columns)
+                if sort_cols:
+                    # sort needs the whole file resident (a file is one
+                    # task's working set by design, tens of MB); the sort
+                    # key may be outside the encoded column subset, so read
+                    # the union and drop the extras afterwards
+                    read_cols = (list(dict.fromkeys([*columns, *sort_cols]))
+                                 if columns else None)
+                    tbl = pf.read(columns=read_cols)
+                    idx = _pc.sort_indices(
+                        tbl, sort_keys=[(c, "ascending") for c in sort_cols])
+                    tbl = tbl.take(idx)
+                    if columns:
+                        tbl = tbl.select(columns)
+                    reader = iter(tbl.to_batches(max_chunksize=batch_rows))
+                else:
+                    reader = pf.iter_batches(batch_size=batch_rows, columns=columns)
                 row = _encode_one_partition(pid, reader, out_dir, chunk_bytes,
                                             lineage_json, set())
                 if row is not None:

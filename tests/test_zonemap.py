@@ -400,3 +400,97 @@ def test_encoded_column_stats_metadata_only(spark, encoded):
         encoded_column_stats(spark, encoded, ["text"])  # string: prefix zones
     with pytest.raises(KeyError):
         encoded_column_stats(spark, encoded, ["nope"])
+
+
+def _url_key_corpus(spark, n=4000):
+    """Corpus whose host-reversed keys discriminate within zone_pack8's
+    8-byte prefix (50 domains across one TLD: 'net.d07/...'), stored with
+    the layout key as a column — the documented practice for URL columns."""
+    from fsst_spark.pipeline.textstats import url_sort_key
+
+    df = spark.range(n).select(
+        F.concat(F.lit("https://d"),
+                 F.lpad((F.col("id") % 50).cast("string"), 2, "0"),
+                 F.lit(".net/p/"), F.col("id").cast("string")).alias("url"),
+        F.md5(F.col("id").cast("string")).alias("text"),
+    )
+    return df.withColumn("url_key", url_sort_key(F.col("url")))
+
+
+def test_encode_sort_key_clusters_layout_for_url_pruning(spark, tmp_path):
+    """sort_key= wires layout clustering into the encode job: a clustered
+    encode must (a) round-trip bit-identically, (b) return the same rows
+    for a selective URL-key decode, and (c) read FAR fewer chunks than the
+    unclustered encode of the same data."""
+    src = _url_key_corpus(spark)
+    out_c, out_u = str(tmp_path / "clustered"), str(tmp_path / "plain")
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "200")  # chunk flushes happen at batch boundaries
+    try:
+        encode_job(spark, src, out_c, num_partitions=4, chunk_bytes=4 << 10,
+                   resume=False, unique_col="url", sort_key="url_key").collect()
+        encode_job(spark, src, out_u, num_partitions=4, chunk_bytes=4 << 10,
+                   resume=False, unique_col="url").collect()
+    finally:
+        spark.conf.set(key, old)
+
+    fp = F.sum(F.pmod(F.xxhash64("url", "url_key", "text"), F.lit(1 << 31)))
+    want = src.agg(fp).first()[0]
+    full_c = decode_job(spark, out_c)
+    full_u = decode_job(spark, out_u)
+    assert full_c.agg(fp).first()[0] == want  # clustering is a permutation
+    assert full_u.agg(fp).first()[0] == want
+
+    pred = ("url_key", ">=", "net.d45")
+    got_c = decode_job(spark, out_c, zone_filter=pred).where(F.col("url_key") >= "net.d45")
+    got_u = decode_job(spark, out_u, zone_filter=pred).where(F.col("url_key") >= "net.d45")
+    assert got_c.agg(fp).first()[0] == got_u.agg(fp).first()[0]
+    assert got_c.count() == 400  # ids with id%50 in 45..49
+
+    n_chunks = lambda d: decode_job(spark, d, zone_filter=pred) \
+        .select("pid", "chunk_id").distinct().count()
+    n_full = decode_job(spark, out_c).select("pid", "chunk_id").distinct().count()
+    n_c, n_u = n_chunks(out_c), n_chunks(out_u)
+    assert n_full >= 10, n_full
+    # unclustered: every chunk spans the whole key space -> nothing prunes;
+    # clustered: the 10% key-range tail lives in ~10% of chunks
+    assert n_c <= max(2, n_full // 3), (n_c, n_full)
+    assert n_c < n_u, (n_c, n_u)
+
+
+def test_encode_files_job_sort_key_per_file_clustering(spark, tmp_path):
+    """The file-granular path sorts each file pyarrow-side: zones inside a
+    file become tight ranges, so a selective decode prunes most chunks
+    while the round-trip stays exact."""
+    from fsst_spark.jobs.encode import encode_files_job
+
+    src = _url_key_corpus(spark, n=3000)
+    src_dir = str(tmp_path / "src")
+    src.coalesce(2).write.parquet(src_dir)
+    out = str(tmp_path / "enc")
+    encode_files_job(spark, src_dir, out, chunk_bytes=4 << 10,
+                     batch_rows=200, sort_key="url_key").collect()
+    fp = F.sum(F.pmod(F.xxhash64("url", "url_key", "text"), F.lit(1 << 31)))
+    assert decode_job(spark, out).agg(fp).first()[0] == src.agg(fp).first()[0]
+    pred = ("url_key", ">=", "net.d45")
+    n_full = decode_job(spark, out).select("pid", "chunk_id").distinct().count()
+    n_sel = decode_job(spark, out, zone_filter=pred) \
+        .select("pid", "chunk_id").distinct().count()
+    assert n_full >= 10, n_full
+    assert n_sel <= max(2, n_full // 3), (n_sel, n_full)
+
+
+def test_cli_cluster_by_parses_names_and_exprs():
+    from fsst_spark.jobs.cli import _parse_cluster_by
+
+    assert _parse_cluster_by(None) == ([], [])
+    assert _parse_cluster_by("url_key,lang") == (["url_key", "lang"], [])
+    names, exprs = _parse_cluster_by("url_sort_key(url)")
+    assert names == [] and len(exprs) == 1
+    names, exprs = _parse_cluster_by("url_sort_key( url ), lang")
+    assert len(exprs) == 2  # mixed entries all become expressions
+    import pytest
+
+    with pytest.raises(ValueError):
+        _parse_cluster_by("weird_fn(url)")
