@@ -384,6 +384,39 @@ def q_encoded_stats(spark, sf_dir):
     )
 
 
+def q_encoded_minmax(spark, sf_dir):
+    """Exact min/max for STRING and FLOAT columns from the encoded store:
+    zone bounds locate the candidate extreme chunks, only those decode
+    (int columns answer from zones alone). Must equal SQL min/max over the
+    source — including the float column derived with exact binary
+    arithmetic (0.25 and 100.0 are exact doubles) so Spark and DuckDB
+    compute identical IEEE values."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.encode import encode_job
+    from fsst_spark.jobs.stats import encoded_column_minmax
+
+    out = tempfile.mkdtemp(prefix="fsst_minmax_q_")
+    try:
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", "source",
+            (F.col("doc_id") * F.lit(0.25) + F.lit(100.0)).alias("price"))
+        encode_job(spark, docs, out, chunk_bytes=64 << 10, resume=False,
+                   pre_partitioned=True, unique_col="doc_id").collect()
+        s = encoded_column_minmax(spark, out, "source")
+        p = encoded_column_minmax(spark, out, "price")
+        d = encoded_column_minmax(spark, out, "doc_id")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(s["min"], s["max"], float(p["min"]), float(p["max"]),
+          d["min"], d["max"])],
+        "min_source string, max_source string, min_price double, "
+        "max_price double, min_id bigint, max_id bigint",
+    )
+
+
 def q_token_topk(spark, sf_dir):
     """Per-language heavy-hitter tokens (top-5 by count, token breaks
     ties): exact window oracle over the unnested token stream."""
@@ -703,6 +736,27 @@ def q_ann_lsh_topk(spark, sf_dir):
     ).select(F.lit(10).cast("long").alias("k"), "n_results", "n_distinct")
 
 
+def q_img_neardup(spark, sf_dir):
+    """Perceptual-hash (aHash) image near-dup over binary payloads: every
+    10th doc's payload is duplicated, and byte-identical payloads must
+    collide at hamming 0 through decode -> aHash -> banded hamming join.
+    The oracle counts exactly the identical-payload pairs (the fake
+    decoder is payload-deterministic, and unrelated payloads land ~32 bits
+    apart, far beyond the max_hamming=6 gate)."""
+    from fsst_spark.pipeline.multimodal import (FakeMediaDecoder,
+                                                image_neardup_pairs)
+
+    aug = _augmented_docs(spark, sf_dir).withColumn(
+        "payload", F.col("text").cast("binary"))
+    pairs = image_neardup_pairs(aug, "payload", "doc_id",
+                                decoder=FakeMediaDecoder())
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.col("id_a") + F.col("id_b")).alias("sum_ids"),
+        F.max("hamming").cast("int").alias("max_hamming"),
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     from fsst_spark.pipeline.multimodal import FakeMediaDecoder, extract_features
 
@@ -752,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_filter": q_quota_filter,
         "clustered_decode": q_clustered_decode,
         "encoded_stats": q_encoded_stats,
+        "encoded_minmax": q_encoded_minmax,
         "token_topk": q_token_topk,
         "deterministic_sample": q_deterministic_sample,
         "cap_per_group": q_cap_per_group,
@@ -768,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_batch": q_ann_ivf_batch,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "img_neardup": q_img_neardup,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -968,6 +1024,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(min(n_chars) AS BIGINT), CAST(max(n_chars) AS BIGINT) "
             "FROM documents) ORDER BY \"column\""
         ),
+        "encoded_minmax": (
+            "SELECT min(source) AS min_source, max(source) AS max_source, "
+            "CAST(min(doc_id * 0.25 + 100.0) AS DOUBLE) AS min_price, "
+            "CAST(max(doc_id * 0.25 + 100.0) AS DOUBLE) AS max_price, "
+            "CAST(min(doc_id) AS BIGINT) AS min_id, "
+            "CAST(max(doc_id) AS BIGINT) AS max_id FROM documents"
+        ),
         "clustered_decode": (
             # same layout key synthesized in SQL: host('<source>.net')
             # reversed = 'net.<source>', then the path — agreement proves
@@ -1104,6 +1167,19 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": (
             "SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results, "
             "CAST(10 AS BIGINT) AS n_distinct"
+        ),
+        "img_neardup": (
+            # identical payloads (text bytes) are the only pairs the
+            # perceptual path may emit at max_hamming=6: the fake decoder
+            # is a pure function of payload bytes and unrelated payloads
+            # hash ~32 bits apart
+            f"WITH aug AS ({_AUG_SQL}), "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM aug a JOIN aug b ON a.text = b.text "
+            "AND a.doc_id < b.doc_id) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_pairs, "
+            "CAST(sum(id_a + id_b) AS BIGINT) AS sum_ids, "
+            "CAST(0 AS INT) AS max_hamming FROM p"
         ),
         "multimodal_features": (
             "SELECT count(*) AS n_docs, "

@@ -187,15 +187,21 @@ def main() -> None:
     corpus = spark.read.parquet(corpus_dir)
     queries["web_encode"] = round(big["sec"], 3)
 
-    # secondary: the DataFrame-scan encode path (JVM scan + arrow transfer)
+    # secondary: encode_job called on a parquet-backed DataFrame with
+    # defaults — since r5 this reroutes bare parquet scans into the
+    # file-granular path (df.inputFiles() -> pyarrow task reads), so the
+    # arm measures what an API user actually gets on a parquet table. The
+    # JVM-scan fallback still runs for group-by/repartition/expression-sort
+    # encodes (covered functionally by tests, historically >2x slower —
+    # that hop is why the reroute exists).
     from fsst_spark.jobs.encode import encode_job
 
     df_walls = []
     for _ in range(2):  # best-of-2: the host has multi-tenant noise spikes
         out_df = tempfile.mkdtemp(prefix="fsst_bench_df_")
         t0 = time.time()
-        encode_job(spark, corpus, out_df, num_partitions=CPUS * 2, chunk_bytes=32 << 20,
-                   resume=False, pre_partitioned=True).collect()
+        encode_job(spark, corpus, out_df, chunk_bytes=32 << 20,
+                   resume=False).collect()
         df_walls.append(time.time() - t0)
         shutil.rmtree(out_df, ignore_errors=True)
     queries["web_encode_df"] = round(min(df_walls), 3)

@@ -1,5 +1,6 @@
 """Stats-only queries answered from encode-time metadata — no payload
-reads, no decode.
+reads, no decode — plus exact min/max for string/float columns by decoding
+ONLY the zone-boundary chunks.
 
 The chunk table stores exact per-chunk min/max for integer and timestamp
 columns (``encode._zone_bounds``) and per-chunk row counts; min/max/count
@@ -13,9 +14,13 @@ format.
 
 from __future__ import annotations
 
+import json
+from typing import Iterator
+
+import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
 
-from .decode import _chunks_df, column_arrow_types
+from .decode import _chunks_df, _spark_type, column_arrow_types
 
 _EXACT_ZONE_TYPES = ("int8", "int16", "int32", "int64")
 
@@ -57,3 +62,103 @@ def encoded_column_stats(spark, out_dir: str, columns: list[str]) -> DataFrame:
         )
         .orderBy("column")
     )
+
+
+def encoded_column_minmax(spark, out_dir: str, column: str) -> dict:
+    """EXACT min/max of any zoned column (string/binary/float/int/ts) from
+    an encoded store, decoding only the zone-BOUNDARY chunks.
+
+    String prefix zones and float total-order keys are conservative, but
+    they still locate the extremes: the store's minimum value lives in a
+    chunk whose ``zmin_long`` equals the global minimum zone key (its
+    packed prefix IS that chunk's zmin), and symmetrically for the max. So:
+    one metadata aggregation finds the extreme keys, the chunks achieving
+    them become candidates (ties on the 8-byte prefix keep several — a
+    constant-prefix column keeps all, correct but unselective; cluster by a
+    selective key to bound it), and a distributed pass decodes ONLY those
+    candidates, reducing each to a per-chunk min/max before a final
+    metadata-scale aggregate. On a clustered 100 TB store ``min(url)`` /
+    ``max(price)`` reads ~2 chunks instead of everything.
+
+    Returns ``{"min", "max", "n_rows", "n_chunks_total",
+    "n_chunks_decoded"}`` (min/max are Python scalars; None when the
+    column is all null). Float min/max follow Spark/DuckDB NaN ordering
+    (NaN greatest; min/max never return NaN unless every value is NaN).
+    """
+    types = column_arrow_types(spark, out_dir)
+    if column not in types:
+        raise KeyError(f"column {column!r} not in encoded data")
+    arrow_name = types[column]
+    meta = _chunks_df(spark, out_dir, [column])
+    if "zmin_long" not in meta.columns:
+        raise ValueError("store has no zone maps (pre-zone encode)")
+    agg = meta.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.min("zmin_long").alias("gmin"),
+        F.max("zmax_long").alias("gmax"),
+        F.count("*").alias("n_chunks"),
+    ).collect()[0]
+    out = {"n_rows": agg["n_rows"], "n_chunks_total": agg["n_chunks"],
+           "n_chunks_decoded": 0, "min": None, "max": None}
+    if agg["gmin"] is None:  # every chunk all-null
+        return out
+    if arrow_name in _EXACT_ZONE_TYPES or arrow_name.startswith("timestamp["):
+        # int/timestamp zones ARE the exact bounds (ts in storage ticks)
+        out["min"], out["max"] = agg["gmin"], agg["gmax"]
+        return out
+    # boundary candidates: chunks whose zone touches a global extreme
+    cand = meta.filter((F.col("zmin_long") == agg["gmin"])
+                       | (F.col("zmax_long") == agg["gmax"]))
+    spark_t = _spark_type(arrow_name)
+    is_float = arrow_name in ("float", "double")
+    out_schema = pa.schema([("mn", _PA_BY_SPARK[spark_t]),
+                            ("mx", _PA_BY_SPARK[spark_t])])
+
+    def task(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        from ..kernel.codecs import decode_column
+
+        for batch in batches:
+            mns, mxs = [], []
+            for row in batch.to_pylist():
+                arr = decode_column(
+                    {"codec": row["codec"], "params": json.loads(row["params"]),
+                     "payload": row["payload"]}).drop_null()
+                if len(arr) == 0:
+                    continue
+                if is_float:
+                    # Spark/DuckDB ordering: NaN greatest, so a chunk with
+                    # any NaN has max NaN; min is NaN only when all-NaN
+                    v = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+                    finite = v[~np.isnan(v)]
+                    if len(finite) == 0:
+                        mns.append(float("nan"))
+                        mxs.append(float("nan"))
+                    else:
+                        mns.append(float(finite.min()))
+                        mxs.append(float("nan") if len(finite) < len(v)
+                                   else float(finite.max()))
+                else:
+                    mm = pc.min_max(arr)
+                    mns.append(mm["min"].as_py())
+                    mxs.append(mm["max"].as_py())
+            yield pa.RecordBatch.from_pylist(
+                [{"mn": a, "mx": b} for a, b in zip(mns, mxs)],
+                schema=out_schema)
+
+    per_chunk = cand.mapInArrow(task, f"mn {spark_t}, mx {spark_t}")
+    rows = per_chunk.agg(F.min("mn").alias("mn"), F.max("mx").alias("mx"),
+                         F.count("*").alias("n")).collect()[0]
+    out["min"], out["max"] = rows["mn"], rows["mx"]
+    out["n_chunks_decoded"] = rows["n"]
+    return out
+
+
+# mapInArrow batches must match the declared DDL exactly (a large_string
+# against DDL 'string' crashes the JVM ArrowColumnVector)
+_PA_BY_SPARK = {
+    "string": pa.string(), "binary": pa.binary(),
+    "float": pa.float32(), "double": pa.float64(),
+}

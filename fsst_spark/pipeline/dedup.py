@@ -348,13 +348,35 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "
     boilerplate guard as the MinHash-LSH bucket ceiling (a pair in a
     dropped bucket still collides in its other 3 bands; content that
     overflows all 4 is exact-dup-grade and handled by ``exact_dedup``)."""
-    n_bands = 4
-    assert max_hamming < n_bands, "pigeonhole needs max_hamming < n_bands"
     sh = df.select(F.col(id_col), simhash_udf(seed)(F.col(text_col)).alias("sh"))
-    bands = sh.select(
-        id_col, "sh",
+    return banded_hamming_pairs(sh, "sh", id_col=id_col,
+                                max_hamming=max_hamming, n_bands=4,
+                                bucket_cap=bucket_cap)
+
+
+def banded_hamming_pairs(hashed: DataFrame, hash_col: str,
+                         id_col: str = "doc_id", max_hamming: int = 3,
+                         n_bands: int = 4,
+                         bucket_cap: int | None = 4096) -> DataFrame:
+    """Distinct (id_a, id_b, hamming) pairs of 64-bit fingerprints within
+    ``max_hamming``, id_a < id_b — the banded self-join shared by SimHash
+    text dedup and perceptual-hash image dedup.
+
+    Pigeonhole: fingerprints within hamming distance d agree exactly on at
+    least one of ``n_bands`` disjoint (64/n_bands)-bit bands whenever
+    d < n_bands, so candidates come from ``n_bands`` narrow (band, bits,
+    id) self-joins — never an all-pairs scan — and the exact hamming check
+    is JVM ``bit_count(a ^ b)``. ``bucket_cap`` drops over-cap (band, bits)
+    buckets (boilerplate guard; a pair in a dropped bucket still collides
+    in its other bands)."""
+    assert 64 % n_bands == 0, "band width must divide 64"
+    assert max_hamming < n_bands, "pigeonhole needs max_hamming < n_bands"
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    bands = hashed.select(
+        id_col, hash_col,
         F.posexplode(F.array(*[
-            F.shiftright("sh", 16 * i).bitwiseAND(F.lit(0xFFFF)).cast("int")
+            F.shiftright(hash_col, width * i).bitwiseAND(F.lit(mask)).cast("long")
             for i in range(n_bands)
         ])).alias("band", "bits"),
     )
@@ -373,7 +395,8 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh"))).alias("hamming"),
+            F.bit_count(F.col(f"l.{hash_col}")
+                        .bitwiseXOR(F.col(f"r.{hash_col}"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()

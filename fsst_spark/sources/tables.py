@@ -75,3 +75,25 @@ def table_files(spark: SparkSession, location: str) -> list[str]:
     if not files:
         raise FileNotFoundError(f"no parquet files under {location}")
     return files
+
+
+def table_files_iter(spark: SparkSession, location: str):
+    """Iterator form of ``table_files`` for stores too large to list into
+    one driver-side Python list (10^9 files x ~100B path = a driver OOM).
+
+    Iceberg: the ``.files`` metadata table is sorted CLUSTER-side and
+    streamed to the driver partition-by-partition via ``toLocalIterator``
+    — the driver holds one partition of paths at a time. Local parquet
+    dirs return the sorted glob (path count is filesystem-bounded there).
+    Pair with ``encode.encode_files_batched`` to run the encode in
+    bounded-size slices."""
+    if _is_iceberg(location):
+        ident = location[len(ICEBERG_PREFIX):]
+        if not iceberg_available(spark):
+            raise RuntimeError(f"{location}: Iceberg runtime not available")
+        df = (
+            spark.read.format("iceberg").load(f"{ident}.files")
+            .select("file_path").orderBy("file_path")
+        )
+        return (r["file_path"] for r in df.toLocalIterator())
+    return iter(table_files(spark, location))

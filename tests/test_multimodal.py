@@ -60,3 +60,67 @@ def test_extract_features_shape(spark):
     assert len(rows) == 10
     assert all(len(r["feat"]) == 8 and r["feat_dim"] == 8 for r in rows)
     assert {r["payload_bytes"] for r in rows} == {len(f"payload {i}") for i in range(10)}
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash image near-dup
+# ---------------------------------------------------------------------------
+def test_ahash_locality_and_separation():
+    """The hash must be a PERCEPTUAL hash: tiny pixel perturbations move
+    few bits, unrelated images move ~half of them."""
+    from fsst_spark.pipeline.multimodal import ahash_array
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    h0 = ahash_array(img)
+    # identical -> identical
+    assert ahash_array(img.copy()) == h0
+    # small noise (+-2 levels) flips only cells straddling the mean
+    noisy = np.clip(img.astype(np.int16)
+                    + rng.integers(-2, 3, img.shape), 0, 255).astype(np.uint8)
+    ham = bin((h0 ^ ahash_array(noisy)) & (2**64 - 1)).count("1")
+    assert ham <= 6, ham
+    # an unrelated image is ~32 bits away
+    other = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    ham2 = bin((h0 ^ ahash_array(other)) & (2**64 - 1)).count("1")
+    assert ham2 >= 15, ham2
+    # grayscale input and non-multiple-of-8 sizes are accepted
+    assert isinstance(ahash_array(img[:31, :29].mean(axis=2)), int)
+
+
+def test_image_neardup_finds_planted_duplicates(spark):
+    """Planted byte-identical payloads must pair at hamming 0 through
+    decode -> aHash -> banded join; nothing else pairs (random fake images
+    sit ~32 bits apart, past max_hamming)."""
+    from fsst_spark.pipeline.multimodal import (FakeMediaDecoder,
+                                                image_neardup_pairs)
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"payload body {i}") for i in range(120)]
+    rows += [(1000 + i, f"payload body {i}") for i in range(0, 120, 10)]  # dups
+    df = spark.createDataFrame(rows, "doc_id long, t string") \
+        .withColumn("payload", F.col("t").cast("binary"))
+    pairs = image_neardup_pairs(df, "payload", "doc_id",
+                                decoder=FakeMediaDecoder()).collect()
+    got = sorted((r["id_a"], r["id_b"]) for r in pairs)
+    assert got == [(i, 1000 + i) for i in range(0, 120, 10)]
+    assert all(r["hamming"] == 0 for r in pairs)
+
+
+def test_image_neardup_bucket_cap_bounds_mega_bucket(spark):
+    """A boilerplate payload repeated 80x would explode the band join
+    (80*79/2 pairs x 8 bands); the bucket cap drops those buckets while a
+    genuine small duplicate pair elsewhere is still found."""
+    from fsst_spark.pipeline.multimodal import (FakeMediaDecoder,
+                                                image_neardup_pairs)
+    from pyspark.sql import functions as F
+
+    rows = [(i, "boilerplate") for i in range(80)]
+    rows += [(500, "unique page"), (501, "unique page")]
+    df = spark.createDataFrame(rows, "doc_id long, t string") \
+        .withColumn("payload", F.col("t").cast("binary"))
+    pairs = image_neardup_pairs(df, "payload", "doc_id",
+                                decoder=FakeMediaDecoder(),
+                                bucket_cap=16).collect()
+    got = sorted((r["id_a"], r["id_b"]) for r in pairs)
+    assert got == [(500, 501)]

@@ -100,3 +100,33 @@ def test_cosine_topk_k_guard():
 
     with pytest.raises(ValueError, match="ivf_topk_batch"):
         cosine_topk(None, [1.0, 0.0], k=10_001)
+
+
+def test_lsh_multitable_recall_at_10(spark, emb):
+    """Multi-table LSH recall gate (promoted from structural, r4 verdict
+    #9): 8 independent tables, candidate pool capped at ~30% of the
+    corpus, MEAN recall@10 over 3 queries >= 0.5 vs exact cosine.
+    Deterministic: fixed seeds, fixed corpus. Single-table multi-probe
+    measured ~0.43 at a larger pool on these structure-free embeddings —
+    the union of independent tables is what crosses the bar (IVF remains
+    the primary ANN; it reaches higher recall on a smaller pool)."""
+    n = emb.count()
+    idx = build_lsh_index(emb, dim=64, n_planes=10, n_tables=8).cache()
+    idx.count()
+    recalls = []
+    for query_id in (0, 1, 2):
+        q = [float(x) for x in
+             emb.filter(F.col("vec_id") == query_id).select("embedding").first()[0]]
+        corpus_idx = idx.filter(F.col("vec_id") != query_id)
+        approx = {r["vec_id"] for r in
+                  lsh_topk(corpus_idx, q, k=10, n_planes=10, n_tables=8,
+                           indexed=True,
+                           min_candidates=int(0.3 * n)).collect()}
+        exact = {r["vec_id"] for r in
+                 cosine_topk(emb.filter(F.col("vec_id") != query_id),
+                             q, k=10).collect()}
+        assert len(approx) == 10
+        recalls.append(len(approx & exact) / 10)
+    idx.unpersist()
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.5, recalls

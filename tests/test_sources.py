@@ -118,3 +118,54 @@ def test_iceberg_table_files_contract(monkeypatch):
         ("orderBy", ("file_path",)),
         ("collect",),
     ]
+
+
+def test_encode_files_batched_matches_single_run(spark, tmp_path):
+    """Batched submission over a lazily-consumed listing must produce the
+    same store as one un-batched run: contiguous pids, all files encoded,
+    resume state interchangeable."""
+    from pyspark.sql import functions as F
+
+    from fsst_spark.jobs.decode import decode_job
+    from fsst_spark.jobs.encode import completed_pids, encode_files_batched
+    from fsst_spark.sources import table_files
+
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.md5(F.col("id").cast("string")).alias("text"))
+    src = str(tmp_path / "src")
+    df.repartition(9).write.parquet(src)
+    files = table_files(spark, src)
+    assert len(files) == 9
+
+    pulled = []
+
+    def listing():  # lazy: records consumption order
+        for f in files:
+            pulled.append(f)
+            yield f
+
+    out = str(tmp_path / "enc")
+    metrics = encode_files_batched(spark, out, files=listing(),
+                                   batch_files=4)
+    assert pulled == files
+    assert len(metrics) == 9
+    assert completed_pids(out) == set(range(9))
+    fp = F.sum(F.pmod(F.xxhash64("doc_id", "text"), F.lit(1 << 31)))
+    assert decode_job(spark, out).agg(fp).first()[0] == df.agg(fp).first()[0]
+
+    # re-run resumes: nothing left to encode
+    assert encode_files_batched(spark, out, files=iter(files),
+                                batch_files=4) == []
+
+
+def test_table_files_iter_local_matches_list(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from fsst_spark.sources import table_files
+    from fsst_spark.sources.tables import table_files_iter
+
+    src = str(tmp_path / "src")
+    spark.range(50).select(F.col("id").alias("doc_id")) \
+        .repartition(3).write.parquet(src)
+    assert list(table_files_iter(spark, src)) == table_files(spark, src)

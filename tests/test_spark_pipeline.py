@@ -192,3 +192,40 @@ def test_resume_refuses_cross_mode(spark, tmp_path):
                    unique_col="doc_id").collect()
     # explicit resume=False (CLI --no-resume) takes control back
     encode_files_job(spark, src, out, resume=False).collect()
+
+
+def test_encode_job_reroutes_bare_parquet_scan(spark, tmp_path):
+    """encode_job on a BARE parquet scan with default options must take the
+    file-granular fast path (no JVM row->Arrow hop) — manifest mode
+    'files' — while any plan above the relation (filter/projection) stays
+    on the scan path and encodes the transformed rows."""
+    from pyspark.sql import functions as F
+
+    from fsst_spark.jobs.decode import decode_job
+    from fsst_spark.jobs.encode import _manifest_mode, encode_job
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.md5(F.col("id").cast("string")).alias("text"))
+    src = str(tmp_path / "src")
+    df.coalesce(3).write.parquet(src)
+    scan = spark.read.parquet(src)
+
+    out = str(tmp_path / "enc_fast")
+    encode_job(spark, scan, out).collect()
+    assert _manifest_mode(out) == "files"
+    fp = F.sum(F.pmod(F.xxhash64("doc_id", "text"), F.lit(1 << 31)))
+    assert decode_job(spark, out).agg(fp).first()[0] == df.agg(fp).first()[0]
+
+    # a filter above the relation must NOT reroute (re-reading the files
+    # would silently drop the predicate)
+    out2 = str(tmp_path / "enc_filtered")
+    encode_job(spark, scan.where(F.col("doc_id") >= 400), out2,
+               unique_col="doc_id").collect()
+    assert _manifest_mode(out2) == "dataframe"
+    assert decode_job(spark, out2).count() == 100
+
+    # resuming an existing dataframe-keyed store keeps the scan path
+    # (pid-keying compatibility beats the fast path)
+    encode_job(spark, scan, out2, unique_col="doc_id").collect()  # no raise
+    assert _manifest_mode(out2) == "dataframe"
