@@ -757,6 +757,32 @@ def q_img_neardup(spark, sf_dir):
     )
 
 
+def q_media_pipeline(spark, sf_dir):
+    """Resize + video frame-sample plumbing: every doc's payload resizes
+    to a fixed 4x6 RGB buffer (72 bytes) and 'decodes' to 24 fake frames
+    sampled every 8th (indices 0/8/16). Counts, byte volumes and index
+    sums are exact SQL; the pixel/feature VALUES are pinned by unit tests
+    (payload-deterministic)."""
+    from fsst_spark.pipeline.multimodal import (FakeMediaDecoder,
+                                                FakeVideoDecoder,
+                                                image_resize,
+                                                video_frame_sample)
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "payload", F.col("text").cast("binary"))
+    imgs = image_resize(docs, 4, 6, "payload", "doc_id",
+                        decoder=FakeMediaDecoder())
+    vids = video_frame_sample(docs, every_k=8, payload_col="payload",
+                              decoder=FakeVideoDecoder(n_frames=24))
+    a = imgs.agg(F.count("*").alias("n_imgs"),
+                 F.sum(F.octet_length("rgb")).alias("rgb_bytes")).collect()[0]
+    b = vids.agg(F.count("*").alias("n_frames"),
+                 F.sum("frame_idx").alias("sum_frame_idx")).collect()[0]
+    return spark.createDataFrame(
+        [(a["n_imgs"], a["rgb_bytes"], b["n_frames"], b["sum_frame_idx"])],
+        "n_imgs bigint, rgb_bytes bigint, n_frames bigint, sum_frame_idx bigint")
+
+
 def q_multimodal_features(spark, sf_dir):
     from fsst_spark.pipeline.multimodal import FakeMediaDecoder, extract_features
 
@@ -824,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_batch": q_ann_ivf_batch,
         "ann_lsh_topk": q_ann_lsh_topk,
         "img_neardup": q_img_neardup,
+        "media_pipeline": q_media_pipeline,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1167,6 +1194,14 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": (
             "SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results, "
             "CAST(10 AS BIGINT) AS n_distinct"
+        ),
+        "media_pipeline": (
+            # 4x6 RGB = 72 bytes per image; 24 frames sampled every 8th
+            # -> 3 frames/doc at indices 0+8+16 = 24 per doc
+            "SELECT CAST(count(*) AS BIGINT) AS n_imgs, "
+            "CAST(count(*) * 72 AS BIGINT) AS rgb_bytes, "
+            "CAST(count(*) * 3 AS BIGINT) AS n_frames, "
+            "CAST(count(*) * 24 AS BIGINT) AS sum_frame_idx FROM documents"
         ),
         "img_neardup": (
             # identical payloads (text bytes) are the only pairs the

@@ -106,6 +106,16 @@ def main(argv: list[str] | None = None) -> int:
     ver = sub.add_parser("verify", help="chunk checksum round-trip verification")
     ver.add_argument("--data", required=True)
 
+    sta = sub.add_parser("stats",
+                         help="column stats from an encoded store: count/min/max "
+                              "from chunk metadata (zero payload reads for "
+                              "int/timestamp; --exact-minmax also answers "
+                              "string/float by decoding only the zone-boundary "
+                              "chunks)")
+    sta.add_argument("--data", required=True)
+    sta.add_argument("--columns", required=True, help="comma-separated")
+    sta.add_argument("--exact-minmax", action="store_true")
+
     stm = sub.add_parser("stream-encode",
                          help="Structured-Streaming encode: drain new files into chunks+manifest")
     stm.add_argument("--input", required=True, help="table location watched for new files")
@@ -227,6 +237,21 @@ def main(argv: list[str] | None = None) -> int:
                                           "ok": r["n_ok"]} for r in rows},
             }))
             return 0 if ok else 2
+        elif args.cmd == "stats":
+            from fsst_spark.jobs.stats import (encoded_column_minmax,
+                                               encoded_column_stats)
+
+            cols = args.columns.split(",")
+            if args.exact_minmax:
+                out = {c: encoded_column_minmax(spark, args.data, c)
+                       for c in cols}
+            else:
+                out = {r["column"]: {"n_rows": r["n_rows"],
+                                     "min": r["min_long"],
+                                     "max": r["max_long"]}
+                       for r in encoded_column_stats(spark, args.data,
+                                                     cols).collect()}
+            print(json.dumps(out, default=str))
         elif args.cmd == "stream-encode":
             from pyspark.sql import functions as F
 

@@ -239,9 +239,13 @@ def _dict_value_drop(spark, out_dir: str, col: str,
 
         for batch in batches:
             pids, cids = [], []
-            for row in batch.to_pylist():
-                p = json.loads(row["params"])
-                payload = row["payload"]
+            # iterate columns directly: to_pylist() would materialize every
+            # payload into a Python list of dicts before use
+            for pid_s, cid_s, params_s, payload_s in zip(
+                    batch.column("pid"), batch.column("chunk_id"),
+                    batch.column("params"), batch.column("payload")):
+                p = json.loads(params_s.as_py())
+                payload = payload_s.as_py()
                 if "n_total" in p:  # strip the appended validity bits
                     payload = payload[: p["validity_len"]]
                 _, up = _split_sections(p, payload)
@@ -256,8 +260,8 @@ def _dict_value_drop(spark, out_dir: str, col: str,
                     for i in (lens == ln).nonzero()[0]
                 )
                 if not has_value:
-                    pids.append(row["pid"])
-                    cids.append(row["chunk_id"])
+                    pids.append(pid_s.as_py())
+                    cids.append(cid_s.as_py())
             yield pa.RecordBatch.from_arrays(
                 [pa.array(pids, pa.int32()), pa.array(cids, pa.int32())],
                 names=["pid", "chunk_id"])

@@ -179,6 +179,153 @@ def image_neardup_pairs(df: DataFrame, payload_col: str = "html",
                                 bucket_cap=bucket_cap)
 
 
+def resize_array(img: "np.ndarray", out_h: int, out_w: int) -> "np.ndarray":
+    """Deterministic area-average resize of an HxWx3 (or HxW) uint8 image —
+    pure numpy (edge-truncated cell pooling, the same scheme as
+    ``ahash_array``), no media libs. Upscaling repeats source pixels
+    (nearest); downscaling averages each destination cell."""
+    a = np.asarray(img)
+    squeeze = a.ndim == 2
+    if squeeze:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    ys = np.linspace(0, h, out_h + 1).astype(np.int64)
+    xs = np.linspace(0, w, out_w + 1).astype(np.int64)
+    out = np.empty((out_h, out_w, c), dtype=np.uint8)
+    for i in range(out_h):
+        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        for j in range(out_w):
+            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            out[i, j] = a[min(y0, h - 1):y1, min(x0, w - 1):x1].mean(axis=(0, 1))
+    return out[:, :, 0] if squeeze else out
+
+
+def image_resize(df: DataFrame, out_h: int, out_w: int,
+                 payload_col: str = "html", id_col: str = "doc_id",
+                 decoder=None) -> DataFrame:
+    """mapInPandas decode -> resize; emits the resized pixels as raw RGB
+    bytes plus dimensions (the shape a downstream embedding/thumbnail
+    stage consumes). Embarrassingly parallel; partitioning preserved."""
+    dec = decoder or default_decoder()
+
+    def run(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in frames:
+            pixels = [resize_array(dec.decode(bytes(p)), out_h, out_w)
+                      .tobytes() for p in pdf[payload_col]]
+            yield pd.DataFrame({
+                id_col: pdf[id_col].astype("int64"),
+                "height": np.int32(out_h),
+                "width": np.int32(out_w),
+                "rgb": pixels,
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, f"{id_col} bigint, height int, width int, rgb binary")
+
+
+class FakeVideoDecoder:
+    """Deterministic stand-in for a video decoder: 'decodes' payload bytes
+    into ``n_frames`` fake HxWx3 frames, each seeded by (payload digest,
+    frame index) — identical payloads yield identical frame stacks. The
+    real arm (PyAV/ffmpeg) is a cluster-image extra, exactly like
+    ``RealMediaDecoder``/PIL."""
+
+    def __init__(self, n_frames: int = 24, h: int = 16, w: int = 16):
+        self.n_frames, self.h, self.w = n_frames, h, w
+
+    def decode_frames(self, payload: bytes) -> "np.ndarray":
+        seed = int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "little")
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, (self.n_frames, self.h, self.w, 3), dtype=np.uint8)
+
+
+def video_frame_sample(df: DataFrame, every_k: int = 8,
+                       payload_col: str = "html", id_col: str = "doc_id",
+                       decoder=None, feat_dim: int = 6) -> DataFrame:
+    """Frame sampling over binary video payloads: decode -> take every
+    k-th frame -> per-frame feature (channel mean/std pooling). One input
+    row explodes to ceil(n_frames / k) output rows (doc_id, frame_idx,
+    feat) — the batch shape a video-embedding stage consumes. Decoding is
+    stubbed behind ``FakeVideoDecoder`` in this sandbox (no ffmpeg); the
+    Spark plumbing (schema, explode shape, partitioning) is real and
+    tested."""
+    dec = decoder or FakeVideoDecoder()
+
+    def run(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in frames:
+            ids, idxs, feats = [], [], []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                stack = dec.decode_frames(bytes(payload))
+                for fi in range(0, len(stack), every_k):
+                    f = stack[fi]
+                    ids.append(int(did))
+                    idxs.append(fi)
+                    feats.append(np.concatenate(
+                        [f.mean(axis=(0, 1)), f.std(axis=(0, 1))]
+                    ).astype(np.float32)[:feat_dim])
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "feat": feats,
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, f"{id_col} bigint, frame_idx int, feat array<float>")
+
+
+class FakeAudioDecoder:
+    """Deterministic stand-in for an audio decoder: 'decodes' payload
+    bytes into ``n_samples`` int16 PCM samples seeded by the payload
+    digest. The real arm (soundfile/ffmpeg) is a cluster-image extra,
+    exactly like ``RealMediaDecoder``/PIL."""
+
+    def __init__(self, n_samples: int = 4096, rate: int = 16000):
+        self.n_samples, self.rate = n_samples, rate
+
+    def decode_pcm(self, payload: bytes) -> "np.ndarray":
+        seed = int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "little")
+        rng = np.random.default_rng(seed)
+        return rng.integers(-32768, 32768, self.n_samples, dtype=np.int16)
+
+
+def audio_features(df: DataFrame, payload_col: str = "html",
+                   id_col: str = "doc_id", decoder=None,
+                   n_bands: int = 4) -> DataFrame:
+    """Per-clip audio features over binary payloads: decode to PCM ->
+    duration, RMS level, zero-crossing rate, and ``n_bands`` coarse
+    spectral-band energies (rFFT magnitude split into equal bands — the
+    cheap spectral shape a quality/language-prefilter consumes). One
+    mapInPandas pass, numpy only; the decode is environment-gated like
+    every other media arm."""
+    dec = decoder or FakeAudioDecoder()
+
+    def run(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in frames:
+            ids, durs, rms, zcr, bands = [], [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                pcm = dec.decode_pcm(bytes(payload)).astype(np.float64) / 32768.0
+                ids.append(int(did))
+                durs.append(len(pcm) / float(getattr(dec, "rate", 16000)))
+                rms.append(float(np.sqrt(np.mean(pcm * pcm))) if len(pcm) else 0.0)
+                zcr.append(float(np.mean(np.signbit(pcm[1:]) != np.signbit(pcm[:-1])))
+                           if len(pcm) > 1 else 0.0)
+                mag = np.abs(np.fft.rfft(pcm))
+                splits = np.array_split(mag, n_bands)
+                bands.append(np.array([float(np.sqrt(np.mean(s * s)))
+                                       for s in splits], dtype=np.float32))
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype="int64"),
+                "duration_sec": pd.Series(durs, dtype="float64"),
+                "rms": pd.Series(rms, dtype="float64"),
+                "zero_crossing_rate": pd.Series(zcr, dtype="float64"),
+                "band_energy": bands,
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, f"{id_col} bigint, duration_sec double, rms double, "
+             "zero_crossing_rate double, band_energy array<float>")
+
+
 def media_metadata(df: DataFrame, payload_col: str = "html") -> DataFrame:
     """Typed metadata over opaque binary columns — all JVM built-ins."""
     p = F.col(payload_col)

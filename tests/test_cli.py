@@ -109,3 +109,26 @@ def test_spark_submit_py_files_packaging(tmp_path):
     assert out.returncode == 0, out.stderr[-3000:]
     r = json.loads(out.stdout.strip().splitlines()[-1])
     assert r == {"ok": True, "rows": 200}
+
+
+def test_cli_stats_and_cluster_by(tmp_path):
+    """--cluster-by url_sort_key(url) takes the expression path; the stats
+    subcommand answers count/min/max from metadata and --exact-minmax
+    recovers exact string bounds from boundary chunks."""
+    src = str(tmp_path / "corpus4")
+    enc = str(tmp_path / "encoded4")
+    _run("synth", "--rows", "300", "--out", src)
+    r = _run("encode", "--input", src, "--out", enc,
+             "--cluster-by", "url_sort_key(url)")
+    assert r["rows"] == 300
+    s = _run("stats", "--data", enc, "--columns", "warc_ts")
+    assert s["warc_ts"]["n_rows"] == 300
+    assert s["warc_ts"]["min"] <= s["warc_ts"]["max"]
+    e = _run("stats", "--data", enc, "--columns", "url,lang",
+             "--exact-minmax")
+    import duckdb
+    mn, mx = duckdb.sql(
+        f"SELECT min(url), max(url) FROM read_parquet('{src}/*.parquet')"
+    ).fetchone()
+    assert e["url"]["min"] == mn and e["url"]["max"] == mx
+    assert e["lang"]["n_chunks_decoded"] >= 1

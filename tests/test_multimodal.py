@@ -124,3 +124,90 @@ def test_image_neardup_bucket_cap_bounds_mega_bucket(spark):
                                 bucket_cap=16).collect()
     got = sorted((r["id_a"], r["id_b"]) for r in pairs)
     assert got == [(500, 501)]
+
+
+# ---------------------------------------------------------------------------
+# resize + video frame sampling plumbing
+# ---------------------------------------------------------------------------
+def test_resize_array_shapes_and_determinism():
+    from fsst_spark.pipeline.multimodal import resize_array
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+    small = resize_array(img, 8, 8)
+    assert small.shape == (8, 8, 3) and small.dtype == np.uint8
+    assert (small == resize_array(img, 8, 8)).all()
+    # upscale and grayscale paths
+    assert resize_array(img, 32, 40).shape == (32, 40, 3)
+    assert resize_array(img.mean(axis=2), 8, 8).shape == (8, 8)
+    # constant image stays constant through pooling
+    flat = np.full((16, 16, 3), 77, dtype=np.uint8)
+    assert (resize_array(flat, 4, 4) == 77).all()
+
+
+def test_image_resize_spark_plumbing(spark):
+    from fsst_spark.pipeline.multimodal import FakeMediaDecoder, image_resize
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, f"img {i}") for i in range(20)], "doc_id long, t string"
+    ).withColumn("payload", F.col("t").cast("binary"))
+    out = image_resize(df, 4, 6, "payload", "doc_id",
+                       decoder=FakeMediaDecoder()).collect()
+    assert len(out) == 20
+    assert all(r["height"] == 4 and r["width"] == 6 for r in out)
+    assert all(len(r["rgb"]) == 4 * 6 * 3 for r in out)
+    # deterministic: same payload bytes -> same resized bytes
+    by_id = {r["doc_id"]: bytes(r["rgb"]) for r in out}
+    again = {r["doc_id"]: bytes(r["rgb"]) for r in
+             image_resize(df, 4, 6, "payload", "doc_id",
+                          decoder=FakeMediaDecoder()).collect()}
+    assert by_id == again
+
+
+def test_video_frame_sample_explodes_every_kth(spark):
+    from fsst_spark.pipeline.multimodal import (FakeVideoDecoder,
+                                                video_frame_sample)
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, f"video {i}") for i in range(10)], "doc_id long, t string"
+    ).withColumn("payload", F.col("t").cast("binary"))
+    dec = FakeVideoDecoder(n_frames=24)
+    out = video_frame_sample(df, every_k=8, payload_col="payload",
+                             decoder=dec).collect()
+    # 24 frames / every 8 -> indices 0, 8, 16 per doc
+    assert len(out) == 30
+    idxs = sorted({r["frame_idx"] for r in out})
+    assert idxs == [0, 8, 16]
+    assert all(len(r["feat"]) == 6 for r in out)
+    # payload-deterministic features
+    one = sorted([r["feat"] for r in out if r["doc_id"] == 3],
+                 key=lambda f: f[0])
+    two = sorted([r["feat"] for r in
+                  video_frame_sample(df, every_k=8, payload_col="payload",
+                                     decoder=dec).collect()
+                  if r["doc_id"] == 3], key=lambda f: f[0])
+    assert one == two
+
+
+def test_audio_features_shapes_and_determinism(spark):
+    from fsst_spark.pipeline.multimodal import FakeAudioDecoder, audio_features
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, f"clip {i}") for i in range(15)], "doc_id long, t string"
+    ).withColumn("payload", F.col("t").cast("binary"))
+    dec = FakeAudioDecoder(n_samples=4096, rate=16000)
+    out = audio_features(df, "payload", decoder=dec).collect()
+    assert len(out) == 15
+    for r in out:
+        assert r["duration_sec"] == 4096 / 16000
+        assert 0.0 < r["rms"] < 1.0  # uniform PCM: rms ~= 0.577
+        assert 0.0 < r["zero_crossing_rate"] < 1.0
+        assert len(r["band_energy"]) == 4
+    # payload-deterministic
+    a = {r["doc_id"]: r["rms"] for r in out}
+    b = {r["doc_id"]: r["rms"] for r in
+         audio_features(df, "payload", decoder=dec).collect()}
+    assert a == b

@@ -83,3 +83,55 @@ def test_decode_filtered_equals_filter_after_full_decode(
             "<": operator.lt, "==": operator.eq}[op]
     expect = sorted(i for i, v in enumerate(vals) if pyop(v, threshold))
     assert got == expect, (dtype, sortedness, skew, op, threshold)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(
+    n_distinct=st.integers(2, 40),
+    sortedness=st.sampled_from(["asc", "desc", "shuffled"]),
+    skew=st.booleans(),
+    probe_kind=st.sampled_from(["present", "absent", "mixed", "all_absent"]),
+    probe_n=st.integers(1, 5),
+    seed=st.integers(0, 9),
+)
+def test_in_list_dict_prune_equals_full_decode(
+        zp_spark, n_distinct, sortedness, skew, probe_kind, probe_n, seed):
+    """VERDICT r4 #10: decode_filtered(col, 'in', vs) ≡ full-decode-then-
+    isin across (value cardinality, sortedness, skew, probe composition) —
+    including the all-pruned corner (every probe absent: zero rows, zero
+    chunks decoded) and low-cardinality frames where every chunk is
+    dict-coded (the dict-membership prune path) vs high-cardinality ones
+    where none are (zone-only path)."""
+    spark = zp_spark
+    # n_distinct <= ~10 per 64-row chunk keeps ndv_ratio under the dict
+    # threshold -> str_dict chunks; large n_distinct falls off dict
+    vals = [f"v{(i * 2654435761 + seed) % n_distinct:04d}" for i in range(N_ROWS)]
+    if skew:
+        vals = [vals[0] if i % 3 else v for i, v in enumerate(vals)]
+    if sortedness == "asc":
+        vals = sorted(vals)
+    elif sortedness == "desc":
+        vals = sorted(vals, reverse=True)
+    universe = sorted(set(vals))
+    rng = (seed * 2654435761) % 97
+    present = [universe[(rng + 7 * j) % len(universe)] for j in range(probe_n)]
+    absent = [f"zz_missing_{seed}_{j}" for j in range(probe_n)]
+    probes = {"present": present, "absent": absent[:1] + present[1:],
+              "mixed": present[: max(1, probe_n // 2)] + absent,
+              "all_absent": absent}[probe_kind]
+    probes = list(dict.fromkeys(probes))
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "rid long, v string").coalesce(1)
+    out = tempfile.mkdtemp(prefix="fsst_inprop_")
+    try:
+        encode_job(spark, df, out, chunk_bytes=1 << 9, resume=False,
+                   pre_partitioned=True, unique_col="rid").collect()
+        got = sorted(r["rid"] for r in
+                     decode_filtered(spark, out, "v", "in", probes).collect())
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    expect = sorted(i for i, v in enumerate(vals) if v in set(probes))
+    assert got == expect, (n_distinct, sortedness, skew, probe_kind, probes)
