@@ -267,7 +267,7 @@ def main() -> None:
         # committed artifact carries the north-rule evidence, not whatever
         # noise phase one fixed-length run landed in
         probes = _scaling_probes(corpus_dir, 2, 8, trials=8,
-                                 min_quiet=3, max_trials=40, deadline_sec=210)
+                                 min_quiet=3, max_trials=60, deadline_sec=420)
     except Exception as exc:
         print(f"scaling probes failed: {exc}", file=sys.stderr)
         probes = dict(probes_failed)
@@ -276,6 +276,12 @@ def main() -> None:
     except Exception as exc:
         print(f"saturated scaling probes failed: {exc}", file=sys.stderr)
         probes_sat = dict(probes_failed)
+    if probes.get("quiet_kernel_efficiency") is None:
+        # the whole probe window was control-noisy: carry the most recent
+        # control-quiet measurement from the run history, explicitly
+        # labeled as prior evidence (the gate reads only the controls, so
+        # this is host-weather bookkeeping, not cherry-picking the kernel)
+        probes.update(_prior_quiet_from_history())
     eff14 = (four["mb_s"] / one["mb_s"]) / 4
     extras["scaling"] = {
         "n1_mb_s": round(one["mb_s"], 1), "n4_mb_s": round(four["mb_s"], 1),
@@ -529,6 +535,25 @@ def _scaling_probes(corpus_dir: str, n_small: int, n_big: int,
     }
 
 
+def _prior_quiet_from_history() -> dict:
+    """Most recent control-quiet kernel efficiency from BASELINE.md's run
+    history (newest-first), for runs whose own probe window never went
+    quiet. Returned keys are *_prior — never a substitute for the current
+    run's gate, just the latest time the host allowed a clean reading."""
+    import re
+
+    try:
+        txt = open(os.path.join(REPO, "BENCH", "BASELINE.md")).read()
+    except OSError:
+        return {}
+    m = re.search(r"- (\S+) .*?quiet_kern_eff=([0-9.]+)/(\d+)t", txt)
+    if not m:
+        return {}
+    return {"quiet_kernel_efficiency_prior": float(m.group(2)),
+            "quiet_prior_trials": int(m.group(3)),
+            "quiet_prior_at": m.group(1)}
+
+
 _KERNEL_CACHE: dict = {}
 
 
@@ -639,6 +664,10 @@ def _probe_md(s: dict, title: str) -> list[str]:
         "own result)"
         if quiet is not None else
         "no control-quiet trials this run (host saturated throughout)"
+        + (f"; most recent control-quiet reading: "
+           f"{s['quiet_kernel_efficiency_prior']} over "
+           f"{s.get('quiet_prior_trials')} trials at {s.get('quiet_prior_at')}"
+           if s.get("quiet_kernel_efficiency_prior") is not None else "")
     )
     return [
         f"- {title}; {s.get('probe_design', '')}: "
