@@ -417,6 +417,88 @@ def q_encoded_minmax(spark, sf_dir):
     )
 
 
+def q_compacted_decode(spark, sf_dir):
+    """Small-file compaction: encode into MANY small chunk files, compact
+    them into 3 WITHOUT decoding any payload (chunk rows copied verbatim,
+    checksums/zones preserved), then decode through the untouched decode
+    path — aggregates must equal SQL over the source table."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.compact import compact_store
+    from fsst_spark.jobs.decode import decode_job
+    from fsst_spark.jobs.encode import encode_job
+
+    frag = tempfile.mkdtemp(prefix="fsst_frag_q_")
+    comp = tempfile.mkdtemp(prefix="fsst_comp_q_") + "/store"
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        encode_job(spark, docs, frag, num_partitions=12,
+                   chunk_bytes=128 << 10, resume=False,
+                   unique_col="doc_id").collect()
+        compact_store(spark, frag, comp, target_files=3).collect()
+        rows = (
+            decode_job(spark, comp)
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("doc_id").alias("sum_ids"),
+                 F.sum(F.octet_length("text")).alias("sum_bytes"))
+            .collect()
+        )
+    finally:
+        shutil.rmtree(frag, ignore_errors=True)
+        shutil.rmtree(comp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["n_rows"], r["sum_ids"], r["sum_bytes"]) for r in rows],
+        "n_rows bigint, sum_ids bigint, sum_bytes bigint",
+    )
+
+
+def q_encoded_group_count(spark, sf_dir):
+    """GROUP BY pushdown on the encoded store: per-language counts
+    answered from dict CODES + the dictionary section — the expanded
+    language strings are never materialized; the shuffle is NDV-scale."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.agg import encoded_group_count
+    from fsst_spark.jobs.encode import encode_job
+
+    out = tempfile.mkdtemp(prefix="fsst_gc_q_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "lang")
+        encode_job(spark, docs, out, num_partitions=4, chunk_bytes=64 << 10,
+                   resume=False, unique_col="doc_id").collect()
+        rows = encoded_group_count(spark, out, "lang").orderBy("value").collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["value"], r["cnt"]) for r in rows], "value string, cnt bigint")
+
+
+def q_encoded_group_sum(spark, sf_dir):
+    """GROUP BY key, count(*), sum(val) over the encoded store: chunk-
+    local partial aggregation over dict codes + int payloads (exact int64
+    accumulation), one NDV-scale shuffle."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.agg import encoded_group_sum
+    from fsst_spark.jobs.encode import encode_job
+
+    out = tempfile.mkdtemp(prefix="fsst_gs_q_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+        encode_job(spark, docs, out, num_partitions=4, chunk_bytes=64 << 10,
+                   resume=False, unique_col="doc_id").collect()
+        rows = (encoded_group_sum(spark, out, "lang", "n_chars")
+                .orderBy("value").collect())
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["value"], r["cnt"], r["sum_val"]) for r in rows],
+        "value string, cnt bigint, sum_val bigint")
+
+
 def q_token_topk(spark, sf_dir):
     """Per-language heavy-hitter tokens (top-5 by count, token breaks
     ties): exact window oracle over the unnested token stream."""
@@ -833,6 +915,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustered_decode": q_clustered_decode,
         "encoded_stats": q_encoded_stats,
         "encoded_minmax": q_encoded_minmax,
+        "compacted_decode": q_compacted_decode,
+        "encoded_group_count": q_encoded_group_count,
+        "encoded_group_sum": q_encoded_group_sum,
         "token_topk": q_token_topk,
         "deterministic_sample": q_deterministic_sample,
         "cap_per_group": q_cap_per_group,
@@ -1050,6 +1135,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'n_chars', CAST(count(*) AS BIGINT), "
             "CAST(min(n_chars) AS BIGINT), CAST(max(n_chars) AS BIGINT) "
             "FROM documents) ORDER BY \"column\""
+        ),
+        "compacted_decode": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_ids, "
+            "CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes FROM documents"
+        ),
+        "encoded_group_count": (
+            "SELECT lang AS value, CAST(count(*) AS BIGINT) AS cnt "
+            "FROM documents GROUP BY lang ORDER BY value"
+        ),
+        "encoded_group_sum": (
+            "SELECT lang AS value, CAST(count(*) AS BIGINT) AS cnt, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_val "
+            "FROM documents GROUP BY lang ORDER BY value"
         ),
         "encoded_minmax": (
             "SELECT min(source) AS min_source, max(source) AS max_source, "

@@ -116,6 +116,24 @@ def main(argv: list[str] | None = None) -> int:
     sta.add_argument("--columns", required=True, help="comma-separated")
     sta.add_argument("--exact-minmax", action="store_true")
 
+    cpt = sub.add_parser("compact",
+                         help="merge many small chunk files into few (payloads "
+                              "copied verbatim — no decode; checksums/zones "
+                              "preserved, layout order kept)")
+    cpt.add_argument("--data", required=True, help="existing encoded store")
+    cpt.add_argument("--out", required=True, help="compacted store (new dir)")
+    cpt.add_argument("--target-files", type=int, default=None,
+                     help="output chunk-file count (default: input/8)")
+
+    grp = sub.add_parser("group-stats",
+                         help="GROUP BY over an encoded store answered from "
+                              "codec structure (dict codes / RLE runs) — "
+                              "count per key, optionally sum of a column")
+    grp.add_argument("--data", required=True)
+    grp.add_argument("--key", required=True, help="group-by column")
+    grp.add_argument("--sum", default=None, help="int/float column to sum")
+    grp.add_argument("--limit", type=int, default=50)
+
     stm = sub.add_parser("stream-encode",
                          help="Structured-Streaming encode: drain new files into chunks+manifest")
     stm.add_argument("--input", required=True, help="table location watched for new files")
@@ -252,6 +270,30 @@ def main(argv: list[str] | None = None) -> int:
                        for r in encoded_column_stats(spark, args.data,
                                                      cols).collect()}
             print(json.dumps(out, default=str))
+        elif args.cmd == "compact":
+            import glob as _glob
+            import os as _os
+
+            from fsst_spark.jobs.compact import compact_store
+
+            metrics = compact_store(spark, args.data, args.out,
+                                    target_files=args.target_files).collect()
+            print(json.dumps({
+                "in_files": len(_glob.glob(_os.path.join(args.data, "chunks", "*.parquet"))),
+                "out_files": len(metrics),
+                "rows": sum(m["n_rows"] for m in metrics),
+                "chunks": sum(m["n_chunks"] for m in metrics),
+            }))
+        elif args.cmd == "group-stats":
+            from fsst_spark.jobs.agg import (encoded_group_count,
+                                             encoded_group_sum)
+
+            if args.sum:
+                df = encoded_group_sum(spark, args.data, args.key, args.sum)
+            else:
+                df = encoded_group_count(spark, args.data, args.key)
+            rows = df.orderBy("value").limit(args.limit).collect()
+            print(json.dumps([r.asDict() for r in rows], default=str))
         elif args.cmd == "stream-encode":
             from pyspark.sql import functions as F
 

@@ -1,0 +1,116 @@
+"""Store compaction: merge many small chunk files into few, WITHOUT
+decoding any payload.
+
+A long-running ingest (streaming epochs, many small encode partitions,
+resumed jobs) leaves an encoded store with thousands of small
+``chunks/part-*.parquet`` files — the classic lakehouse small-file
+problem: footer-read overhead starts to dominate selective decodes, and
+file listings grow. Compaction rewrites the store at the FILE level:
+chunk rows (still encoded — payloads, params, checksums and zone maps are
+copied verbatim) are range-partitioned by their (pid, chunk_id) key into
+``target_files`` output partitions, re-keyed contiguously, and written
+with the same temp+atomic-rename protocol as the encode jobs. Column
+rows of one chunk stay together (the range shuffle keys on the full chunk
+key), so decode/verify semantics are unchanged; per-column-chunk
+checksums are preserved bit-for-bit, making a post-compaction ``verify``
+a true end-to-end gate.
+
+This is the shape of an Iceberg ``rewrite_data_files`` action: one narrow
+shuffle of already-compressed bytes, no decode, no re-encode, O(1) driver
+work.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, functions as F
+
+from .. import __version__
+from .encode import CHUNK_SCHEMA, METRIC_PA_SCHEMA, METRIC_SCHEMA_DDL, _atomic_write
+
+
+def compact_store(spark, in_dir: str, out_dir: str,
+                  target_files: int | None = None,
+                  lineage: dict | None = None) -> DataFrame:
+    """Rewrite ``in_dir``'s chunk files into ``target_files`` files under
+    ``out_dir`` (chunks/ + manifest/). Returns the lazy metrics frame —
+    ``.collect()`` it to run the job. Payloads are never decoded."""
+    import glob as _glob
+
+    n_in = len(_glob.glob(os.path.join(in_dir, "chunks", "*.parquet")))
+    if n_in == 0:
+        raise FileNotFoundError(f"no chunk files under {in_dir}")
+    if target_files is None:
+        target_files = max(1, n_in // 8)
+    if os.path.abspath(in_dir) == os.path.abspath(out_dir):
+        raise ValueError("compact_store writes a NEW store; out_dir must "
+                         "differ from in_dir (swap directories after)")
+    os.makedirs(os.path.join(out_dir, "chunks"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
+    lineage_json = json.dumps(
+        {**(lineage or {}), "mode": "compacted", "source_store": in_dir,
+         "source_files": n_in, "target_files": target_files})
+
+    chunks = spark.read.parquet(os.path.join(in_dir, "chunks"))
+    # contiguous (pid, chunk_id) ranges per output file: preserves any
+    # clustering the encode layout had (sorted stores stay sorted). The
+    # range key must be exactly the chunk key — equal keys land in one
+    # partition, so every column row of a chunk stays in one task;
+    # including `column` in the key could split a chunk across files.
+    part = chunks.repartitionByRange(
+        target_files, F.col("pid"), F.col("chunk_id"))
+
+    def rewrite(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        new_pid = TaskContext.get().partitionId()
+        t0 = time.time()
+        remap: dict[tuple[int, int], int] = {}
+        rows_by_chunk: dict[tuple[int, int], int] = {}
+        out_batches: list[pa.RecordBatch] = []
+        raw = enc = 0
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            pids = tbl.column("pid").to_pylist()
+            cids = tbl.column("chunk_id").to_pylist()
+            rows_col = tbl.column("n_rows").to_pylist()
+            new_ids = []
+            for p, c, r in zip(pids, cids, rows_col):
+                key = (p, c)
+                if key not in remap:
+                    remap[key] = len(remap)
+                    rows_by_chunk[key] = r  # same for every column row
+                new_ids.append(remap[key])
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("pid"), "pid",
+                pa.array([new_pid] * len(pids), pa.int32()))
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("chunk_id"), "chunk_id",
+                pa.array(new_ids, pa.int32()))
+            out_batches.extend(tbl.to_batches())
+            raw += sum(tbl.column("raw_bytes").to_pylist())
+            enc += sum(tbl.column("enc_bytes").to_pylist())
+        if not out_batches:
+            return
+        n_rows = sum(rows_by_chunk.values())
+        out_tbl = pa.Table.from_batches(out_batches).cast(CHUNK_SCHEMA)
+        _atomic_write(out_tbl, os.path.join(
+            out_dir, "chunks", f"part-{new_pid:05d}.parquet"))
+        metric = {
+            "pid": new_pid, "status": "done", "n_rows": n_rows,
+            "n_chunks": len(remap), "raw_bytes": raw, "enc_bytes": enc,
+            "wall_sec": time.time() - t0, "columns_json": "{}",
+            "lineage": lineage_json, "engine_version": __version__,
+            "finished_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        manifest_tbl = pa.Table.from_pylist([metric], schema=METRIC_PA_SCHEMA)
+        _atomic_write(manifest_tbl, os.path.join(
+            out_dir, "manifest", f"part-{new_pid:05d}.parquet"))
+        yield from manifest_tbl.to_batches()
+
+    return part.mapInArrow(rewrite, METRIC_SCHEMA_DDL)

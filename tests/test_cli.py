@@ -63,6 +63,25 @@ def test_cli_encode_fast_path_and_conjunctive_where(tmp_path):
     assert n == 400
 
 
+def test_cli_compact_and_group_stats(tmp_path):
+    """compact merges small chunk files without decoding; group-stats
+    answers GROUP BY from codec structure — both against the same synth
+    corpus, cross-checked with DuckDB."""
+    src = str(tmp_path / "corpus5")
+    enc = str(tmp_path / "encoded5")
+    cmp_ = str(tmp_path / "compacted5")
+    _run("synth", "--rows", "400", "--out", src)
+    _run("encode", "--input", src, "--out", enc, "--partitions", "8")
+    r = _run("compact", "--data", enc, "--out", cmp_, "--target-files", "2")
+    assert r["in_files"] == 8 and r["out_files"] == 2 and r["rows"] == 400
+    g = _run("group-stats", "--data", cmp_, "--key", "lang")
+    import duckdb
+    want = duckdb.sql(
+        f"SELECT lang, count(*) FROM read_parquet('{src}/*.parquet') "
+        "GROUP BY lang ORDER BY lang").fetchall()
+    assert [(row["value"], row["cnt"]) for row in g] == want
+
+
 def test_spark_submit_py_files_packaging(tmp_path):
     """North-rule shipping shape: zip the package, run a job via
     ``spark-submit --py-files fsst_spark.zip`` in a clean cwd (so the

@@ -176,3 +176,19 @@ def test_gopher_flags_stay_jvm_side(spark):
     first_line = plan[plan.index("FileScan"):].split("\n")[0]
     read_schema = first_line.split("ReadSchema")[-1]
     assert "text" in read_schema and "source" not in read_schema, read_schema
+
+
+def test_group_count_scan_pushes_column_filter(spark, encoded):
+    """encoded_group_count reads ONLY the target column's chunk rows: the
+    column filter reaches the parquet scan, and the partial (pre-shuffle)
+    frame projects codec/params/payload — no zone or checksum columns."""
+    from fsst_spark.jobs.agg import encoded_group_count
+
+    df = encoded_group_count(spark, encoded, "lang")
+    plan = _plan(df)
+    scan = plan[plan.index("FileScan"):]
+    first_line = scan.split("\n")[0]
+    assert "PushedFilters" in first_line
+    assert "In(column" in first_line or "EqualTo(column" in first_line, first_line
+    read_schema = first_line.split("ReadSchema")[-1]
+    assert "checksum" not in read_schema and "zmin_long" not in read_schema
