@@ -499,6 +499,59 @@ def q_encoded_group_sum(spark, sf_dir):
         "value string, cnt bigint, sum_val bigint")
 
 
+def q_filtered_group_sum(spark, sf_dir):
+    """WHERE + GROUP BY pushdown over the encoded store: zone maps and
+    dict dictionaries prune non-matching chunks before any payload read,
+    the exact row mask applies chunk-locally, and the shuffle stays
+    NDV-scale — the full OLAP scan shape without materializing the
+    table."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.agg import encoded_group_sum
+    from fsst_spark.jobs.encode import encode_job
+
+    out = tempfile.mkdtemp(prefix="fsst_fgs_q_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+        encode_job(spark, docs, out, num_partitions=4, chunk_bytes=64 << 10,
+                   resume=False, unique_col="doc_id").collect()
+        rows = (encoded_group_sum(
+            spark, out, "lang", "n_chars",
+            filters=[("lang", "in", ["en", "de"]), ("n_chars", "<", 1500)])
+            .orderBy("value").collect())
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["value"], r["cnt"], r["sum_val"]) for r in rows],
+        "value string, cnt bigint, sum_val bigint")
+
+
+def q_count_where(spark, sf_dir):
+    """Tri-state metadata count: a doc_id range count over a store
+    CLUSTERED on doc_id — interior chunks answer from n_rows metadata,
+    only the two boundary chunks decode (and only the filter column)."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.agg import encoded_count_filtered
+    from fsst_spark.jobs.encode import encode_job
+
+    out = tempfile.mkdtemp(prefix="fsst_cw_q_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+        encode_job(spark, docs, out, num_partitions=4, chunk_bytes=32 << 10,
+                   resume=False, unique_col="doc_id",
+                   sort_key="doc_id").collect()
+        rows = encoded_count_filtered(
+            spark, out,
+            [("doc_id", ">=", 100), ("doc_id", "<", 400)]).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["n_rows"],) for r in rows], "n_rows bigint")
+
+
 def q_token_topk(spark, sf_dir):
     """Per-language heavy-hitter tokens (top-5 by count, token breaks
     ties): exact window oracle over the unnested token stream."""
@@ -918,6 +971,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compacted_decode": q_compacted_decode,
         "encoded_group_count": q_encoded_group_count,
         "encoded_group_sum": q_encoded_group_sum,
+        "filtered_group_sum": q_filtered_group_sum,
+        "count_where": q_count_where,
         "token_topk": q_token_topk,
         "deterministic_sample": q_deterministic_sample,
         "cap_per_group": q_cap_per_group,
@@ -1149,6 +1204,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang AS value, CAST(count(*) AS BIGINT) AS cnt, "
             "CAST(sum(n_chars) AS BIGINT) AS sum_val "
             "FROM documents GROUP BY lang ORDER BY value"
+        ),
+        "filtered_group_sum": (
+            "SELECT lang AS value, CAST(count(*) AS BIGINT) AS cnt, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_val FROM documents "
+            "WHERE lang IN ('en', 'de') AND n_chars < 1500 "
+            "GROUP BY lang ORDER BY value"
+        ),
+        "count_where": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM documents "
+            "WHERE doc_id >= 100 AND doc_id < 400"
         ),
         "encoded_minmax": (
             "SELECT min(source) AS min_source, max(source) AS max_source, "

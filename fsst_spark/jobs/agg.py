@@ -41,7 +41,15 @@ from ..kernel.codecs import (
     decode_int_for,
     parse_arrow_type,
 )
-from .decode import _chunks_df, _spark_type, column_arrow_types
+from .decode import (
+    _STRINGY,
+    _chunks_df,
+    _spark_type,
+    _zone_key,
+    chunk_repartition,
+    column_arrow_types,
+    pruned_chunks,
+)
 
 _INT_LIKE = ("int8", "int16", "int32", "int64")
 
@@ -100,13 +108,194 @@ def _chunk_value_counts(codec: str, params: dict, payload: bytes,
     return values.cast(t), counts
 
 
-def encoded_group_count(spark, out_dir: str, column: str) -> DataFrame:
+def _packf_np(x: np.ndarray) -> np.ndarray:
+    """Vectorized ``encode.zone_packf``: order-preserving int64 keys for a
+    float64 array under SQL comparison semantics (NaN above everything and
+    equal to itself, -0.0 == +0.0) — both Spark and DuckDB order floats
+    this way, so comparing packed keys reproduces their WHERE semantics
+    exactly, where raw IEEE comparison (NaN always false) would not."""
+    x = np.where(x == 0.0, 0.0, x.astype(np.float64))  # collapse -0.0
+    bits = x.view(np.uint64)
+    key = np.where(bits >> np.uint64(63) != 0,
+                   ~bits, bits | np.uint64(1 << 63))
+    key[np.isnan(x)] = np.uint64(0xFFFFFFFFFFFFFFFF)
+    return (key ^ np.uint64(1 << 63)).view(np.int64)
+
+
+_NP_OPS = {">=": np.greater_equal, ">": np.greater,
+           "<=": np.less_equal, "<": np.less, "==": np.equal}
+
+
+def _arrow_mask(arr: pa.Array, op: str, value, arrow_name: str) -> np.ndarray:
+    """Exact row mask for ``arr op value`` with SQL predicate semantics
+    (null -> False, NaN greatest / NaN == NaN, -0.0 == +0.0) — must agree
+    with ``decode._row_predicate``, which evaluates the same filter in
+    Spark after a full decode."""
+    if arrow_name in _STRINGY:
+        if op == "in":
+            m = pc.is_in(arr, value_set=pa.array(list(value), type=arr.type))
+        else:
+            _zone_key(arrow_name, value)  # type check: raises on mismatch
+            m = getattr(pc, {">=": "greater_equal", ">": "greater",
+                             "<=": "less_equal", "<": "less",
+                             "==": "equal"}[op])(arr, pa.scalar(value, type=arr.type))
+        return m.fill_null(False).to_numpy(zero_copy_only=False).astype(bool)
+    valid = pc.is_valid(arr).to_numpy(zero_copy_only=False).astype(bool)
+    if arrow_name.startswith("timestamp["):
+        lhs = arr.cast(pa.int64()).fill_null(0).to_numpy(zero_copy_only=False)
+    elif arrow_name in ("float", "double"):
+        lhs = _packf_np(arr.cast(pa.float64()).fill_null(0.0)
+                        .to_numpy(zero_copy_only=False))
+    else:
+        lhs = arr.cast(pa.int64()).fill_null(0).to_numpy(zero_copy_only=False)
+    if op == "in":
+        rhs = np.array([_zone_key(arrow_name, v)[0] for v in value], dtype=np.int64)
+        m = np.isin(lhs, rhs)
+    else:
+        m = _NP_OPS[op](lhs, np.int64(_zone_key(arrow_name, value)[0]))
+    return m & valid
+
+
+def _assembled_chunks(batches: Iterator[pa.RecordBatch],
+                      needed: list[str]) -> Iterator[dict[str, dict]]:
+    """Group a (pid, chunk_id)-co-located chunk-row stream back into whole
+    chunks: yields {column: enc-dict} once every needed column row of a
+    chunk has arrived (same pending-slot shape as decode_job's task)."""
+    pending: dict[tuple[int, int], dict[str, dict]] = {}
+    for batch in batches:
+        for pid_s, cid_s, col_s, codec_s, params_s, payload_s in zip(
+                batch.column("pid"), batch.column("chunk_id"),
+                batch.column("column"), batch.column("codec"),
+                batch.column("params"), batch.column("payload")):
+            key = (pid_s.as_py(), cid_s.as_py())
+            cols = pending.setdefault(key, {})
+            cols[col_s.as_py()] = {
+                "codec": codec_s.as_py(),
+                "params": json.loads(params_s.as_py()),
+                "payload": payload_s.as_py(),
+            }
+            if len(cols) == len(needed):
+                yield cols
+                del pending[key]
+    if pending:
+        raise RuntimeError(
+            f"incomplete chunks (missing column rows): {sorted(pending)[:4]}")
+
+
+def _conj_mask(cols: dict[str, dict], filters: list[tuple],
+               types: dict[str, str],
+               decoded: dict[str, pa.Array]) -> np.ndarray | None:
+    """AND of the exact row masks for ``filters`` over one chunk; decodes
+    each filter column at most once (cached in ``decoded``)."""
+    mask: np.ndarray | None = None
+    for fc, fop, fval in filters:
+        if fc not in decoded:
+            decoded[fc] = decode_column(cols[fc])
+        m = _arrow_mask(decoded[fc], fop, fval, types[fc])
+        mask = m if mask is None else (mask & m)
+    return mask
+
+
+def _group_partial(kenc: dict, kt: pa.DataType, mask: np.ndarray | None,
+                   karr: pa.Array | None = None,
+                   venc: dict | None = None, varr: pa.Array | None = None,
+                   int_sum: bool | None = None) -> pa.RecordBatch:
+    """One chunk -> per-key partial rows (value, cnt[, sum_val]) under an
+    optional row mask. Dict-coded null-free key chunks group on the CODE
+    array — the expanded key strings are never materialized."""
+    if karr is None and kenc["codec"] == "str_dict" and "n_total" not in kenc["params"]:
+        p = kenc["params"]
+        cp, up = _split_sections(p, kenc["payload"])
+        codes = decode_bytes_like({**p["codes"], "payload": cp}, kind="int").astype(np.int64)
+        ubuf, uoff = decode_bytes_like({**p["values"], "payload": up}, kind="str")
+        dictv, k = _bytes_to_arrow(ubuf, uoff, kt, None), len(uoff) - 1
+    else:
+        codes, dictv, k = _group_codes(karr if karr is not None
+                                       else decode_column(kenc))
+    mcodes = codes if mask is None else codes[mask]
+    cnt = np.bincount(mcodes, minlength=k + 1).astype(np.int64)
+    values = pa.concat_arrays([dictv.cast(kt), pa.nulls(1, kt)])
+    keep = cnt > 0
+    arrays = [values.filter(pa.array(keep)), pa.array(cnt[keep], type=pa.int64())]
+    names = ["value", "cnt"]
+    if venc is not None or varr is not None:
+        if varr is None:
+            varr = decode_column(venc)
+        valid = pc.is_valid(varr).to_numpy(zero_copy_only=False).astype(bool)
+        if mask is not None:
+            valid &= mask
+        vnp = varr.fill_null(0).to_numpy(zero_copy_only=False)
+        acc = np.zeros(k + 1, dtype=np.int64 if int_sum else np.float64)
+        np.add.at(acc, codes[valid],
+                  vnp[valid].astype(np.int64 if int_sum else np.float64))
+        arrays.append(pa.array(acc[keep], type=pa.int64() if int_sum else pa.float64()))
+        names.append("sum_val")
+    return pa.RecordBatch.from_arrays(arrays, names=names)
+
+
+def _filtered_group_agg(spark, out_dir: str, key_col: str,
+                        val_col: str | None,
+                        filters: list[tuple]) -> DataFrame:
+    """Shared filtered path of encoded_group_count/encoded_group_sum:
+    zone/dict pruning drops definite-miss chunks before any payload read,
+    surviving chunks shuffle once on the chunk key (encoded bytes, small),
+    the exact row mask and the per-key partials happen chunk-locally, and
+    the final shuffle is NDV-scale."""
+    types = column_arrow_types(spark, out_dir)
+    fcols = []
+    for f in filters:
+        if f[0] not in fcols:
+            fcols.append(f[0])
+    needed = [key_col] + ([val_col] if val_col and val_col != key_col else [])
+    needed += [c for c in fcols if c not in needed]
+    for c in needed:
+        if c not in types:
+            raise KeyError(f"column {c!r} not in encoded data")
+    kt = parse_arrow_type(types[key_col])
+    int_sum = val_col is not None and types[val_col] in _INT_LIKE
+    if val_col is not None and not int_sum and types[val_col] not in ("float", "double"):
+        raise ValueError(f"sum column must be int or float, got {types[val_col]}")
+    chunks = pruned_chunks(spark, out_dir, needed, list(filters))
+    chunks = chunk_repartition(
+        spark, chunks.select("pid", "chunk_id", "column", "codec",
+                             "params", "payload"), out_dir)
+
+    def task(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for cols in _assembled_chunks(batches, needed):
+            decoded: dict[str, pa.Array] = {}
+            mask = _conj_mask(cols, filters, types, decoded)
+            if mask is not None and not mask.any():
+                continue
+            yield _group_partial(
+                cols[key_col], kt, mask, karr=decoded.get(key_col),
+                venc=cols[val_col] if val_col else None,
+                varr=decoded.get(val_col) if val_col else None,
+                int_sum=int_sum)
+
+    ddl = f"value {_spark_type(types[key_col])}, cnt bigint"
+    aggs = [F.sum("cnt").alias("cnt")]
+    if val_col is not None:
+        ddl += f", sum_val {'bigint' if int_sum else 'double'}"
+        aggs.append(F.sum("sum_val").alias("sum_val"))
+    return chunks.mapInArrow(task, ddl).groupBy("value").agg(*aggs)
+
+
+def encoded_group_count(spark, out_dir: str, column: str,
+                        filters: list[tuple] | None = None) -> DataFrame:
     """``SELECT column AS value, count(*) AS cnt GROUP BY column`` over an
     encoded store, decoding only codec structure (dict codes +
     dictionary, RLE runs) wherever the codec allows.
 
     Scan tasks emit per-chunk (value, cnt) partials — the shuffle moves
-    NDV-scale rows, never row-scale data."""
+    NDV-scale rows, never row-scale data.
+
+    ``filters=[(col, op, value), ...]`` adds a conjunctive WHERE: zone maps
+    and dict dictionaries prune definite-miss chunks before any payload
+    read, the exact row mask applies chunk-locally, and the shuffle stays
+    NDV-scale — ``SELECT col, count(*) WHERE ... GROUP BY col`` without
+    ever materializing the table."""
+    if filters:
+        return _filtered_group_agg(spark, out_dir, column, None, filters)
     types = column_arrow_types(spark, out_dir, [column])
     if column not in types:
         raise KeyError(f"column {column!r} not in encoded data")
@@ -142,18 +331,23 @@ def _group_codes(karr: pa.Array) -> tuple[np.ndarray, pa.Array, int]:
     return codes, denc.dictionary, k
 
 
-def encoded_group_sum(spark, out_dir: str, key_col: str, val_col: str) -> DataFrame:
+def encoded_group_sum(spark, out_dir: str, key_col: str, val_col: str,
+                      filters: list[tuple] | None = None) -> DataFrame:
     """``SELECT key, count(*) AS cnt, sum(val) AS sum_val GROUP BY key``
     over an encoded store. ``val_col`` must be an integer or float
     column; sums over ints stay in exact int64 (no float bincount
     weights). Null keys form their own group; null values count toward
-    ``cnt`` but not ``sum_val`` (SQL semantics).
+    ``cnt`` but not ``sum_val`` (SQL semantics). ``filters`` adds a
+    conjunctive WHERE with zone/dict chunk pruning (see
+    ``encoded_group_count``).
 
     Both column rows of a chunk are written into the same chunk file by
     every encode job, so each scan task sees complete chunks; partial
     aggregation happens chunk-locally and the shuffle is NDV-scale. A
     dict-coded key column uses its code array directly — the expanded
     key strings are never materialized."""
+    if filters:
+        return _filtered_group_agg(spark, out_dir, key_col, val_col, filters)
     types = column_arrow_types(spark, out_dir, [key_col, val_col])
     for c in (key_col, val_col):
         if c not in types:
@@ -163,33 +357,9 @@ def encoded_group_sum(spark, out_dir: str, key_col: str, val_col: str) -> DataFr
         raise ValueError(f"sum column must be int or float, got {vt_name}")
     int_sum = vt_name in _INT_LIKE
     kt = parse_arrow_type(types[key_col])
-    sum_t = pa.int64() if int_sum else pa.float64()
-    out_schema = pa.schema([("value", kt), ("cnt", pa.int64()), ("sum_val", sum_t)])
 
     def emit(kenc: dict, venc: dict) -> pa.RecordBatch:
-        if kenc["codec"] == "str_dict" and "n_total" not in kenc["params"]:
-            # code array + dictionary without expanding the strings
-            p = kenc["params"]
-            cp, up = _split_sections(p, kenc["payload"])
-            codes = decode_bytes_like({**p["codes"], "payload": cp}, kind="int").astype(np.int64)
-            ubuf, uoff = decode_bytes_like({**p["values"], "payload": up}, kind="str")
-            dictv, k = _bytes_to_arrow(ubuf, uoff, kt, None), len(uoff) - 1
-        else:
-            codes, dictv, k = _group_codes(decode_column(kenc))
-        varr = decode_column(venc)
-        valid = pc.is_valid(varr).to_numpy(zero_copy_only=False).astype(bool)
-        vnp = varr.fill_null(0).to_numpy(zero_copy_only=False)
-        acc = np.zeros(k + 1, dtype=np.int64 if int_sum else np.float64)
-        np.add.at(acc, codes[valid],
-                  vnp[valid].astype(np.int64 if int_sum else np.float64))
-        cnt = np.bincount(codes, minlength=k + 1).astype(np.int64)
-        values = pa.concat_arrays([dictv.cast(kt), pa.nulls(1, kt)])
-        keep = cnt > 0
-        return pa.RecordBatch.from_arrays(
-            [values.filter(pa.array(keep)),
-             pa.array(cnt[keep], type=pa.int64()),
-             pa.array(acc[keep], type=sum_t)],
-            schema=out_schema)
+        return _group_partial(kenc, kt, None, venc=venc, int_sum=int_sum)
 
     # file-granular scan: every encode job writes ALL column rows of a
     # chunk into one chunk file, but a relational parquet scan may split
@@ -237,3 +407,129 @@ def encoded_group_sum(spark, out_dir: str, key_col: str, val_col: str) -> DataFr
     partial = task_df.mapInArrow(task, ddl)
     return partial.groupBy("value").agg(
         F.sum("cnt").alias("cnt"), F.sum("sum_val").alias("sum_val"))
+
+
+def _zone_can_pred(arrow_name: str, op: str, value):
+    """Spark Column over (zmin_long, zmax_long): True unless the zone
+    bounds PROVE no row of the chunk satisfies ``op value`` — the same
+    conservative keep predicate ``decode._zone_prune`` uses."""
+    if op == "in":
+        values = list(value)
+        if not values:
+            raise ValueError("'in' filter needs a non-empty value list")
+        packed = [_zone_key(arrow_name, v) for v in values]
+        pred = packed[0][1]["=="](packed[0][0])
+        for zv, ops in packed[1:]:
+            pred = pred | ops["=="](zv)
+        return pred
+    zv, ops = _zone_key(arrow_name, value)
+    if op not in ops:
+        raise ValueError(f"zone op must be one of {sorted(ops) + ['in']}, got {op!r}")
+    return ops[op](zv)
+
+
+def _zone_all_pred(arrow_name: str, op: str, value):
+    """Spark Column over (zmin_long, zmax_long): True iff the zone bounds
+    PROVE every non-null row of the chunk satisfies ``op value``.
+
+    Int/timestamp zones are exact min/max and float zones are the
+    order-isomorphic total-order key (NaN greatest, matching Spark/DuckDB
+    comparison semantics), so the exact table applies. String zones are
+    8-byte PREFIX bounds: only STRICT pack inequalities transfer to the
+    rows (pack(min) > pack(v) => min > v, but pack equality proves
+    nothing), and equality is never provable from a prefix."""
+    zmin, zmax = F.col("zmin_long"), F.col("zmax_long")
+    from .decode import _STRINGY as _STR
+
+    if arrow_name in _STR:
+        if op in ("==", "in"):
+            return F.lit(False)
+        zv = _zone_key(arrow_name, value)[0]
+        return {">=": zmin > zv, ">": zmin > zv,
+                "<=": zmax < zv, "<": zmax < zv}[op]
+    if op == "in":
+        vals = [_zone_key(arrow_name, v)[0] for v in value]
+        return (zmin == zmax) & zmin.isin(vals)
+    zv = _zone_key(arrow_name, value)[0]
+    return {">=": zmin >= zv, ">": zmin > zv, "<=": zmax <= zv,
+            "<": zmax < zv, "==": (zmin == zv) & (zmax == zv)}[op]
+
+
+def encoded_count_filtered(spark, out_dir: str,
+                           filters: list[tuple]) -> DataFrame:
+    """``SELECT count(*) WHERE <conjunction>`` answered tri-state from the
+    encoded store: chunks whose zone maps prove NO row matches are pruned
+    (no payload read), chunks whose zone maps prove EVERY row matches
+    contribute their metadata ``n_rows`` (no payload read — a chunk with
+    nulls in a filter column never qualifies, detected from its params
+    without decoding), and only BOUNDARY chunks decode — and then only the
+    filter columns. On a store clustered by the filter column a range
+    count touches O(1) boundary chunks regardless of table size.
+
+    Returns one row: ``n_rows`` plus observability counts
+    (chunks_total/pruned/metadata_only/decoded)."""
+    if not filters:
+        raise ValueError("encoded_count_filtered needs filters=[(col, op, value), ...]")
+    types = column_arrow_types(spark, out_dir)
+    fcols: list[str] = []
+    for f in filters:
+        if f[0] not in types:
+            raise KeyError(f"column {f[0]!r} not in encoded data")
+        if f[0] not in fcols:
+            fcols.append(f[0])
+    base = _chunks_df(spark, out_dir, fcols)
+    has_zones = "zmin_long" in base.columns
+    zsel = ["pid", "chunk_id", "column", "n_rows"]
+    if has_zones:
+        zsel += ["zmin_long", "zmax_long"]
+    # null-freeness read from the params JSON string JVM-side (the key is
+    # only ever written when the chunk has nulls); a false positive just
+    # demotes the chunk to the decode path — conservative, never wrong
+    z = base.select(*zsel, F.col("params").contains('"n_total"').alias("has_nulls"))
+    joined = None
+    for i, (c, op, v) in enumerate(filters):
+        zi = z.filter(F.col("column") == c)
+        if has_zones:
+            can = F.col("zmin_long").isNull() | _zone_can_pred(types[c], op, v)
+            alm = (F.col("zmin_long").isNotNull() & ~F.col("has_nulls")
+                   & _zone_all_pred(types[c], op, v))
+        else:  # pre-zone-map store: everything is a boundary chunk
+            can, alm = F.lit(True), F.lit(False)
+        zi = zi.select("pid", "chunk_id", "n_rows",
+                       can.alias(f"can{i}"), alm.alias(f"all{i}"))
+        joined = zi if joined is None else joined.join(
+            zi.drop("n_rows"), ["pid", "chunk_id"])
+    can_all = F.lit(True)
+    alm_all = F.lit(True)
+    for i in range(len(filters)):
+        can_all = can_all & F.col(f"can{i}")
+        alm_all = alm_all & F.col(f"all{i}")
+    cls = joined.select("pid", "chunk_id", "n_rows",
+                        can_all.alias("can"), alm_all.alias("all_rows"))
+
+    meta = cls.select(
+        F.when(F.col("can") & F.col("all_rows"), F.col("n_rows"))
+        .otherwise(F.lit(0)).cast("bigint").alias("n"))
+    straddle_keys = cls.filter(F.col("can") & ~F.col("all_rows")).select("pid", "chunk_id")
+    sub = (base.select("pid", "chunk_id", "column", "codec", "params", "payload")
+           .join(straddle_keys, ["pid", "chunk_id"], "left_semi"))
+    sub = chunk_repartition(spark, sub, out_dir)
+    flt = list(filters)
+
+    def task(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for cols in _assembled_chunks(batches, fcols):
+            decoded: dict[str, pa.Array] = {}
+            mask = _conj_mask(cols, flt, types, decoded)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([int(mask.sum())], pa.int64())], names=["n"])
+
+    straddle = sub.mapInArrow(task, "n bigint")
+    total = meta.unionByName(straddle).agg(F.sum("n").alias("n_rows"))
+    obs = cls.agg(
+        F.count("*").alias("chunks_total"),
+        F.sum(F.when(~F.col("can"), 1).otherwise(0)).alias("chunks_pruned"),
+        F.sum(F.when(F.col("can") & F.col("all_rows"), 1).otherwise(0))
+        .alias("chunks_metadata_only"),
+        F.sum(F.when(F.col("can") & ~F.col("all_rows"), 1).otherwise(0))
+        .alias("chunks_decoded"))
+    return total.crossJoin(obs)

@@ -69,6 +69,27 @@ def _coerce_where(arrow_name: str, raw: str):
     return raw  # string/binary columns keep the text verbatim
 
 
+def _parse_where(spark, data_dir: str, where: list[str]) -> list[tuple]:
+    """COL:OP:VALUE clauses -> typed (col, op, value) filters.
+
+    Each VALUE is coerced by the COLUMN's stored type, not by whether the
+    text looks numeric: zero-padded string ids must stay strings (an int
+    against pack8 prefix zones would prune every chunk and silently
+    return nothing)."""
+    from fsst_spark.jobs.decode import column_arrow_types
+
+    types = column_arrow_types(spark, data_dir)
+    filters = []
+    for clause in where:
+        col, op, raw = clause.split(":", 2)
+        if col not in types:
+            raise KeyError(f"column {col!r} not in encoded data")
+        val = ([_coerce_where(types[col], v) for v in raw.split(",")]
+               if op == "in" else _coerce_where(types[col], raw))
+        filters.append((col, op, val))
+    return filters
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="fsst_spark", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -133,6 +154,20 @@ def main(argv: list[str] | None = None) -> int:
     grp.add_argument("--key", required=True, help="group-by column")
     grp.add_argument("--sum", default=None, help="int/float column to sum")
     grp.add_argument("--limit", type=int, default=50)
+    grp.add_argument("--where", action="append", default=None,
+                     metavar="COL:OP:VALUE",
+                     help="conjunctive WHERE before the GROUP BY; zone maps "
+                          "and dict dictionaries prune non-matching chunks "
+                          "before any payload read (same syntax as decode)")
+
+    cnt = sub.add_parser("count",
+                         help="count(*) WHERE ... answered tri-state from "
+                              "zone metadata: fully-matching chunks count "
+                              "from n_rows without decoding; only boundary "
+                              "chunks decode (filter columns only)")
+    cnt.add_argument("--data", required=True)
+    cnt.add_argument("--where", action="append", required=True,
+                     metavar="COL:OP:VALUE")
 
     stm = sub.add_parser("stream-encode",
                          help="Structured-Streaming encode: drain new files into chunks+manifest")
@@ -224,19 +259,7 @@ def main(argv: list[str] | None = None) -> int:
 
             cols = args.columns.split(",") if args.columns else None
             if args.where:
-                # coerce each VALUE by the COLUMN's stored type, not by
-                # whether the text looks numeric: zero-padded string ids
-                # must stay strings (an int against pack8 prefix zones
-                # would prune every chunk and silently return nothing)
-                types = column_arrow_types(spark, args.data)
-                filters = []
-                for clause in args.where:
-                    col, op, raw = clause.split(":", 2)
-                    if col not in types:
-                        raise KeyError(f"column {col!r} not in encoded data")
-                    val = ([_coerce_where(types[col], v) for v in raw.split(",")]
-                           if op == "in" else _coerce_where(types[col], raw))
-                    filters.append((col, op, val))
+                filters = _parse_where(spark, args.data, args.where)
                 df = decode_filtered(spark, args.data, columns=cols, filters=filters)
             else:
                 df = decode_job(spark, args.data, cols)
@@ -288,12 +311,22 @@ def main(argv: list[str] | None = None) -> int:
             from fsst_spark.jobs.agg import (encoded_group_count,
                                              encoded_group_sum)
 
+            filters = (_parse_where(spark, args.data, args.where)
+                       if args.where else None)
             if args.sum:
-                df = encoded_group_sum(spark, args.data, args.key, args.sum)
+                df = encoded_group_sum(spark, args.data, args.key, args.sum,
+                                       filters=filters)
             else:
-                df = encoded_group_count(spark, args.data, args.key)
+                df = encoded_group_count(spark, args.data, args.key,
+                                         filters=filters)
             rows = df.orderBy("value").limit(args.limit).collect()
             print(json.dumps([r.asDict() for r in rows], default=str))
+        elif args.cmd == "count":
+            from fsst_spark.jobs.agg import encoded_count_filtered
+
+            filters = _parse_where(spark, args.data, args.where)
+            row = encoded_count_filtered(spark, args.data, filters).collect()[0]
+            print(json.dumps(row.asDict()))
         elif args.cmd == "stream-encode":
             from pyspark.sql import functions as F
 

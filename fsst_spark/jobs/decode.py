@@ -269,6 +269,50 @@ def _dict_value_drop(spark, out_dir: str, col: str,
     return src.mapInArrow(task, "pid int, chunk_id int")
 
 
+def pruned_chunks(spark, out_dir: str, columns: list[str] | None,
+                  filters: list[tuple[str, str, int | str]],
+                  dict_prune: bool = True) -> DataFrame:
+    """Chunk rows for ``columns``, minus every chunk a zone map or a dict
+    dictionary proves cannot match the conjunction ``filters`` — the shared
+    pruning front-end of ``decode_job`` and the encoded-store aggregation
+    ops. No payload outside dict sections is read."""
+    chunks = _chunks_df(spark, out_dir, columns)
+    if filters:
+        types = column_arrow_types(spark, out_dir)  # KeyError guard below
+        for zf in filters:
+            if zf[0] not in types:
+                raise KeyError(f"columns not present in encoded data: [{zf[0]!r}]")
+            # the zone column may be outside the requested column subset, so
+            # each keep-set reads its own (narrow, zone-only) projection
+            zsrc = _chunks_df(spark, out_dir, [zf[0]])
+            chunks = _zone_prune(chunks, zsrc, zf, types[zf[0]])
+            if dict_prune and zf[1] in ("==", "in") and types[zf[0]] in _STRINGY:
+                drop = _dict_value_drop(spark, out_dir, zf[0], zf[2])
+                chunks = chunks.join(drop, ["pid", "chunk_id"], "left_anti")
+    return chunks
+
+
+def chunk_repartition(spark, chunks: DataFrame, out_dir: str) -> DataFrame:
+    """Shuffle chunk rows so all column rows of one chunk land in one task.
+
+    Chunk rows are few and fat (payload ~MBs), so the shuffle moves encoded
+    (small) bytes — decoding after the shuffle keeps shuffled volume
+    minimal. Partition count tracks the store size (one manifest file per
+    encode partition — a driver-side listing, no data read): a small encode
+    gets a few real tasks instead of defaultParallelism near-empty ones, a
+    big store still fans out to full parallelism."""
+    import glob as _glob
+    import os as _os
+
+    n_pids = len(_glob.glob(_os.path.join(out_dir, "manifest", "*.parquet")))
+    n_part = min(spark.sparkContext.defaultParallelism * 2,
+                 max(1, n_pids * 4)) if n_pids else None
+    if n_part:
+        return chunks.repartition(n_part, F.col("pid"), F.col("chunk_id"))
+    # non-globbable store: keep the default-parallelism shuffle
+    return chunks.repartition(F.col("pid"), F.col("chunk_id"))
+
+
 def decode_job(spark, out_dir: str, columns: list[str] | None = None,
                zone_filter: tuple[str, str, int | str] | None = None,
                zone_filters: list[tuple[str, str, int | str]] | None = None,
@@ -285,39 +329,11 @@ def decode_job(spark, out_dir: str, columns: list[str] | None = None,
     dictionary lacks the value are skipped without decoding any payload
     beyond the dictionary itself."""
     ddl, ordered = decoded_schema_ddl(spark, out_dir, columns)
-    chunks = _chunks_df(spark, out_dir, columns)
     filters = list(zone_filters or [])
     if zone_filter is not None:
         filters.append(zone_filter)
-    if filters:
-        types = column_arrow_types(spark, out_dir)  # KeyError guard below
-        for zf in filters:
-            if zf[0] not in types:
-                raise KeyError(f"columns not present in encoded data: [{zf[0]!r}]")
-            # the zone column may be outside the requested column subset, so
-            # each keep-set reads its own (narrow, zone-only) projection
-            zsrc = _chunks_df(spark, out_dir, [zf[0]])
-            chunks = _zone_prune(chunks, zsrc, zf, types[zf[0]])
-            if dict_prune and zf[1] in ("==", "in") and types[zf[0]] in _STRINGY:
-                drop = _dict_value_drop(spark, out_dir, zf[0], zf[2])
-                chunks = chunks.join(drop, ["pid", "chunk_id"], "left_anti")
-    # Co-locate all column rows of one chunk in one task. Chunk rows are
-    # few and fat (payload ~MBs), so the shuffle moves encoded (small)
-    # bytes — decoding after the shuffle keeps shuffled volume minimal.
-    # Partition count tracks the store size (one manifest file per encode
-    # partition — a driver-side listing, no data read): a small encode gets
-    # a few real tasks instead of defaultParallelism near-empty ones, a big
-    # store still fans out to full parallelism.
-    import glob as _glob
-    import os as _os
-
-    n_pids = len(_glob.glob(_os.path.join(out_dir, "manifest", "*.parquet")))
-    n_part = min(spark.sparkContext.defaultParallelism * 2,
-                 max(1, n_pids * 4)) if n_pids else None
-    if n_part:
-        chunks = chunks.repartition(n_part, F.col("pid"), F.col("chunk_id"))
-    else:  # non-globbable store: keep the default-parallelism shuffle
-        chunks = chunks.repartition(F.col("pid"), F.col("chunk_id"))
+    chunks = pruned_chunks(spark, out_dir, columns, filters, dict_prune)
+    chunks = chunk_repartition(spark, chunks, out_dir)
 
     def decode_task(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from ..env import madvise_hugepages

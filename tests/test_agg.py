@@ -78,3 +78,91 @@ def test_group_sum_guards(spark, enc_store):
         encoded_group_count(spark, enc_store, "nope")
     with pytest.raises(ValueError, match="int or float"):
         encoded_group_sum(spark, enc_store, "n_chars", "lang")
+
+
+def test_filtered_group_count(spark, docs_with_nulls, enc_store):
+    got = _by_key(
+        (r["value"], r["cnt"])
+        for r in encoded_group_count(
+            spark, enc_store, "lang",
+            filters=[("n_chars", ">=", 500)]).collect())
+    want = _by_key(
+        (r["lang"], r["count"])
+        for r in docs_with_nulls.filter(F.col("n_chars") >= 500)
+        .groupBy("lang").count().collect())
+    assert got == want
+
+
+def test_filtered_group_sum_multi_filter(spark, docs_with_nulls, enc_store):
+    flt = [("lang", "in", ["en", "de"]), ("n_chars", "<", 1500)]
+    got = _by_key(
+        (r["value"], r["cnt"], r["sum_val"])
+        for r in encoded_group_sum(spark, enc_store, "lang", "n_chars",
+                                   filters=flt).collect())
+    want = _by_key(
+        (r["lang"], r["c"], r["s"])
+        for r in docs_with_nulls
+        .filter(F.col("lang").isin("en", "de") & (F.col("n_chars") < 1500))
+        .groupBy("lang")
+        .agg(F.count("*").alias("c"), F.sum("n_chars").alias("s")).collect())
+    assert got == want
+
+
+def test_count_filtered_metadata_only_on_clustered_store(spark, tmp_path):
+    """A range count over the cluster key decodes only the two boundary
+    chunks; interior chunks are answered from n_rows metadata."""
+    from fsst_spark.jobs.agg import encoded_count_filtered
+
+    df = (spark.range(0, 20000).withColumnRenamed("id", "doc_id")
+          .withColumn("payload", F.concat(F.lit("row-"), F.col("doc_id"))))
+    out = str(tmp_path / "clustered")
+    encode_job(spark, df, out, num_partitions=4, chunk_bytes=16 << 10,
+               resume=False, unique_col="doc_id", sort_key="doc_id").collect()
+    r = encoded_count_filtered(
+        spark, out, [("doc_id", ">=", 5500), ("doc_id", "<", 17000)]).collect()[0]
+    assert r["n_rows"] == 11500
+    assert r["chunks_metadata_only"] > 0, r.asDict()
+    assert r["chunks_pruned"] > 0, r.asDict()
+    # only the chunks the range boundaries cut through decode
+    assert r["chunks_decoded"] <= 4, r.asDict()
+    assert (r["chunks_pruned"] + r["chunks_metadata_only"]
+            + r["chunks_decoded"]) == r["chunks_total"]
+
+
+def test_count_filtered_corners(spark, docs_with_nulls, enc_store):
+    from fsst_spark.jobs.agg import encoded_count_filtered
+
+    # impossible predicate: every chunk pruned, nothing decoded
+    r = encoded_count_filtered(spark, enc_store,
+                               [("n_chars", ">=", 10**9)]).collect()[0]
+    assert r["n_rows"] == 0 and r["chunks_decoded"] == 0
+    assert r["chunks_pruned"] == r["chunks_total"]
+    # string equality: never metadata-provable (prefix zones), still exact
+    want = docs_with_nulls.filter(F.col("lang") == "en").count()
+    r2 = encoded_count_filtered(spark, enc_store, [("lang", "==", "en")]).collect()[0]
+    assert r2["n_rows"] == want and r2["chunks_metadata_only"] == 0
+    # filter column with nulls: all-state blocked, count still exact
+    want3 = docs_with_nulls.filter(F.col("n_chars") >= 500).count()
+    r3 = encoded_count_filtered(spark, enc_store, [("n_chars", ">=", 500)]).collect()[0]
+    assert r3["n_rows"] == want3
+
+
+def test_arrow_mask_float_sql_semantics():
+    """The chunk-local float mask must reproduce Spark/DuckDB comparison
+    semantics: NaN above everything and equal to itself, -0.0 == +0.0 —
+    raw IEEE comparison (NaN always false) would diverge from the
+    decode-then-filter plan."""
+    import numpy as np
+    import pyarrow as pa
+
+    from fsst_spark.jobs.agg import _arrow_mask
+
+    arr = pa.array([1.5, float("nan"), -0.0, 0.0, -2.5, None], type=pa.float64())
+    assert _arrow_mask(arr, ">=", 0.0, "double").tolist() == [
+        True, True, True, True, False, False]
+    assert _arrow_mask(arr, "==", 0.0, "double").tolist() == [
+        False, False, True, True, False, False]
+    assert _arrow_mask(arr, "==", float("nan"), "double").tolist() == [
+        False, True, False, False, False, False]
+    assert _arrow_mask(arr, "<", float("nan"), "double").tolist() == [
+        True, False, True, True, True, False]

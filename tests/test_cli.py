@@ -80,6 +80,13 @@ def test_cli_compact_and_group_stats(tmp_path):
         f"SELECT lang, count(*) FROM read_parquet('{src}/*.parquet') "
         "GROUP BY lang ORDER BY lang").fetchall()
     assert [(row["value"], row["cnt"]) for row in g] == want
+    c = _run("count", "--data", cmp_, "--where", "lang:==:en")
+    want_n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{src}/*.parquet') "
+        "WHERE lang = 'en'").fetchone()[0]
+    assert c["n_rows"] == want_n
+    assert c["chunks_total"] == c["chunks_pruned"] + \
+        c["chunks_metadata_only"] + c["chunks_decoded"]
 
 
 def test_spark_submit_py_files_packaging(tmp_path):
