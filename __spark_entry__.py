@@ -552,6 +552,34 @@ def q_count_where(spark, sf_dir):
         [(r["n_rows"],) for r in rows], "n_rows bigint")
 
 
+def q_zorder_count(spark, sf_dir):
+    """Z-order layout: encode clustered on the interleaved (n_chars,
+    doc_id) Morton key, then a conjunctive two-dimension range count —
+    zone maps prune on BOTH dimensions (a single-column sort would give
+    all pruning power to one)."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.agg import encoded_count_filtered
+    from fsst_spark.jobs.encode import encode_job
+    from fsst_spark.jobs.layout import zorder_key
+
+    out = tempfile.mkdtemp(prefix="fsst_zo_q_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+        encode_job(spark, docs, out, num_partitions=4, chunk_bytes=16 << 10,
+                   resume=False, unique_col="doc_id",
+                   sort_key=zorder_key(docs, ["n_chars", "doc_id"])).collect()
+        rows = encoded_count_filtered(
+            spark, out,
+            [("n_chars", ">=", 200), ("n_chars", "<", 900),
+             ("doc_id", ">=", 50), ("doc_id", "<", 450)]).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["n_rows"],) for r in rows], "n_rows bigint")
+
+
 def q_token_topk(spark, sf_dir):
     """Per-language heavy-hitter tokens (top-5 by count, token breaks
     ties): exact window oracle over the unnested token stream."""
@@ -973,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoded_group_sum": q_encoded_group_sum,
         "filtered_group_sum": q_filtered_group_sum,
         "count_where": q_count_where,
+        "zorder_count": q_zorder_count,
         "token_topk": q_token_topk,
         "deterministic_sample": q_deterministic_sample,
         "cap_per_group": q_cap_per_group,
@@ -1214,6 +1243,11 @@ def oracle_sql() -> dict[str, str]:
         "count_where": (
             "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM documents "
             "WHERE doc_id >= 100 AND doc_id < 400"
+        ),
+        "zorder_count": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM documents "
+            "WHERE n_chars >= 200 AND n_chars < 900 "
+            "AND doc_id >= 50 AND doc_id < 450"
         ),
         "encoded_minmax": (
             "SELECT min(source) AS min_source, max(source) AS max_source, "

@@ -25,17 +25,34 @@ import json
 import sys
 
 
+def _split_top_level(raw: str) -> list[str]:
+    """Split on commas OUTSIDE parentheses: ``zorder(a,b), lang`` ->
+    ``['zorder(a,b)', 'lang']``."""
+    out, depth, cur = [], 0, []
+    for ch in raw:
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+            continue
+        depth += (ch == "(") - (ch == ")")
+        cur.append(ch)
+    out.append("".join(cur).strip())
+    return [e for e in out if e]
+
+
 def _parse_cluster_by(raw: str | None):
     """--cluster-by grammar: comma-separated entries, each a plain column
-    name or ``url_sort_key(COL)``. Returns (names, exprs): ``exprs`` is
-    non-empty iff any entry is an expression, in which case ALL entries are
-    returned as Spark Columns (expressions force the DataFrame-scan path —
-    the file-granular path sorts pyarrow-side and takes names only)."""
+    name, ``url_sort_key(COL)``, or ``zorder(COL1,COL2,...)``. Returns
+    (names, exprs): ``exprs`` is non-empty iff any entry is an expression,
+    in which case ALL entries are returned as factories ``df -> Column``
+    (expressions force the DataFrame-scan path — the file-granular path
+    sorts pyarrow-side and takes names only; zorder additionally needs the
+    frame to sample its quantile bucket boundaries)."""
     if not raw:
         return [], []
     import re
 
-    entries = [e.strip() for e in raw.split(",") if e.strip()]
+    entries = _split_top_level(raw)
     has_expr = any("(" in e for e in entries)
     if not has_expr:
         return entries, []
@@ -46,14 +63,28 @@ def _parse_cluster_by(raw: str | None):
     exprs = []
     for e in entries:
         m = re.fullmatch(r"url_sort_key\(\s*([A-Za-z0-9_]+)\s*\)", e)
+        z = re.fullmatch(r"zorder\(\s*([A-Za-z0-9_,\s]+?)\s*\)", e)
         if m:
-            exprs.append(url_sort_key(F.col(m.group(1))))
+            col = m.group(1)
+            exprs.append(lambda df, c=col: url_sort_key(F.col(c)))
+        elif z:
+            zcols = [c.strip() for c in z.group(1).split(",") if c.strip()]
+            if len(zcols) < 2:
+                raise ValueError("zorder(...) needs at least two columns")
+
+            def _zk(df, cs=tuple(zcols)):
+                from fsst_spark.jobs.layout import zorder_key
+
+                return zorder_key(df, list(cs))
+
+            exprs.append(_zk)
         elif "(" in e:
             raise ValueError(
                 f"unsupported --cluster-by expression {e!r}: only "
-                "url_sort_key(COL) or plain column names are accepted")
+                "url_sort_key(COL), zorder(COL,...) or plain column names "
+                "are accepted")
         else:
-            exprs.append(F.col(e))
+            exprs.append(lambda df, c=e: F.col(c))
     return [], exprs
 
 
@@ -230,9 +261,10 @@ def main(argv: list[str] | None = None) -> int:
                     lineage={"source": args.input, "cli": True},
                 ).collect()
             else:
+                df_in = read_table(spark, args.input)
                 metrics = encode_job(
                     spark,
-                    read_table(spark, args.input),
+                    df_in,
                     args.out,
                     columns=cols,
                     num_partitions=args.partitions,
@@ -240,7 +272,8 @@ def main(argv: list[str] | None = None) -> int:
                     unique_col=args.unique_col,
                     chunk_bytes=args.chunk_mb << 20,
                     resume=not args.no_resume,
-                    sort_key=sort_exprs or sort_names or None,
+                    sort_key=([f(df_in) for f in sort_exprs]
+                              if sort_exprs else (sort_names or None)),
                     lineage={"source": args.input, "cli": True},
                 ).collect()
             from pyspark.sql import functions as F
