@@ -580,6 +580,81 @@ def q_zorder_count(spark, sf_dir):
         [(r["n_rows"],) for r in rows], "n_rows bigint")
 
 
+def q_encoded_topk(spark, sf_dir):
+    """ORDER BY ... LIMIT k pushdown: top-50 n_chars values answered from
+    an encoded store clustered on n_chars — zone maps locate the k extreme
+    chunks via a guarantee threshold and only those decode."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.encode import encode_job
+    from fsst_spark.jobs.stats import encoded_topk
+
+    out = tempfile.mkdtemp(prefix="fsst_topk_q_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "n_chars", "source")
+        encode_job(spark, docs, out, num_partitions=4, chunk_bytes=16 << 10,
+                   resume=False, unique_col="doc_id",
+                   sort_key="n_chars").collect()
+        rows = encoded_topk(spark, out, "n_chars", 50).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame([(r["val"],) for r in rows], "val bigint")
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (emails / IPv4 / phones, ordered so one pattern's
+    digits never double-count as another): testdata text carries no PII,
+    so both sides inject a deterministic doc_id-derived email + phone +
+    IP, scrub, and compare per-language counts, total scrubbed length,
+    and one full scrubbed document (lexicographic min)."""
+    from fsst_spark.pipeline.textstats import pii_scrub
+
+    docs = _docs(spark, sf_dir)
+    inj = docs.select(
+        "doc_id", "lang",
+        F.concat(
+            F.col("text"), F.lit(" contact user"),
+            F.col("doc_id").cast("string"), F.lit("@mail"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com or +1-202-555-0"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 3, "0"),
+            F.lit(" from 192.168."), (F.col("doc_id") % 256).cast("string"),
+            F.lit("."), ((F.col("doc_id") * 3) % 256).cast("string"),
+        ).alias("text"))
+    return (
+        pii_scrub(inj).groupBy("lang")
+        .agg(F.sum("n_pii_email").alias("n_email"),
+             F.sum("n_pii_phone").alias("n_phone"),
+             F.sum("n_pii_ipv4").alias("n_ipv4"),
+             F.sum(F.length("text")).alias("scrub_len"),
+             F.min("text").alias("min_text"))
+        .orderBy("lang")
+    )
+
+
+def q_para_dedup(spark, sf_dir):
+    """Paragraph-level exact dedup (C4-style): 15-word deterministic
+    segmentation, first-occurrence survivor corpus-wide, documents
+    reassembled from surviving paragraphs; compared per-language on doc
+    count, paragraph/survivor counts, total reassembled length, and one
+    full reassembled document (lexicographic min)."""
+    from fsst_spark.pipeline.dedup import dedup_paragraphs
+
+    docs = _docs(spark, sf_dir)
+    out = dedup_paragraphs(docs).join(
+        docs.select("doc_id", "lang"), "doc_id")
+    return (
+        out.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_paras").alias("n_paras"),
+             F.sum("n_kept").alias("n_kept"),
+             F.sum(F.length("text_dedup")).alias("dedup_len"),
+             F.min("text_dedup").alias("min_text"))
+        .orderBy("lang")
+    )
+
+
 def q_token_topk(spark, sf_dir):
     """Per-language heavy-hitter tokens (top-5 by count, token breaks
     ties): exact window oracle over the unnested token stream."""
@@ -1002,6 +1077,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_group_sum": q_filtered_group_sum,
         "count_where": q_count_where,
         "zorder_count": q_zorder_count,
+        "encoded_topk": q_encoded_topk,
+        "pii_scrub": q_pii_scrub,
+        "para_dedup": q_para_dedup,
         "token_topk": q_token_topk,
         "deterministic_sample": q_deterministic_sample,
         "cap_per_group": q_cap_per_group,
@@ -1248,6 +1326,64 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM documents "
             "WHERE n_chars >= 200 AND n_chars < 900 "
             "AND doc_id >= 50 AND doc_id < 450"
+        ),
+        "encoded_topk": (
+            "SELECT n_chars AS val FROM documents "
+            "WHERE n_chars IS NOT NULL ORDER BY val DESC LIMIT 50"
+        ),
+        "pii_scrub": (
+            r"""WITH inj AS (
+  SELECT doc_id, lang,
+    text || ' contact user' || doc_id || '@mail' || (doc_id % 7) ||
+    '.com or +1-202-555-0' || lpad(CAST(doc_id % 100 AS VARCHAR), 3, '0') ||
+    ' from 192.168.' || (doc_id % 256) || '.' || ((doc_id * 3) % 256) AS text
+  FROM documents),
+s1 AS (SELECT doc_id, lang,
+  len(regexp_extract_all(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+  regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '[EMAIL]', 'g') AS t FROM inj),
+s2 AS (SELECT doc_id, lang, n_email,
+  len(regexp_extract_all(t, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ipv4,
+  regexp_replace(t, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g') AS t
+  FROM s1),
+s3 AS (SELECT doc_id, lang, n_email, n_ipv4,
+  len(regexp_extract_all(t, '\+?[0-9][0-9.-]{6,}[0-9]')) AS n_phone,
+  regexp_replace(t, '\+?[0-9][0-9.-]{6,}[0-9]', '[PHONE]', 'g') AS t FROM s2)
+SELECT lang, CAST(sum(n_email) AS BIGINT) AS n_email,
+       CAST(sum(n_phone) AS BIGINT) AS n_phone,
+       CAST(sum(n_ipv4) AS BIGINT) AS n_ipv4,
+       CAST(sum(len(t)) AS BIGINT) AS scrub_len, min(t) AS min_text
+FROM s3 GROUP BY lang ORDER BY lang"""
+        ),
+        "para_dedup": (
+            """WITH toks AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS tok,
+         unnest(range(1, len(str_split(text, ' ')) + 1)) AS ord
+  FROM documents),
+paras AS (
+  SELECT doc_id, CAST((ord - 1) // 15 AS BIGINT) AS pos,
+         string_agg(tok, ' ' ORDER BY ord) AS para
+  FROM toks GROUP BY doc_id, (ord - 1) // 15),
+flagged AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) = 1
+           AS kept
+  FROM paras),
+docsout AS (
+  SELECT doc_id, count(*) AS n_paras,
+         sum(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept,
+         coalesce(string_agg(CASE WHEN kept THEN para END,
+                             chr(10) || chr(10) ORDER BY pos), '')
+           AS text_dedup
+  FROM flagged GROUP BY doc_id)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_paras) AS BIGINT) AS n_paras,
+       CAST(sum(n_kept) AS BIGINT) AS n_kept,
+       CAST(sum(len(text_dedup)) AS BIGINT) AS dedup_len,
+       min(text_dedup) AS min_text
+FROM docsout JOIN documents USING (doc_id)
+GROUP BY lang ORDER BY lang"""
         ),
         "encoded_minmax": (
             "SELECT min(source) AS min_source, max(source) AS max_source, "

@@ -162,3 +162,106 @@ _PA_BY_SPARK = {
     "string": pa.string(), "binary": pa.binary(),
     "float": pa.float32(), "double": pa.float64(),
 }
+
+
+def encoded_topk(spark, out_dir: str, column: str, k: int,
+                 ascending: bool = False,
+                 observer: dict | None = None) -> DataFrame:
+    """``SELECT col ORDER BY col [DESC] LIMIT k`` (nulls ignored) answered
+    by decoding only the chunks the zone maps cannot rule out.
+
+    Zone-guided pruning with a *guarantee threshold*: sorted by
+    ``zmin_long`` descending (mirrored for ascending), each chunk
+    guarantees ``n_rows`` values ≥ its zmin when its params prove it
+    null-free, else ≥1 (the zone itself is a witness value); accumulating
+    guarantees until they cover ``k`` yields a threshold T that is provably
+    ≤ the true k-th value's zone key, so every chunk with ``zmax_long < T``
+    can be skipped without reading a payload byte. The string 8-byte-prefix
+    and float total-order keys are monotone, so the same comparison is
+    safe for every zoned type. On a store clustered by ``column`` a top-k
+    touches O(k / rows-per-chunk) chunks at any table size; the threshold
+    scan itself is a distributed sort-limit over chunk METADATA (never a
+    single-reducer window, never a payload read).
+
+    Survivor chunks reduce to ≤k rows each inside the scan task (per-chunk
+    top-k), then one global sort-limit — TakeOrdered over ≤ k·candidates
+    rows. Float ordering follows Spark/DuckDB semantics (NaN greatest).
+
+    Returns a one-column DataFrame ``val`` with the k extreme values
+    (multiset-deterministic under ties). ``observer``, if given, is filled
+    with ``n_chunks_total`` / ``n_chunks_decoded`` for pruning assertions.
+    """
+    if not 1 <= int(k) <= 100_000:
+        raise ValueError("k must be in [1, 100000]; larger top-k should "
+                         "go through decode_job + a regular sort")
+    k = int(k)
+    types = column_arrow_types(spark, out_dir)
+    if column not in types:
+        raise KeyError(f"column {column!r} not in encoded data")
+    arrow_name = types[column]
+    meta = _chunks_df(spark, out_dir, [column])
+    has_zones = "zmin_long" in meta.columns
+    if has_zones:
+        # all-null chunks (null zones) contribute no values: always pruned
+        zoned = meta.filter(F.col("zmin_long").isNotNull())
+        guard = zoned.select(
+            "n_rows", "zmin_long", "zmax_long",
+            F.col("params").contains('"n_total"').alias("has_nulls"))
+        edge = "zmin_long" if not ascending else "zmax_long"
+        order = (F.col(edge).desc() if not ascending else F.col(edge).asc())
+        head = guard.select(edge, "n_rows", "has_nulls") \
+            .orderBy(order).limit(k).collect()
+        thresh, cum = None, 0
+        for r in head:
+            cum += 1 if r["has_nulls"] else r["n_rows"]
+            if cum >= k:
+                thresh = r[edge]
+                break
+        if thresh is None:
+            cand = zoned  # fewer guaranteed values than k: no safe cutoff
+        elif ascending:
+            cand = zoned.filter(F.col("zmin_long") <= F.lit(thresh))
+        else:
+            cand = zoned.filter(F.col("zmax_long") >= F.lit(thresh))
+    else:
+        cand = meta
+    if observer is not None:
+        observer["n_chunks_total"] = meta.count()
+        observer["n_chunks_decoded"] = cand.count()
+
+    spark_t = _spark_type(arrow_name)
+    is_float = arrow_name in ("float", "double")
+    asc = bool(ascending)
+    kk = k
+
+    def task(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        from ..kernel.codecs import decode_column
+
+        for batch in batches:
+            for row in batch.to_pylist():
+                arr = decode_column(
+                    {"codec": row["codec"], "params": json.loads(row["params"]),
+                     "payload": row["payload"]}).drop_null()
+                if len(arr) == 0:
+                    continue
+                if is_float:
+                    v = arr.to_numpy(zero_copy_only=False)
+                    nan = v[np.isnan(v)]
+                    fin = np.sort(v[~np.isnan(v)])
+                    # Spark/DuckDB order: NaN greatest
+                    full = np.concatenate([fin, nan])
+                    top = full[:kk] if asc else full[::-1][:kk]
+                    out = pa.array(top, type=arr.type)
+                else:
+                    idx = pc.array_sort_indices(
+                        arr, order="ascending" if asc else "descending")
+                    out = arr.take(idx[:kk])
+                yield pa.RecordBatch.from_arrays([out], names=["val"])
+
+    vals = cand.select("codec", "params", "payload") \
+        .mapInArrow(task, f"val {spark_t}")
+    order = F.col("val").asc() if asc else F.col("val").desc()
+    return vals.orderBy(order).limit(k)

@@ -603,3 +603,57 @@ def winnow_neardup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "d
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def dedup_paragraphs(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", words_per_para: int = 15,
+                     para_sep: str = "\n\n") -> DataFrame:
+    """Paragraph-level exact dedup (the C4-style pass): segment every
+    document into paragraphs, keep only the FIRST occurrence of each
+    distinct paragraph corpus-wide (first = smallest ``(id, position)``),
+    and reassemble documents from their surviving paragraphs.
+
+    Corpora without real paragraph breaks (or pre-tokenized text) segment
+    deterministically into ``words_per_para``-word windows; a corpus with
+    blank-line paragraphs can pre-split upstream and set
+    ``words_per_para`` large. Everything is Spark built-ins:
+
+    - segmentation is a ``transform(sequence(...), slice(...))`` over the
+      token array — no UDF, no shuffle;
+    - first-occurrence resolution is ``groupBy(para).agg(min(struct(id,
+      pos)))`` — a partially-aggregatable min, so a boilerplate paragraph
+      duplicated 10^8 times combines map-side and never floods one
+      reducer (the same skew argument as the batch dedup survivor);
+    - the join back is one narrow hash join on the paragraph text, build
+      side one row per distinct paragraph;
+    - reassembly groups by document (state bounded by document size).
+
+    Returns (id, n_paras, n_kept, text_dedup) with surviving paragraphs
+    re-joined by ``para_sep`` in original order ('' when a document loses
+    everything — never null, matching COALESCE(.., '') SQL semantics).
+    """
+    wpp = int(words_per_para)
+    if wpp < 1:
+        raise ValueError("words_per_para must be >= 1")
+    toks = F.split(F.col(text_col), " ")
+    n_paras = F.ceil(F.size(toks) / F.lit(wpp)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), n_paras - 1),
+        lambda i: F.array_join(F.slice(toks, i * wpp + 1, wpp), " "))
+    exploded = df.select(
+        F.col(id_col), F.posexplode(paras).alias("pos", "para"))
+    firsts = exploded.groupBy("para").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first"))
+    flagged = exploded.join(firsts, "para").select(
+        id_col, "pos", "para",
+        ((F.col(f"first.{id_col}") == F.col(id_col))
+         & (F.col("first.pos") == F.col("pos"))).alias("kept"))
+    kept_sorted = F.array_sort(
+        F.collect_list(F.when(F.col("kept"), F.struct("pos", "para"))))
+    return (
+        flagged.groupBy(id_col)
+        .agg(F.count("*").alias("n_paras"),
+             F.sum(F.col("kept").cast("bigint")).alias("n_kept"),
+             F.array_join(F.transform(kept_sorted, lambda s: s["para"]),
+                          para_sep).alias("text_dedup"))
+    )

@@ -222,3 +222,38 @@ def token_topk(df: DataFrame, k: int = 5, text_col: str = "text",
         combined.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+# Ordered PII patterns: emails first (their digits would otherwise feed the
+# phone pattern), then IPv4 (dotted digits would also read as a phone), then
+# phones over whatever digits remain. Each pattern is valid in BOTH Java
+# regex (Spark) and RE2 (DuckDB oracles): no backrefs, no lookaround.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "[IP]"),
+    ("phone", r"\+?[0-9][0-9.-]{6,}[0-9]", "[PHONE]"),
+]
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              patterns: list[tuple[str, str, str]] | None = None) -> DataFrame:
+    """Redact PII (emails, IPv4 addresses, phone numbers) from ``text_col``
+    — the standard scrub pass before web text enters a training corpus.
+
+    Pure JVM expressions (``regexp_count`` + ``regexp_replace``): the scan
+    stays inside whole-stage codegen with zero Python in the hot path, so
+    the op is embarrassingly parallel at any corpus size. Patterns apply
+    in order, each counting against the PREVIOUS pattern's output (an
+    email's digits must not also be counted as a phone number); the order
+    and the counts are therefore deterministic and engine-portable.
+
+    Adds ``n_pii_<name>`` counts per pattern and replaces ``text_col``
+    with the scrubbed text.
+    """
+    pats = PII_PATTERNS if patterns is None else patterns
+    cur = F.col(text_col)
+    out = df
+    for name, pat, repl in pats:
+        out = out.withColumn(f"n_pii_{name}", F.regexp_count(cur, F.lit(pat)))
+        cur = F.regexp_replace(cur, pat, repl)
+    return out.withColumn(text_col, cur)
