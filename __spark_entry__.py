@@ -655,6 +655,65 @@ def q_para_dedup(spark, sf_dir):
     )
 
 
+def q_prefix_decode(spark, sf_dir):
+    """Prefix-predicate selective decode (``key LIKE 'p%'``): documents
+    clustered on a host-reversed URL key, then decoded through the zone +
+    dictionary prefix pruning path; agreement with SQL ``starts_with``
+    proves exactness (pruning magnitude is pinned by unit tests)."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.decode import decode_filtered
+    from fsst_spark.jobs.encode import encode_job
+    from fsst_spark.pipeline.textstats import url_sort_key
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    df = docs.withColumn(
+        "url", F.concat(F.lit("https://"), F.col("source"), F.lit(".net/d/"),
+                        F.col("doc_id").cast("string")))
+    df = df.withColumn("url_key", url_sort_key(F.col("url"))).drop("url")
+    out = tempfile.mkdtemp(prefix="fsst_prefix_q_")
+    try:
+        encode_job(spark, df, out, num_partitions=4, chunk_bytes=64 << 10,
+                   resume=False, unique_col="doc_id",
+                   sort_key="url_key").collect()
+        rows = (
+            decode_filtered(spark, out, "url_key", "prefix", "net.src5")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("doc_id").alias("sum_ids"),
+                 F.min("url_key").alias("min_key"),
+                 F.max("url_key").alias("max_key"))
+            .collect()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["n_rows"], r["sum_ids"], r["min_key"], r["max_key"]) for r in rows],
+        "n_rows bigint, sum_ids bigint, min_key string, max_key string",
+    )
+
+
+def q_encoded_distinct(spark, sf_dir):
+    """SELECT DISTINCT over an encoded store: dict-coded chunks answer from
+    their dictionary sections alone (codes unread); the shuffle moves
+    per-chunk distinct sets, never rows."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.encode import encode_job
+    from fsst_spark.jobs.stats import encoded_distinct
+
+    out = tempfile.mkdtemp(prefix="fsst_distinct_q_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+        encode_job(spark, docs, out, num_partitions=4, chunk_bytes=32 << 10,
+                   resume=False, unique_col="doc_id").collect()
+        rows = encoded_distinct(spark, out, "lang").collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame([(r["val"],) for r in rows], "val string")
+
+
 def q_token_topk(spark, sf_dir):
     """Per-language heavy-hitter tokens (top-5 by count, token breaks
     ties): exact window oracle over the unnested token stream."""
@@ -747,6 +806,17 @@ def q_minhash_neardup(spark, sf_dir):
     cand = pairs.filter(F.col("est_jaccard") >= 0.5).select("id_a", "id_b")
     verified = ngram_jaccard_verify(aug, cand, "text", "doc_id", threshold=0.7)
     return _exact_pair_recall(aug, verified.select("id_a", "id_b"))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact prefix-filtered n-gram Jaccard self-join (PPJoin family):
+    deterministic recall — every exact-duplicate pair MUST be found (no
+    LSH probability involved), pinned against the known augmentation."""
+    from fsst_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    aug = _augmented_docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(aug, "text", "doc_id", n=3, threshold=0.8)
+    return _exact_pair_recall(aug, pairs.select("id_a", "id_b"))
 
 
 def _exact_pair_recall(aug, found_pairs):
@@ -1080,12 +1150,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoded_topk": q_encoded_topk,
         "pii_scrub": q_pii_scrub,
         "para_dedup": q_para_dedup,
+        "prefix_decode": q_prefix_decode,
+        "encoded_distinct": q_encoded_distinct,
         "token_topk": q_token_topk,
         "deterministic_sample": q_deterministic_sample,
         "cap_per_group": q_cap_per_group,
         "gopher_quality": q_gopher_quality,
         "streaming_dedup": q_streaming_dedup,
         "minhash_neardup": q_minhash_neardup,
+        "ngram_jaccard": q_ngram_jaccard,
         "simhash_neardup": q_simhash_neardup,
         "simhash_stats": q_simhash_stats,
         "winnow_neardup": q_winnow_neardup,
@@ -1331,6 +1404,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n_chars AS val FROM documents "
             "WHERE n_chars IS NOT NULL ORDER BY val DESC LIMIT 50"
         ),
+        "prefix_decode": (
+            "WITH k AS (SELECT doc_id, 'net.' || source || '/d/' || doc_id "
+            "AS key FROM documents) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_ids, "
+            "min(key) AS min_key, max(key) AS max_key "
+            "FROM k WHERE starts_with(key, 'net.src5')"
+        ),
+        "encoded_distinct": (
+            "SELECT DISTINCT lang AS val FROM documents"
+        ),
         "pii_scrub": (
             r"""WITH inj AS (
   SELECT doc_id, lang,
@@ -1456,6 +1540,14 @@ GROUP BY lang ORDER BY lang"""
             "CAST(count(DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) "
             "AS BIGINT) AS n_out FROM aug) "
             "SELECT n_in, n_out, n_out AS n_distinct_text, TRUE AS dedup_ok FROM s"
+        ),
+        "ngram_jaccard": (
+            f"WITH aug AS ({_AUG_SQL}), "
+            "g AS (SELECT md5(text) AS fp, count(*) AS cnt FROM aug GROUP BY 1), "
+            "p AS (SELECT COALESCE(CAST(sum(cnt * (cnt - 1) // 2) AS BIGINT), 0) AS np "
+            "FROM g WHERE cnt > 1) "
+            "SELECT np AS n_exact_dup_pairs, np AS n_exact_found, "
+            "TRUE AS all_exact_found FROM p"
         ),
         "minhash_neardup": (
             f"WITH aug AS ({_AUG_SQL}), "

@@ -44,6 +44,8 @@ from ..kernel.codecs import (
 from .decode import (
     _STRINGY,
     _chunks_df,
+    _prefix_bytes,
+    _prefix_zone_bounds,
     _spark_type,
     _zone_key,
     chunk_repartition,
@@ -132,7 +134,11 @@ def _arrow_mask(arr: pa.Array, op: str, value, arrow_name: str) -> np.ndarray:
     with ``decode._row_predicate``, which evaluates the same filter in
     Spark after a full decode."""
     if arrow_name in _STRINGY:
-        if op == "in":
+        if op == "prefix":
+            _prefix_bytes(arrow_name, value)  # type check only
+            pv = value.decode("utf-8") if isinstance(value, bytes) else value
+            m = pc.starts_with(arr, pattern=pv)
+        elif op == "in":
             m = pc.is_in(arr, value_set=pa.array(list(value), type=arr.type))
         else:
             _zone_key(arrow_name, value)  # type check: raises on mismatch
@@ -422,9 +428,13 @@ def _zone_can_pred(arrow_name: str, op: str, value):
         for zv, ops in packed[1:]:
             pred = pred | ops["=="](zv)
         return pred
+    if op == "prefix":
+        lo, hi = _prefix_zone_bounds(arrow_name, value)
+        return (F.col("zmax_long") >= lo) & (F.col("zmin_long") <= hi)
     zv, ops = _zone_key(arrow_name, value)
     if op not in ops:
-        raise ValueError(f"zone op must be one of {sorted(ops) + ['in']}, got {op!r}")
+        raise ValueError(
+            f"zone op must be one of {sorted(ops) + ['in', 'prefix']}, got {op!r}")
     return ops[op](zv)
 
 
@@ -444,6 +454,14 @@ def _zone_all_pred(arrow_name: str, op: str, value):
     if arrow_name in _STR:
         if op in ("==", "in"):
             return F.lit(False)
+        if op == "prefix":
+            # packs are the rows' first 8 bytes: a zone interval inside
+            # [lo, hi] proves every row's first len(p) bytes equal p —
+            # only meaningful for prefixes that fit the 8-byte pack
+            lo, hi = _prefix_zone_bounds(arrow_name, value)
+            if len(_prefix_bytes(arrow_name, value)) > 8:
+                return F.lit(False)
+            return (zmin >= lo) & (zmax <= hi)
         zv = _zone_key(arrow_name, value)[0]
         return {">=": zmin > zv, ">": zmin > zv,
                 "<=": zmax < zv, "<": zmax < zv}[op]

@@ -151,7 +151,8 @@ def main(argv: list[str] | None = None) -> int:
                      help="selective decode via zone maps, e.g. doc_id:>=:1000 "
                           "or lang:in:de,fr; repeatable (conjunction: every "
                           "predicate must hold). Ops: >= > <= < == in "
-                          "(comma-separated values). VALUE is coerced to the "
+                          "(comma-separated values) prefix (string LIKE "
+                          "'VALUE%'). VALUE is coerced to the "
                           "COLUMN's type (int/float/timestamp-ISO/string) — a "
                           "string column keeps numeric-looking text as text")
 

@@ -172,6 +172,32 @@ def _zone_key(arrow_name: str, value) -> tuple[int, dict]:
     raise ValueError(f"no zone-map support for column type {arrow_name}")
 
 
+def _prefix_bytes(arrow_name: str, value) -> bytes:
+    """UTF-8 bytes of a ``prefix`` filter value, typed by the COLUMN: the
+    predicate is only meaningful on string/binary columns (an int column
+    has no byte prefix), so anything else raises instead of mis-pruning."""
+    if arrow_name not in _STRINGY:
+        raise TypeError(
+            f"'prefix' filter needs a string/binary column, got {arrow_name}")
+    if not isinstance(value, (str, bytes)):
+        raise TypeError(
+            f"'prefix' filter value must be str/bytes, got "
+            f"{type(value).__name__}")
+    return (value.encode("utf-8", "surrogatepass")
+            if isinstance(value, str) else bytes(value))
+
+
+def _prefix_zone_bounds(arrow_name: str, value) -> tuple[int, int]:
+    """[lo, hi] pack8 interval covering every string that starts with
+    ``value``: continuation bytes range 0x00 (lo, zero-pad is pack8's own
+    padding) to 0xff (hi). Prefixes past 8 bytes collapse to a point
+    interval — still a correct (conservative) chunk bound."""
+    from .encode import zone_pack8
+
+    vb = _prefix_bytes(arrow_name, value)
+    return zone_pack8(vb), zone_pack8(vb[:8].ljust(8, b"\xff"))
+
+
 def _zone_prune(chunks: DataFrame, zsrc: DataFrame,
                 zone_filter: tuple[str, str, int | str],
                 arrow_name: str) -> DataFrame:
@@ -193,12 +219,20 @@ def _zone_prune(chunks: DataFrame, zsrc: DataFrame,
         pred = packed[0][1]["=="](packed[0][0])
         for zv, ops in packed[1:]:
             pred = pred | ops["=="](zv)
+    elif op == "prefix":
+        # s LIKE 'p%': every match packs into [pack8(p), pack8(p padded
+        # with 0xff)] — both bounds follow from bytewise order, so the
+        # chunk interval test is exact on the PACKED keys (still a
+        # conservative chunk bound, since zones are themselves prefixes)
+        lo, hi = _prefix_zone_bounds(arrow_name, value)
+        pred = (F.col("zmax_long") >= lo) & (F.col("zmin_long") <= hi)
     elif op in _ZONE_OPS:
         zval, ops = _zone_key(arrow_name, value)  # typed: raises on mismatch
         pred = ops[op](zval)
     else:
         raise ValueError(
-            f"zone op must be one of {sorted(_ZONE_OPS) + ['in']}, got {op!r}")
+            f"zone op must be one of {sorted(_ZONE_OPS) + ['in', 'prefix']}, "
+            f"got {op!r}")
     if "zmin_long" not in chunks.columns:
         return chunks  # pre-zone-map encode: nothing to prune on
     keep = (
@@ -210,9 +244,11 @@ def _zone_prune(chunks: DataFrame, zsrc: DataFrame,
 
 
 def _dict_value_drop(spark, out_dir: str, col: str,
-                     value: "str | bytes | list") -> DataFrame:
+                     value: "str | bytes | list",
+                     prefix: bool = False) -> DataFrame:
     """(pid, chunk_id) DROP-set for ``col == value`` (or ``col IN values``
-    when a list is given): the ``str_dict`` chunks whose dictionary
+    when a list is given; ``col LIKE value%`` when ``prefix``): the
+    ``str_dict`` chunks whose dictionary
     provably lacks EVERY probed value — they contain no
     matching row, so none of their columns need be read or decoded. The
     pass scans only the filter column's DICT-CODED chunk rows (both the
@@ -228,6 +264,7 @@ def _dict_value_drop(spark, out_dir: str, col: str,
     by_len: dict[int, set] = {}
     for vb in probes:
         by_len.setdefault(len(vb), set()).add(vb)
+    pfx = sorted(probes)[0] if prefix else None  # prefix mode is single-value
     src = (
         _chunks_df(spark, out_dir, [col])
         .filter(F.col("codec") == "str_dict")  # pushed: plain/fsst payloads unread
@@ -254,11 +291,17 @@ def _dict_value_drop(spark, out_dir: str, col: str,
                      "params": p["values"]["params"], "payload": up},
                     kind="str")
                 lens = off[1:] - off[:-1]
-                has_value = any(
-                    buf[off[i]: off[i + 1]].tobytes() in vset
-                    for ln, vset in by_len.items()
-                    for i in (lens == ln).nonzero()[0]
-                )
+                if pfx is not None:
+                    lp = len(pfx)
+                    has_value = any(
+                        buf[off[i]: off[i] + lp].tobytes() == pfx
+                        for i in (lens >= lp).nonzero()[0])
+                else:
+                    has_value = any(
+                        buf[off[i]: off[i + 1]].tobytes() in vset
+                        for ln, vset in by_len.items()
+                        for i in (lens == ln).nonzero()[0]
+                    )
                 if not has_value:
                     pids.append(pid_s.as_py())
                     cids.append(cid_s.as_py())
@@ -286,8 +329,10 @@ def pruned_chunks(spark, out_dir: str, columns: list[str] | None,
             # each keep-set reads its own (narrow, zone-only) projection
             zsrc = _chunks_df(spark, out_dir, [zf[0]])
             chunks = _zone_prune(chunks, zsrc, zf, types[zf[0]])
-            if dict_prune and zf[1] in ("==", "in") and types[zf[0]] in _STRINGY:
-                drop = _dict_value_drop(spark, out_dir, zf[0], zf[2])
+            if (dict_prune and zf[1] in ("==", "in", "prefix")
+                    and types[zf[0]] in _STRINGY):
+                drop = _dict_value_drop(spark, out_dir, zf[0], zf[2],
+                                        prefix=zf[1] == "prefix")
                 chunks = chunks.join(drop, ["pid", "chunk_id"], "left_anti")
     return chunks
 
@@ -373,6 +418,10 @@ def _row_predicate(col: str, op: str, value, arrow_name: str):
 
     lhs = (F.unix_micros(F.col(col)) if arrow_name.startswith("timestamp[")
            else F.col(col))
+    if op == "prefix":
+        _prefix_bytes(arrow_name, value)  # type check only
+        pv = value.decode("utf-8") if isinstance(value, bytes) else value
+        return F.col(col).startswith(pv)
     if op == "in":
         return lhs.isin(*[coerce(v) for v in value])
     rhs = F.lit(coerce(value))

@@ -265,3 +265,68 @@ def encoded_topk(spark, out_dir: str, column: str, k: int,
         .mapInArrow(task, f"val {spark_t}")
     order = F.col("val").asc() if asc else F.col("val").desc()
     return vals.orderBy(order).limit(k)
+
+
+def encoded_distinct(spark, out_dir: str, column: str,
+                     observer: dict | None = None) -> DataFrame:
+    """``SELECT DISTINCT col`` over an encoded store, reading as little as
+    the codecs allow.
+
+    ``str_dict`` chunks contribute ONLY their dictionary section: the
+    per-chunk dictionary is built by factorizing the chunk's own non-null
+    values, so it IS the chunk's distinct set — the (much larger) code
+    array stays encoded and unread. Every other codec decodes its chunk
+    and reduces to a per-chunk ``unique()`` INSIDE the scan task. Either
+    way the one shuffle moves per-chunk distinct sets (NDV-scale), never
+    rows — on a categorical 100 TB column this is a near-metadata query,
+    and on any column the shuffle is bounded by sum of chunk NDVs.
+
+    Null semantics match SQL DISTINCT: a null row appears iff some chunk
+    holds a null (the encode appends validity bits only then, so presence
+    is read from ``params`` without decoding). ``observer`` reports
+    ``n_dict_chunks`` / ``n_decoded_chunks`` for pruning assertions.
+    """
+    types = column_arrow_types(spark, out_dir)
+    if column not in types:
+        raise KeyError(f"column {column!r} not in encoded data")
+    spark_t = _spark_type(types[column])
+    meta = _chunks_df(spark, out_dir, [column])
+    if observer is not None:
+        by_codec = {r["codec"]: r["n"] for r in
+                    meta.groupBy("codec").agg(F.count("*").alias("n")).collect()}
+        observer["n_dict_chunks"] = by_codec.get("str_dict", 0)
+        observer["n_decoded_chunks"] = sum(
+            n for c, n in by_codec.items() if c != "str_dict")
+
+    def task(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..kernel.codecs import (_bytes_to_arrow, _split_sections,
+                                     decode_bytes_like, decode_column,
+                                     parse_arrow_type)
+
+        for batch in batches:
+            for row in batch.to_pylist():
+                p = json.loads(row["params"])
+                has_null = "n_total" in p
+                if row["codec"] == "str_dict":
+                    payload = row["payload"]
+                    if has_null:  # strip appended validity bits
+                        payload = payload[: p["validity_len"]]
+                    _, up = _split_sections(p, payload)
+                    buf, off = decode_bytes_like(
+                        {"codec": p["values"]["codec"],
+                         "params": p["values"]["params"], "payload": up},
+                        kind="str")
+                    out = _bytes_to_arrow(
+                        buf, off, parse_arrow_type(p["arrow_type"]), None)
+                    if has_null:
+                        out = pa.concat_arrays(
+                            [out, pa.nulls(1, type=out.type)])
+                else:
+                    out = decode_column(
+                        {"codec": row["codec"], "params": p,
+                         "payload": row["payload"]}).unique()
+                yield pa.RecordBatch.from_arrays([out], names=["val"])
+
+    vals = meta.select("codec", "params", "payload") \
+        .mapInArrow(task, f"val {spark_t}")
+    return vals.distinct()

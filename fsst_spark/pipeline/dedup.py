@@ -657,3 +657,91 @@ def dedup_paragraphs(df: DataFrame, text_col: str = "text",
              F.array_join(F.transform(kept_sorted, lambda s: s["para"]),
                           para_sep).alias("text_dedup"))
     )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.7,
+                        gram_doc_cap: int = 4096) -> DataFrame:
+    """EXACT word-n-gram Jaccard similarity self-join at ``threshold`` via
+    prefix filtering (the PPJoin family, Chaudhuri et al. ICDE'06 /
+    Xiao et al. WWW'08) — the deterministic sibling of MinHash-LSH: no
+    probabilistic recall loss, every pair with J >= t is found.
+
+    Candidate generation uses the classic prefix-filter guarantee: order
+    every document's distinct grams by a GLOBAL rarest-first key
+    (document frequency, gram); two sets with J(A,B) >= t must share at
+    least one gram inside their first ``|X| - ceil(t*|X|) + 1`` grams, so
+    the self-join runs only over those prefixes. Rare grams lead the
+    prefixes, which keeps join buckets small by construction; the shuffle
+    carries (gram, id) pairs, never text.
+
+    Everything is Spark built-ins: gram sets via
+    ``transform(sequence)/slice/array_distinct`` (docs shorter than ``n``
+    words become one whole-text gram), document frequencies via one
+    aggregation, per-document rarest-first prefixes via
+    ``array_sort(collect_list(struct))`` + ``slice`` (per-doc state is the
+    doc's own gram list), verification via ``array_intersect`` on the
+    candidate pairs only. At 100 TB every stage is a narrow hash shuffle;
+    the one skew risk — a gram rare enough to lead prefixes yet shared by
+    millions of docs — is closed by ``gram_doc_cap``: grams above the cap
+    are excluded from ALL prefixes (symmetric, like winnowing
+    stop-hashes), trading away only pairs whose every shared prefix gram
+    is boilerplate (exact-dup-grade content handled upstream).
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = F.split(F.col(text_col), " ")
+    grams_expr = F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    ).otherwise(F.array(F.array_join(toks, " ")))
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(grams_expr).alias("grams")
+    ).withColumn("sz", F.size("grams"))
+
+    exploded = base.select("_id", "sz", F.explode("grams").alias("gram"))
+    freq = exploded.groupBy("gram").agg(F.count("*").alias("df_cnt"))
+    # prefix length: |X| - ceil(t|X|) + 1; the epsilon keeps a float
+    # ceil from rounding UP past the exact integer (a too-short prefix
+    # loses pairs; a too-long one only adds candidates)
+    plen = (F.col("sz")
+            - F.ceil(F.lit(float(threshold)) * F.col("sz") - F.lit(1e-9))
+            + 1).cast("int")
+    ranked = (
+        exploded.join(freq, "gram")
+        .filter(F.col("df_cnt") <= gram_doc_cap)  # symmetric stop-grams
+        .groupBy("_id", "sz")
+        .agg(F.array_sort(
+            F.collect_list(F.struct("df_cnt", "gram"))).alias("ranked"))
+        .select("_id",
+                F.explode(F.slice(
+                    F.transform(F.col("ranked"), lambda s: s["gram"]),
+                    F.lit(1), plen)).alias("gram"))
+    )
+    cand = (
+        ranked.alias("a")
+        .join(ranked.alias("b"),
+              (F.col("a.gram") == F.col("b.gram"))
+              & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    ga = base.select(F.col("_id").alias("id_a"), F.col("grams").alias("ga"),
+                     F.col("sz").alias("sa"))
+    gb = base.select(F.col("_id").alias("id_b"), F.col("grams").alias("gb"),
+                     F.col("sz").alias("sb"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    return (
+        cand.join(ga, "id_a").join(gb, "id_b")
+        .withColumn("jaccard",
+                    inter / (F.col("sa") + F.col("sb") - inter))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
