@@ -733,6 +733,32 @@ def q_curation_pipeline(spark, sf_dir):
                            sample_fraction=0.5, salt="curate")
 
 
+def q_curation_pipeline_full(spark, sf_dir):
+    """The FULL curation pipeline in one composition: Gopher quality ->
+    PII scrub -> paragraph dedup (C4) -> exact dedup (over the scrubbed,
+    paragraph-deduped text) -> per-domain cap(50) -> deterministic 50%
+    sample, pinned end-to-end against ONE SQL. PII is injected
+    deterministically on both sides (testdata carries none), so the scrub
+    genuinely rewrites text and the downstream fingerprints prove the
+    composed ordering, not just per-stage counts."""
+    from fsst_spark.pipeline.curate import curation_report
+
+    docs = _docs(spark, sf_dir)
+    inj = docs.select(
+        "doc_id", "source",
+        F.concat(
+            F.col("text"), F.lit(" contact user"),
+            F.col("doc_id").cast("string"), F.lit("@mail"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com or +1-202-555-0"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 3, "0"),
+            F.lit(" from 192.168."), (F.col("doc_id") % 256).cast("string"),
+            F.lit("."), ((F.col("doc_id") * 3) % 256).cast("string"),
+        ).alias("text"))
+    return curation_report(inj, cap_n=50, sample_fraction=0.5,
+                           salt="curate", pii=True, para=True)
+
+
 def q_deterministic_sample(spark, sf_dir):
     """Content-keyed reproducible sampling: the survivor set is a pure
     function of (doc_id, salt), so DuckDB reproduces it exactly —
@@ -1133,6 +1159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_quality_stats": q_token_quality_stats,
         "lang_id": q_lang_id,
         "curation_pipeline": q_curation_pipeline,
+        "curation_pipeline_full": q_curation_pipeline_full,
         "zonemap_decode": q_zonemap_decode,
         "zonemap_decode_multi": q_zonemap_decode_multi,
         "dict_prune_decode": q_dict_prune_decode,
@@ -1468,6 +1495,56 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        min(text_dedup) AS min_text
 FROM docsout JOIN documents USING (doc_id)
 GROUP BY lang ORDER BY lang"""
+        ),
+        "curation_pipeline_full": (
+            # ONE end-to-end SQL: inject PII -> gopher quality -> scrub ->
+            # paragraph dedup -> exact dedup on the rewritten text ->
+            # domain cap -> deterministic sample; stage counts + final
+            # id-sum pin the composed ordering
+            "WITH inj AS (SELECT doc_id, source, "
+            "text || ' contact user' || doc_id || '@mail' || (doc_id % 7) || "
+            "'.com or +1-202-555-0' || lpad(CAST(doc_id % 100 AS VARCHAR), 3, '0') || "
+            "' from 192.168.' || (doc_id % 256) || '.' || ((doc_id * 3) % 256) AS text "
+            "FROM documents), "
+            f"f AS ({_GOPHER_F_SQL.replace('FROM documents', 'FROM inj')}), "
+            f"q AS (SELECT doc_id, source, text FROM f WHERE {_GOPHER_KEEP_SQL}), "
+            r"s1 AS (SELECT doc_id, source, regexp_replace(text, "
+            r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t FROM q), "
+            r"s2 AS (SELECT doc_id, source, regexp_replace(t, "
+            r"'\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g') AS t FROM s1), "
+            r"s3 AS (SELECT doc_id, source, regexp_replace(t, "
+            r"'\+?[0-9][0-9.-]{6,}[0-9]', '[PHONE]', 'g') AS t FROM s2), "
+            "toks AS (SELECT doc_id, unnest(str_split(t, ' ')) AS tok, "
+            "unnest(range(1, len(str_split(t, ' ')) + 1)) AS ord FROM s3), "
+            "paras AS (SELECT doc_id, CAST((ord - 1) // 15 AS BIGINT) AS pos, "
+            "string_agg(tok, ' ' ORDER BY ord) AS para "
+            "FROM toks GROUP BY doc_id, (ord - 1) // 15), "
+            "flagged AS (SELECT doc_id, pos, para, "
+            "row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) = 1 "
+            "AS kept FROM paras), "
+            "docsout AS (SELECT doc_id, "
+            "sum(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept, "
+            "coalesce(string_agg(CASE WHEN kept THEN para END, "
+            "chr(10) || chr(10) ORDER BY pos), '') AS text "
+            "FROM flagged GROUP BY doc_id), "
+            "p AS (SELECT docsout.doc_id, s3.source, docsout.text "
+            "FROM docsout JOIN s3 USING (doc_id) WHERE n_kept > 0), "
+            "d AS (SELECT doc_id, source FROM ("
+            "SELECT doc_id, source, row_number() OVER ("
+            "PARTITION BY lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) "
+            "ORDER BY doc_id) AS rn FROM p) WHERE rn = 1), "
+            "c AS (SELECT doc_id, source FROM d "
+            "QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 50), "
+            "s AS (SELECT doc_id FROM c "
+            "WHERE substr(md5(doc_id::VARCHAR || ':curate'), 1, 8) < '80000000') "
+            "SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_input, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM q) AS n_quality, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_scrubbed, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM p) AS n_para, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM d) AS n_deduped, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM c) AS n_capped, "
+            "CAST(count(*) AS BIGINT) AS n_sampled, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_final_ids FROM s"
         ),
         "encoded_minmax": (
             "SELECT min(source) AS min_source, max(source) AS max_source, "

@@ -169,6 +169,23 @@ def main(argv: list[str] | None = None) -> int:
     sta.add_argument("--columns", required=True, help="comma-separated")
     sta.add_argument("--exact-minmax", action="store_true")
 
+    tpk = sub.add_parser("topk",
+                         help="ORDER BY col [DESC] LIMIT k from an encoded "
+                              "store — zone maps bound the k-th value and "
+                              "only candidate chunks decode")
+    tpk.add_argument("--data", required=True)
+    tpk.add_argument("--column", required=True)
+    tpk.add_argument("-k", type=int, default=10)
+    tpk.add_argument("--ascending", action="store_true",
+                     help="bottom-k instead of top-k")
+
+    dst = sub.add_parser("distinct",
+                         help="SELECT DISTINCT col from an encoded store — "
+                              "dict chunks answer from dictionary sections "
+                              "alone, codes stay encoded")
+    dst.add_argument("--data", required=True)
+    dst.add_argument("--column", required=True)
+
     cpt = sub.add_parser("compact",
                          help="merge many small chunk files into few (payloads "
                               "copied verbatim — no decode; checksums/zones "
@@ -327,6 +344,28 @@ def main(argv: list[str] | None = None) -> int:
                        for r in encoded_column_stats(spark, args.data,
                                                      cols).collect()}
             print(json.dumps(out, default=str))
+        elif args.cmd == "topk":
+            from fsst_spark.jobs.stats import encoded_topk
+
+            obs: dict = {}
+            vals = [r["val"] for r in
+                    encoded_topk(spark, args.data, args.column, args.k,
+                                 ascending=args.ascending,
+                                 observer=obs).collect()]
+            print(json.dumps({"column": args.column, "k": args.k,
+                              "ascending": args.ascending, "values": vals,
+                              **obs}, default=str))
+        elif args.cmd == "distinct":
+            from fsst_spark.jobs.stats import encoded_distinct
+
+            obs = {}
+            vals = sorted(
+                (r["val"] for r in
+                 encoded_distinct(spark, args.data, args.column,
+                                  observer=obs).collect()),
+                key=lambda v: (v is None, v))
+            print(json.dumps({"column": args.column, "n_distinct": len(vals),
+                              "values": vals[:1000], **obs}, default=str))
         elif args.cmd == "compact":
             import glob as _glob
             import os as _os

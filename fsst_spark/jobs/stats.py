@@ -164,6 +164,14 @@ _PA_BY_SPARK = {
 }
 
 
+def _spark_us(arr: pa.Array) -> pa.Array:
+    """Spark's Arrow bridge only accepts microsecond timestamps; decoded
+    chunks restore the encode-time unit, so normalize before yielding."""
+    if pa.types.is_timestamp(arr.type) and arr.type.unit != "us":
+        return arr.cast(pa.timestamp("us", tz=arr.type.tz))
+    return arr
+
+
 def encoded_topk(spark, out_dir: str, column: str, k: int,
                  ascending: bool = False,
                  observer: dict | None = None) -> DataFrame:
@@ -259,7 +267,8 @@ def encoded_topk(spark, out_dir: str, column: str, k: int,
                     idx = pc.array_sort_indices(
                         arr, order="ascending" if asc else "descending")
                     out = arr.take(idx[:kk])
-                yield pa.RecordBatch.from_arrays([out], names=["val"])
+                yield pa.RecordBatch.from_arrays([_spark_us(out)],
+                                                 names=["val"])
 
     vals = cand.select("codec", "params", "payload") \
         .mapInArrow(task, f"val {spark_t}")
@@ -325,7 +334,8 @@ def encoded_distinct(spark, out_dir: str, column: str,
                     out = decode_column(
                         {"codec": row["codec"], "params": p,
                          "payload": row["payload"]}).unique()
-                yield pa.RecordBatch.from_arrays([out], names=["val"])
+                yield pa.RecordBatch.from_arrays([_spark_us(out)],
+                                                 names=["val"])
 
     vals = meta.select("codec", "params", "payload") \
         .mapInArrow(task, f"val {spark_t}")

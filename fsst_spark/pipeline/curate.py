@@ -2,6 +2,8 @@
 a web-crawl corpus actually goes through before tokenization.
 
     quality filter (Gopher rules)        -> drop junk pages
+    [optional] PII scrub                 -> redact emails/IPs/phones
+    [optional] paragraph dedup (C4)      -> drop repeated paragraphs
     exact dedup (normalized fingerprint) -> one survivor per content
     [optional] near-dup resolution       -> MinHash pairs -> components
     per-domain cap                       -> balance mega-domains
@@ -18,25 +20,47 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import exact_dedup, neardup_dedup
+from .dedup import dedup_paragraphs, exact_dedup, neardup_dedup
 from .sampling import cap_per_group, deterministic_sample
-from .textstats import gopher_quality_flags
+from .textstats import gopher_quality_flags, pii_scrub
 
 
 def curate(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
            group_col: str | None = "source", cap_n: int = 50,
            sample_fraction: float = 1.0, neardup: bool = False,
-           salt: str = "curate") -> dict[str, DataFrame]:
+           salt: str = "curate", pii: bool = False, para: bool = False,
+           words_per_para: int = 15) -> dict[str, DataFrame]:
     """Run the curation pipeline; returns every intermediate stage.
 
-    Returns ``{"quality": ..., "deduped": ..., "capped": ...,
-    "sampled": ...}`` — all lazy DataFrames sharing lineage, so asking
-    for counts of each stage costs one pass per stage and Catalyst reuses
-    the common prefix. The final stage is ``sampled``.
+    Returns ``{"quality": ..., ["scrubbed": ...,] ["para": ...,]
+    "deduped": ..., "capped": ..., "sampled": ...}`` — all lazy DataFrames
+    sharing lineage, so asking for counts of each stage costs one pass per
+    stage and Catalyst reuses the common prefix. The final stage is
+    ``sampled``.
+
+    ``pii`` scrubs emails/IPs/phones from quality survivors (downstream
+    fingerprints hash the SCRUBBED text — two pages differing only in
+    redacted PII dedup together, the behavior a training corpus wants).
+    ``para`` then drops every repeated paragraph corpus-wide (C4 pass) and
+    removes documents that lose all their paragraphs.
     """
     flags = gopher_quality_flags(df, text_col, id_col).where("keep").select(id_col)
     quality = df.join(flags, id_col, "left_semi")
-    deduped = exact_dedup(quality, text_col, keep="min", id_col=id_col)
+    stages: dict[str, DataFrame] = {"quality": quality}
+    cur = quality
+    if pii:
+        scrubbed = pii_scrub(cur, text_col)
+        cur = scrubbed.drop(
+            *[c for c in scrubbed.columns if c.startswith("n_pii_")])
+        stages["scrubbed"] = cur
+    if para:
+        kept = dedup_paragraphs(cur, text_col, id_col, words_per_para)
+        cur = cur.drop(text_col).join(
+            kept.filter(F.col("n_kept") > 0)
+                .select(id_col, F.col("text_dedup").alias(text_col)),
+            id_col)
+        stages["para"] = cur
+    deduped = exact_dedup(cur, text_col, keep="min", id_col=id_col)
     if neardup:
         deduped = neardup_dedup(deduped, text_col=text_col, id_col=id_col,
                                 method="minhash")
@@ -44,8 +68,8 @@ def curate(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
               if group_col else deduped)
     sampled = (deterministic_sample(capped, sample_fraction, id_col, salt)
                if sample_fraction < 1.0 else capped)
-    return {"quality": quality, "deduped": deduped,
-            "capped": capped, "sampled": sampled}
+    stages.update(deduped=deduped, capped=capped, sampled=sampled)
+    return stages
 
 
 def curation_report(df: DataFrame, **kwargs) -> DataFrame:

@@ -158,3 +158,26 @@ def test_cli_stats_and_cluster_by(tmp_path):
     ).fetchone()
     assert e["url"]["min"] == mn and e["url"]["max"] == mx
     assert e["lang"]["n_chunks_decoded"] >= 1
+
+
+def test_cli_topk_and_distinct(tmp_path):
+    """topk answers ORDER BY..LIMIT from zone-candidate chunks; distinct
+    answers from dict sections; both verified against the raw corpus."""
+    src = str(tmp_path / "corpus5")
+    enc = str(tmp_path / "encoded5")
+    _run("synth", "--rows", "400", "--out", src)
+    _run("encode", "--input", src, "--out", enc)
+    t = _run("topk", "--data", enc, "--column", "warc_ts", "-k", "7")
+    d = _run("distinct", "--data", enc, "--column", "lang")
+    import duckdb
+    # Spark TIMESTAMP collects as datetime; the CLI JSON stringifies it.
+    # Session tz is pinned UTC (session.py) and DuckDB reads the same UTC
+    # micros as naive wall time, so the string forms agree exactly.
+    want_t = [str(r[0]) for r in duckdb.sql(
+        f"SELECT warc_ts FROM read_parquet('{src}/*.parquet') "
+        "ORDER BY warc_ts DESC LIMIT 7").fetchall()]
+    want_d = sorted(r[0] for r in duckdb.sql(
+        f"SELECT DISTINCT lang FROM read_parquet('{src}/*.parquet')"
+    ).fetchall())
+    assert t["values"] == want_t and t["n_chunks_total"] >= 1
+    assert d["values"] == want_d and d["n_distinct"] == len(want_d)

@@ -37,3 +37,35 @@ def test_curation_report_single_row(corpus):
     assert r["n_input"] == 70
     assert r["n_quality"] == 65 and r["n_deduped"] == 60 and r["n_capped"] == 30
     assert r["n_sampled"] <= 30 and r["sum_final_ids"] is not None
+
+
+def test_curate_pii_and_para_stages(spark):
+    """pii=True scrubs before fingerprinting (PII-only differences dedup
+    together); para=True drops repeated paragraphs and empty survivors."""
+    good = ("the quick brown fox jumps over the lazy dog and it runs to "
+            "the barn for a nap in the hay that is warm ") * 3
+    rows = [
+        (1, "d0", good + "alpha beta gamma contact a@b.com now"),
+        # identical to doc 1 except the email address: must dedup together
+        (2, "d0", good + "alpha beta gamma contact x@y.org now"),
+        # distinct page sharing doc 1's text as a paragraph-scale repeat
+        (3, "d1", good + "alpha beta gamma entirely different ending here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    stages = curate(df, cap_n=10, neardup=False, pii=True, para=False)
+    assert stages["scrubbed"].count() == 3
+    deduped = {r["doc_id"] for r in stages["deduped"].collect()}
+    assert deduped == {1, 3}  # 2 collapsed into 1 only BECAUSE of the scrub
+    texts = dict(stages["scrubbed"].select("doc_id", "text").collect())
+    assert "@" not in texts[1] and "[EMAIL]" in texts[1]
+
+    stages2 = curate(df, cap_n=10, pii=True, para=True, words_per_para=15)
+    para_texts = dict(stages2["para"].select("doc_id", "text").collect())
+    # post-scrub doc 2 is an exact copy of doc 1: every paragraph loses
+    # first-occurrence and the empty survivor is dropped entirely; doc 3
+    # loses only its shared boilerplate paragraphs
+    assert 2 not in para_texts
+    assert 0 < len(para_texts[3]) < len(para_texts[1])
+    n_keys = set(stages2)
+    assert n_keys == {"quality", "scrubbed", "para",
+                      "deduped", "capped", "sampled"}
