@@ -281,6 +281,42 @@ def q_dict_prune_decode(spark, sf_dir):
         [(r["n_rows"], r["sum_ids"])], "n_rows bigint, sum_ids bigint")
 
 
+def q_bloom_point_decode(spark, sf_dir):
+    """Bloom-filter point-predicate decode: documents get a high-NDV URL
+    whose 8-byte zone prefix collapses ('https://...' shared by every
+    row), the store is encoded UNCLUSTERED, and a 3-value IN probe must
+    return exactly the SQL-filtered rows — only per-chunk Bloom filters
+    can prune here (pruning magnitude pinned by tests/test_bloom.py;
+    this gate pins exactness against DuckDB)."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.decode import decode_filtered
+    from fsst_spark.jobs.encode import encode_job
+
+    out = tempfile.mkdtemp(prefix="fsst_bloom_q_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id").withColumn(
+            "url", F.concat(F.lit("https://d"),
+                            (F.col("doc_id") % 97).cast("string"),
+                            F.lit(".example.net/"),
+                            F.col("doc_id").cast("string")))
+        encode_job(spark, docs, out, chunk_bytes=64 << 10, resume=False,
+                   pre_partitioned=True, unique_col="doc_id").collect()
+        probes = [f"https://d{i % 97}.example.net/{i}" for i in (77, 123, 411)]
+        r = decode_filtered(spark, out, "url", "in", probes).agg(
+            F.count("*").alias("n_rows"),
+            F.sum("doc_id").alias("sum_ids"),
+            F.min("url").alias("min_url"),
+            F.max("url").alias("max_url"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["n_rows"], r["sum_ids"], r["min_url"], r["max_url"])],
+        "n_rows bigint, sum_ids bigint, min_url string, max_url string")
+
+
 def q_url_sort_key(spark, sf_dir):
     """Host-reversed URL layout keys: Spark builds full https:// URLs and
     applies url_sort_key (scheme strip + host reversal); the oracle builds
@@ -1163,6 +1199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonemap_decode": q_zonemap_decode,
         "zonemap_decode_multi": q_zonemap_decode_multi,
         "dict_prune_decode": q_dict_prune_decode,
+        "bloom_point_decode": q_bloom_point_decode,
         "url_sort_key": q_url_sort_key,
         "quota_filter": q_quota_filter,
         "clustered_decode": q_clustered_decode,
@@ -1376,6 +1413,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
             "CAST(sum(doc_id) AS BIGINT) AS sum_ids "
             "FROM documents WHERE lang = 'de'"
+        ),
+        "bloom_point_decode": (
+            "WITH u AS (SELECT doc_id, 'https://d' || "
+            "CAST(doc_id % 97 AS VARCHAR) || '.example.net/' || "
+            "CAST(doc_id AS VARCHAR) AS url FROM documents) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_ids, "
+            "min(url) AS min_url, max(url) AS max_url FROM u "
+            "WHERE url IN ('https://d77.example.net/77', "
+            "'https://d26.example.net/123', 'https://d23.example.net/411')"
         ),
         "token_topk": (
             "WITH t AS (SELECT lang, unnest(regexp_split_to_array("

@@ -98,7 +98,12 @@ def compact_store(spark, in_dir: str, out_dir: str,
         if not out_batches:
             return
         n_rows = sum(rows_by_chunk.values())
-        out_tbl = pa.Table.from_batches(out_batches).cast(CHUNK_SCHEMA)
+        out_tbl = pa.Table.from_batches(out_batches)
+        # normalize to the canonical chunk schema, tolerating stores
+        # written before later-added metadata columns (e.g. bloom)
+        names = [f.name for f in CHUNK_SCHEMA if f.name in out_tbl.schema.names]
+        out_tbl = out_tbl.select(names).cast(
+            pa.schema([CHUNK_SCHEMA.field(n) for n in names]))
         _atomic_write(out_tbl, os.path.join(
             out_dir, "chunks", f"part-{new_pid:05d}.parquet"))
         metric = {

@@ -312,6 +312,52 @@ def _dict_value_drop(spark, out_dir: str, col: str,
     return src.mapInArrow(task, "pid int, chunk_id int")
 
 
+def _bloom_value_drop(spark, out_dir: str, col: str,
+                      value, arrow_name: str) -> DataFrame:
+    """(pid, chunk_id) DROP-set for ``col == value`` / ``col IN values``
+    from per-chunk Bloom filters (``kernel.bloom``): chunks whose bloom
+    proves EVERY probed value absent contain no matching row. This is the
+    point-predicate complement of zone pruning — a ``url == X`` probe over
+    an UNCLUSTERED store, where every 8-byte prefix zone collapses, still
+    tests ~10 bits per chunk instead of decoding payloads. The scan reads
+    only the filter column's (pid, chunk_id, bloom) projection (blooms are
+    ~0.1% of payload bytes); chunks without a bloom (dict-coded — dict
+    pruning covers those exactly — disabled encodes, unsupported types)
+    are conservatively kept."""
+    vals = value if isinstance(value, (list, tuple, set)) else [value]
+    if arrow_name in _STRINGY:
+        probes = list(vals)  # bloom hashes str/bytes natively
+    elif arrow_name in _INTY:
+        probes = [int(v) for v in vals]
+    elif arrow_name.startswith("timestamp["):
+        # encode hashed the storage-unit int64 ticks; probe in the same unit
+        probes = [_ts_ticks(arrow_name, v) for v in vals]
+    else:
+        return spark.createDataFrame([], "pid int, chunk_id int")
+    src = (
+        _chunks_df(spark, out_dir, [col])
+        .filter(F.col("bloom").isNotNull())  # pushed: bloom-less rows unread
+        .select("pid", "chunk_id", "bloom")
+    )
+
+    def task(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..kernel.bloom import bloom_might_contain
+
+        for batch in batches:
+            pids, cids = [], []
+            for pid_s, cid_s, bloom_s in zip(
+                    batch.column("pid"), batch.column("chunk_id"),
+                    batch.column("bloom")):
+                if not bloom_might_contain(bloom_s.as_py(), probes):
+                    pids.append(pid_s.as_py())
+                    cids.append(cid_s.as_py())
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(pids, pa.int32()), pa.array(cids, pa.int32())],
+                names=["pid", "chunk_id"])
+
+    return src.mapInArrow(task, "pid int, chunk_id int")
+
+
 def pruned_chunks(spark, out_dir: str, columns: list[str] | None,
                   filters: list[tuple[str, str, int | str]],
                   dict_prune: bool = True) -> DataFrame:
@@ -334,6 +380,11 @@ def pruned_chunks(spark, out_dir: str, columns: list[str] | None,
                 drop = _dict_value_drop(spark, out_dir, zf[0], zf[2],
                                         prefix=zf[1] == "prefix")
                 chunks = chunks.join(drop, ["pid", "chunk_id"], "left_anti")
+            if (dict_prune and zf[1] in ("==", "in")
+                    and "bloom" in chunks.columns):
+                bdrop = _bloom_value_drop(spark, out_dir, zf[0], zf[2],
+                                          types[zf[0]])
+                chunks = chunks.join(bdrop, ["pid", "chunk_id"], "left_anti")
     return chunks
 
 
@@ -378,7 +429,8 @@ def decode_job(spark, out_dir: str, columns: list[str] | None = None,
     if zone_filter is not None:
         filters.append(zone_filter)
     chunks = pruned_chunks(spark, out_dir, columns, filters, dict_prune)
-    chunks = chunk_repartition(spark, chunks, out_dir)
+    # blooms served their purpose at pruning time; don't shuffle them
+    chunks = chunk_repartition(spark, chunks.drop("bloom"), out_dir)
 
     def decode_task(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from ..env import madvise_hugepages

@@ -61,6 +61,11 @@ CHUNK_SCHEMA = pa.schema(
         # parquet scan, so a selective decode never reads pruned payloads.
         ("zmin_long", pa.int64()),
         ("zmax_long", pa.int64()),
+        # point-predicate bloom filter (kernel.bloom blob) for ==/IN chunk
+        # pruning on high-NDV columns where range zones can't help; null
+        # for dict-coded chunks (the dictionary already prunes exactly),
+        # unsupported types, and bloom-disabled encodes.
+        ("bloom", pa.large_binary()),
     ]
 )
 
@@ -165,6 +170,27 @@ def zone_packf(value: float) -> int:
     bits = struct.unpack("<Q", struct.pack("<d", float(value)))[0]
     key = (~bits & 0xFFFFFFFFFFFFFFFF) if bits >> 63 else (bits | (1 << 63))
     return key - (1 << 63)
+
+
+def _chunk_bloom(arr: pa.Array, stats: dict, codec: str,
+                 bits_per_value: int) -> bytes | None:
+    """Per-chunk bloom blob, or None where one adds nothing: disabled
+    encodes, dict-coded chunks (dictionary membership pruning is exact and
+    already implemented), and types without a hash path (floats/nested).
+    NDV for sizing comes from chunk_stats' strided estimate for strings
+    and the value-range/row-count bound for ints/timestamps."""
+    if bits_per_value <= 0 or codec == "str_dict":
+        return None
+    from ..kernel.bloom import bloom_build
+
+    n_vals = stats.get("n", 0) - stats.get("nulls", 0)
+    if "ndv_est" in stats:
+        ndv = stats["ndv_est"]
+    elif "min" in stats:  # ints/timestamps: ndv <= value range and row count
+        ndv = min(n_vals, stats["max"] - stats["min"] + 1)
+    else:
+        ndv = n_vals
+    return bloom_build(arr, ndv, bits_per_value)
 
 
 def _zone_bounds(arr: pa.Array, stats: dict) -> tuple[int | None, int | None]:
@@ -344,6 +370,7 @@ def encode_job(
     pre_partitioned: bool = False,
     pid_offset: int = 0,
     sort_key=None,
+    bloom_bits_per_value: int = 10,
     _test_fail_pids: set[int] | None = None,
 ) -> DataFrame:
     """Run the encode pipeline; returns the per-partition metrics DataFrame.
@@ -381,6 +408,7 @@ def encode_job(
             return encode_files_job(
                 spark, "", out_dir, columns=columns, chunk_bytes=chunk_bytes,
                 resume=resume, files=files,
+                bloom_bits_per_value=bloom_bits_per_value,
                 lineage={**(lineage or {}), "rerouted_from": "encode_job"})
     df = df.select(*cols)
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism * 2
@@ -395,7 +423,7 @@ def encode_job(
     lineage_json = json.dumps(
         {**(lineage or {}), "columns": cols, "num_partitions": num_partitions,
          "group_cols": group_cols, "chunk_bytes": chunk_bytes,
-         "mode": "dataframe",
+         "mode": "dataframe", "bloom_bits_per_value": bloom_bits_per_value,
          "sort_key": [str(k) for k in sort_cols] if sort_cols else None}
     )
 
@@ -427,7 +455,8 @@ def encode_job(
         pid = TaskContext.get().partitionId() + pid_offset
         if pid in done:
             return  # durable already; input never gets pulled -> no rescan work
-        row = _encode_one_partition(pid, batches, out_dir, chunk_bytes, lineage_json, fail_pids)
+        row = _encode_one_partition(pid, batches, out_dir, chunk_bytes, lineage_json,
+                                    fail_pids, bloom_bits_per_value)
         if row is not None:
             yield from pa.Table.from_pylist([row], schema=METRIC_PA_SCHEMA).to_batches()
 
@@ -436,7 +465,8 @@ def encode_job(
 
 def _encode_one_partition(pid: int, batches: Iterator[pa.RecordBatch], out_dir: str,
                           chunk_bytes: int, lineage_json: str,
-                          fail_pids: set[int]) -> dict | None:
+                          fail_pids: set[int],
+                          bloom_bits_per_value: int = 10) -> dict | None:
     """Encode one partition's batches into a chunk file + manifest row
     (temp + atomic rename). Shared by the DataFrame and file-driven jobs."""
     from ..env import madvise_hugepages
@@ -474,6 +504,8 @@ def _encode_one_partition(pid: int, batches: Iterator[pa.RecordBatch], out_dir: 
                     "raw_bytes": raw, "enc_bytes": len(enc["payload"]),
                     "checksum": canonical_bytes(arr),
                     "zmin_long": zmin, "zmax_long": zmax,
+                    "bloom": _chunk_bloom(arr, stats, enc["codec"],
+                                          bloom_bits_per_value),
                 }
             )
         n_rows_total += tbl.num_rows
@@ -523,6 +555,7 @@ def encode_files_job(
     files: list[str] | None = None,
     pid_offset: int = 0,
     sort_key: "str | list[str] | None" = None,
+    bloom_bits_per_value: int = 10,
 ) -> DataFrame:
     """File-granular encode: Spark parallelizes over parquet *files*; each
     task reads its file columnar-natively with pyarrow (no JVM row<->Arrow
@@ -564,6 +597,7 @@ def encode_files_job(
     lineage_json = json.dumps(
         {**(lineage or {}), "columns": columns, "n_files": len(files),
          "chunk_bytes": chunk_bytes, "mode": "files",
+         "bloom_bits_per_value": bloom_bits_per_value,
          "sort_key": sort_cols}
     )
     tasks = [(pid_offset + i, f) for i, f in enumerate(files)
@@ -598,7 +632,8 @@ def encode_files_job(
                 else:
                     reader = pf.iter_batches(batch_size=batch_rows, columns=columns)
                 row = _encode_one_partition(pid, reader, out_dir, chunk_bytes,
-                                            lineage_json, set())
+                                            lineage_json, set(),
+                                            bloom_bits_per_value)
                 if row is not None:
                     yield from pa.Table.from_pylist([row], schema=METRIC_PA_SCHEMA).to_batches()
 
