@@ -317,6 +317,91 @@ def q_bloom_point_decode(spark, sf_dir):
         "n_rows bigint, sum_ids bigint, min_url string, max_url string")
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher/MassiveText repetition signals (dup-line / top-bigram /
+    dup-5-gram character fractions): every 10th document gets a repeated
+    boilerplate line injected twice (the corpus itself is repetition-free),
+    and the per-document integer percentages + keep decisions must match
+    the same computation spelled out in SQL."""
+    from fsst_spark.pipeline.textstats import repetition_stats
+
+    boiler = "repeat me repeat me repeat me repeat me"
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0,
+               F.concat(F.col("text"), F.lit("\n" + boiler + "\n" + boiler)))
+        .otherwise(F.col("text")).alias("text"))
+    r = repetition_stats(docs)
+    return r.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dup_line_char_pct").alias("sum_dup_line_pct"),
+        F.sum("top_bigram_char_pct").alias("sum_top_bigram_pct"),
+        F.sum("dup_5gram_char_pct").alias("sum_dup_5gram_pct"),
+        F.sum(F.when(F.col("rep_keep"), 1).otherwise(0)).alias("n_keep"),
+    )
+
+
+def q_decode_semijoin(spark, sf_dir):
+    """Runtime-filter semi join against an encoded store: the build side
+    (urls of 'de' documents) prunes the probe scan via zone/dict/bloom
+    chunk pruning, then a broadcast semi join keeps exactly the matching
+    rows — equal to the plain SQL IN-subquery."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.decode import decode_semijoin
+    from fsst_spark.jobs.encode import encode_job
+
+    out = tempfile.mkdtemp(prefix="fsst_semijoin_q_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "lang").withColumn(
+            "url", F.concat(F.lit("https://d"),
+                            (F.col("doc_id") % 97).cast("string"),
+                            F.lit(".example.net/"),
+                            F.col("doc_id").cast("string")))
+        encode_job(spark, docs.drop("lang"), out, chunk_bytes=64 << 10,
+                   resume=False, pre_partitioned=True,
+                   unique_col="doc_id").collect()
+        keys = docs.where(F.col("lang") == "de").select("url")
+        r = decode_semijoin(spark, out, "url", keys).agg(
+            F.count("*").alias("n_rows"),
+            F.sum("doc_id").alias("sum_ids"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["n_rows"], r["sum_ids"])], "n_rows bigint, sum_ids bigint")
+
+
+def q_encoded_ndv(spark, sf_dir):
+    """Metadata-only NDV from mergeable per-chunk HLL sketches: the
+    estimates must sit within 6% of the exact distinct counts (the exact
+    counts themselves come from the SQL oracle, pinning both sides)."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.encode import encode_job
+    from fsst_spark.jobs.stats import encoded_ndv
+
+    out = tempfile.mkdtemp(prefix="fsst_ndv_q_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+        encode_job(spark, docs, out, chunk_bytes=16 << 10, resume=False,
+                   pre_partitioned=True, unique_col="doc_id").collect()
+        est = encoded_ndv(spark, out, ["doc_id", "lang", "source"])
+        exact = docs.agg(
+            F.countDistinct("doc_id").alias("doc_id"),
+            F.countDistinct("lang").alias("lang"),
+            F.countDistinct("source").alias("source")).collect()[0]
+        rows = [(c, int(exact[c]),
+                 bool(abs(est[c] - exact[c]) <= max(2, 0.06 * exact[c])))
+                for c in ("doc_id", "lang", "source")]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "column string, exact_ndv bigint, est_within_6pct boolean")
+
+
 def q_url_sort_key(spark, sf_dir):
     """Host-reversed URL layout keys: Spark builds full https:// URLs and
     applies url_sort_key (scheme strip + host reversal); the oracle builds
@@ -1200,6 +1285,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonemap_decode_multi": q_zonemap_decode_multi,
         "dict_prune_decode": q_dict_prune_decode,
         "bloom_point_decode": q_bloom_point_decode,
+        "repetition_stats": q_repetition_stats,
+        "decode_semijoin": q_decode_semijoin,
+        "encoded_ndv": q_encoded_ndv,
         "url_sort_key": q_url_sort_key,
         "quota_filter": q_quota_filter,
         "clustered_decode": q_clustered_decode,
@@ -1423,6 +1511,61 @@ def oracle_sql() -> dict[str, str]:
             "min(url) AS min_url, max(url) AS max_url FROM u "
             "WHERE url IN ('https://d77.example.net/77', "
             "'https://d26.example.net/123', 'https://d23.example.net/411')"
+        ),
+        "repetition_stats": (
+            "WITH d AS (SELECT doc_id, trim(CASE WHEN doc_id % 10 = 0 "
+            "THEN text || chr(10) || 'repeat me repeat me repeat me repeat me'"
+            " || chr(10) || 'repeat me repeat me repeat me repeat me' "
+            "ELSE text END) AS t FROM documents), "
+            "w AS (SELECT doc_id, length(t) AS n_chars, "
+            "regexp_split_to_array(t, '\\s+') AS wd, "
+            "string_split(t, chr(10)) AS ln FROM d), "
+            "grams AS ("
+            "SELECT doc_id, n_chars, 'N' AS kind, '' AS g FROM w "
+            "UNION ALL SELECT doc_id, n_chars, 'L', unnest(ln) FROM w "
+            "UNION ALL SELECT doc_id, n_chars, '2', unnest(CASE WHEN "
+            "len(wd) >= 2 THEN list_transform(generate_series(1, len(wd)-1), "
+            "i -> wd[i] || ' ' || wd[i+1]) ELSE [] END) FROM w "
+            "UNION ALL SELECT doc_id, n_chars, '5', unnest(CASE WHEN "
+            "len(wd) >= 5 THEN list_transform(generate_series(1, len(wd)-4), "
+            "i -> array_to_string(wd[i:i+4], ' ')) ELSE [] END) FROM w), "
+            "c AS (SELECT doc_id, kind, g, count(*) AS cnt, "
+            "any_value(n_chars) AS n_chars FROM grams GROUP BY 1, 2, 3), "
+            "a AS (SELECT doc_id, any_value(n_chars) AS n_chars, "
+            "coalesce(sum(CASE WHEN kind='L' AND cnt>1 THEN cnt*length(g) "
+            "END), 0) AS lc, "
+            "coalesce(max(CASE WHEN kind='2' THEN cnt*length(g) END), 0) AS g2, "
+            "coalesce(sum(CASE WHEN kind='5' AND cnt>1 THEN cnt*length(g) "
+            "END), 0) AS g5 FROM c GROUP BY doc_id), "
+            "p AS (SELECT doc_id, "
+            "CASE WHEN n_chars=0 THEN 0 ELSE (lc*100)//n_chars END AS dlp, "
+            "CASE WHEN n_chars=0 THEN 0 ELSE (g2*100)//n_chars END AS tbp, "
+            "CASE WHEN n_chars=0 THEN 0 ELSE (g5*100)//n_chars END AS d5p "
+            "FROM a) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(dlp) AS BIGINT) AS sum_dup_line_pct, "
+            "CAST(sum(tbp) AS BIGINT) AS sum_top_bigram_pct, "
+            "CAST(sum(d5p) AS BIGINT) AS sum_dup_5gram_pct, "
+            "CAST(count(*) FILTER (dlp <= 20 AND tbp <= 20 AND d5p <= 15) "
+            "AS BIGINT) AS n_keep FROM p"
+        ),
+        "decode_semijoin": (
+            "WITH u AS (SELECT doc_id, lang, 'https://d' || "
+            "CAST(doc_id % 97 AS VARCHAR) || '.example.net/' || "
+            "CAST(doc_id AS VARCHAR) AS url FROM documents) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_ids FROM u "
+            "WHERE url IN (SELECT url FROM u WHERE lang = 'de')"
+        ),
+        "encoded_ndv": (
+            "SELECT * FROM (VALUES "
+            "('doc_id', (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) "
+            "FROM documents), TRUE), "
+            "('lang', (SELECT CAST(count(DISTINCT lang) AS BIGINT) "
+            "FROM documents), TRUE), "
+            "('source', (SELECT CAST(count(DISTINCT source) AS BIGINT) "
+            "FROM documents), TRUE)) "
+            "AS t(\"column\", exact_ndv, est_within_6pct)"
         ),
         "token_topk": (
             "WITH t AS (SELECT lang, unnest(regexp_split_to_array("

@@ -429,8 +429,8 @@ def decode_job(spark, out_dir: str, columns: list[str] | None = None,
     if zone_filter is not None:
         filters.append(zone_filter)
     chunks = pruned_chunks(spark, out_dir, columns, filters, dict_prune)
-    # blooms served their purpose at pruning time; don't shuffle them
-    chunks = chunk_repartition(spark, chunks.drop("bloom"), out_dir)
+    # sketches served their purpose at pruning time; don't shuffle them
+    chunks = chunk_repartition(spark, chunks.drop("bloom", "hll"), out_dir)
 
     def decode_task(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from ..env import madvise_hugepages
@@ -528,3 +528,62 @@ def _emit(key: tuple[int, int], cols: dict[str, pa.Array], ordered: list[str]) -
         pa.array(np.full(n, key[1], dtype=np.int32)),
     ] + fixed
     return pa.RecordBatch.from_arrays(arrays, names=["pid", "chunk_id", *ordered])
+
+
+def decode_semijoin(spark, out_dir: str, col: str, keys,
+                    columns: list[str] | None = None,
+                    max_pushdown_keys: int = 100_000) -> DataFrame:
+    """Decode only the rows whose ``col`` appears in ``keys`` — the
+    encoded-store analog of Spark's dynamic partition pruning / runtime
+    bloom filters: the build side of a join prunes the probe side's SCAN,
+    not just its rows.
+
+    ``keys`` is a single-column DataFrame (or a Python list). Distinct
+    keys up to ``max_pushdown_keys`` are collected to the driver — exactly
+    what Spark's own InSubqueryExec runtime filter does — and pushed into
+    chunk pruning: zone maps, dict-membership probes, and per-chunk Bloom
+    filters all apply, so on a clustered or bloom-equipped store a semi
+    join against a small key set touches a small fraction of the payload
+    bytes. Rows are then filtered with a broadcast ``isin``-style semi
+    join (never a driver-side loop). If the key set exceeds the cap, the
+    scan-pruning step is skipped (every chunk decodes — correct, just
+    unpruned) and only the broadcast semi join remains; at that
+    cardinality the keys were never going to prune chunks anyway.
+
+    Reference tie: engine-side scale surface with no reference analog
+    (spiraldb/fsst src/lib.rs:14-17 exports only codec types); the design
+    follows Spark AQE's runtime-filter pushdown shape.
+    """
+    from pyspark.sql import DataFrame as SparkDataFrame
+
+    if isinstance(keys, SparkDataFrame):
+        if len(keys.columns) != 1:
+            raise ValueError(
+                f"keys frame must have exactly one column, got {keys.columns}")
+        # null keys never equi-join; dropping them up front keeps the
+        # pushdown's zone/bloom probes typed
+        keys_df = keys.toDF("_k").where(F.col("_k").isNotNull()).distinct()
+    else:
+        vals = sorted(set(k for k in keys if k is not None))
+        if not vals:
+            return decode_job(spark, out_dir, columns).limit(0)
+        keys_df = spark.createDataFrame([(v,) for v in vals], ["_k"])
+    # runtime-filter collect, capped: one narrow limit(cap+1) of DISTINCT
+    # keys — metadata-scale by construction, and the cap keeps a
+    # billion-key build side from ever landing on the driver
+    head = [r["_k"] for r in keys_df.limit(max_pushdown_keys + 1).collect()]
+    cols = columns
+    if cols is not None and col not in cols:
+        cols = cols + [col]
+    if not head:  # empty build side: nothing can match, decode nothing
+        df = decode_job(spark, out_dir, cols).limit(0)
+    elif len(head) <= max_pushdown_keys:
+        df = decode_job(spark, out_dir, cols,
+                        zone_filter=(col, "in", head))
+    else:
+        df = decode_job(spark, out_dir, cols)
+    out = df.join(F.broadcast(keys_df),
+                  df[col] == keys_df["_k"], "left_semi")
+    if columns is not None and col not in columns:
+        out = out.drop(col)
+    return out

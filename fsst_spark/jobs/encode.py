@@ -66,6 +66,10 @@ CHUNK_SCHEMA = pa.schema(
         # for dict-coded chunks (the dictionary already prunes exactly),
         # unsupported types, and bloom-disabled encodes.
         ("bloom", pa.large_binary()),
+        # mergeable HyperLogLog sketch (kernel.hll blob): whole-store NDV
+        # is an elementwise register max over chunks — metadata-only at
+        # any scale; null for unsupported types and hll-disabled encodes.
+        ("hll", pa.large_binary()),
     ]
 )
 
@@ -173,12 +177,13 @@ def zone_packf(value: float) -> int:
 
 
 def _chunk_bloom(arr: pa.Array, stats: dict, codec: str,
-                 bits_per_value: int) -> bytes | None:
+                 bits_per_value: int, hashes=None) -> bytes | None:
     """Per-chunk bloom blob, or None where one adds nothing: disabled
     encodes, dict-coded chunks (dictionary membership pruning is exact and
     already implemented), and types without a hash path (floats/nested).
     NDV for sizing comes from chunk_stats' strided estimate for strings
-    and the value-range/row-count bound for ints/timestamps."""
+    and the value-range/row-count bound for ints/timestamps. ``hashes``
+    shares one hashing pass with the HLL sketch."""
     if bits_per_value <= 0 or codec == "str_dict":
         return None
     from ..kernel.bloom import bloom_build
@@ -190,7 +195,29 @@ def _chunk_bloom(arr: pa.Array, stats: dict, codec: str,
         ndv = min(n_vals, stats["max"] - stats["min"] + 1)
     else:
         ndv = n_vals
-    return bloom_build(arr, ndv, bits_per_value)
+    return bloom_build(arr, ndv, bits_per_value, hashes=hashes)
+
+
+def _chunk_sketches(arr: pa.Array, stats: dict, codec: str,
+                    bloom_bits_per_value: int,
+                    hll_p: int) -> tuple[bytes | None, bytes | None]:
+    """(bloom, hll) for one chunk, sharing a single value-hash pass (the
+    hash over string bytes dominates sketch cost; floats hash only inside
+    hll_build, which has the raw-bits path the bloom deliberately lacks)."""
+    want_bloom = bloom_bits_per_value > 0 and codec != "str_dict"
+    want_hll = hll_p > 0
+    if not (want_bloom or want_hll):
+        return None, None
+    from ..kernel.bloom import _value_hashes
+    from ..kernel.hll import hll_build
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    h = _value_hashes(arr)
+    bloom = (_chunk_bloom(arr, stats, codec, bloom_bits_per_value, hashes=h)
+             if want_bloom else None)
+    hll = hll_build(arr, hll_p, hashes=h) if want_hll else None
+    return bloom, hll
 
 
 def _zone_bounds(arr: pa.Array, stats: dict) -> tuple[int | None, int | None]:
@@ -371,6 +398,7 @@ def encode_job(
     pid_offset: int = 0,
     sort_key=None,
     bloom_bits_per_value: int = 10,
+    hll_p: int = 10,
     _test_fail_pids: set[int] | None = None,
 ) -> DataFrame:
     """Run the encode pipeline; returns the per-partition metrics DataFrame.
@@ -408,7 +436,7 @@ def encode_job(
             return encode_files_job(
                 spark, "", out_dir, columns=columns, chunk_bytes=chunk_bytes,
                 resume=resume, files=files,
-                bloom_bits_per_value=bloom_bits_per_value,
+                bloom_bits_per_value=bloom_bits_per_value, hll_p=hll_p,
                 lineage={**(lineage or {}), "rerouted_from": "encode_job"})
     df = df.select(*cols)
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism * 2
@@ -424,6 +452,7 @@ def encode_job(
         {**(lineage or {}), "columns": cols, "num_partitions": num_partitions,
          "group_cols": group_cols, "chunk_bytes": chunk_bytes,
          "mode": "dataframe", "bloom_bits_per_value": bloom_bits_per_value,
+         "hll_p": hll_p,
          "sort_key": [str(k) for k in sort_cols] if sort_cols else None}
     )
 
@@ -456,7 +485,7 @@ def encode_job(
         if pid in done:
             return  # durable already; input never gets pulled -> no rescan work
         row = _encode_one_partition(pid, batches, out_dir, chunk_bytes, lineage_json,
-                                    fail_pids, bloom_bits_per_value)
+                                    fail_pids, bloom_bits_per_value, hll_p)
         if row is not None:
             yield from pa.Table.from_pylist([row], schema=METRIC_PA_SCHEMA).to_batches()
 
@@ -466,7 +495,8 @@ def encode_job(
 def _encode_one_partition(pid: int, batches: Iterator[pa.RecordBatch], out_dir: str,
                           chunk_bytes: int, lineage_json: str,
                           fail_pids: set[int],
-                          bloom_bits_per_value: int = 10) -> dict | None:
+                          bloom_bits_per_value: int = 10,
+                          hll_p: int = 10) -> dict | None:
     """Encode one partition's batches into a chunk file + manifest row
     (temp + atomic rename). Shared by the DataFrame and file-driven jobs."""
     from ..env import madvise_hugepages
@@ -495,6 +525,8 @@ def _encode_one_partition(pid: int, batches: Iterator[pa.RecordBatch], out_dir: 
             m["enc"] += len(enc["payload"])
             m["codecs"][enc["codec"]] = m["codecs"].get(enc["codec"], 0) + 1
             zmin, zmax = _zone_bounds(arr, stats)
+            bloom, hll = _chunk_sketches(arr, stats, enc["codec"],
+                                         bloom_bits_per_value, hll_p)
             records.append(
                 {
                     "pid": pid, "chunk_id": chunk_id, "column": name,
@@ -504,8 +536,7 @@ def _encode_one_partition(pid: int, batches: Iterator[pa.RecordBatch], out_dir: 
                     "raw_bytes": raw, "enc_bytes": len(enc["payload"]),
                     "checksum": canonical_bytes(arr),
                     "zmin_long": zmin, "zmax_long": zmax,
-                    "bloom": _chunk_bloom(arr, stats, enc["codec"],
-                                          bloom_bits_per_value),
+                    "bloom": bloom, "hll": hll,
                 }
             )
         n_rows_total += tbl.num_rows
@@ -556,6 +587,7 @@ def encode_files_job(
     pid_offset: int = 0,
     sort_key: "str | list[str] | None" = None,
     bloom_bits_per_value: int = 10,
+    hll_p: int = 10,
 ) -> DataFrame:
     """File-granular encode: Spark parallelizes over parquet *files*; each
     task reads its file columnar-natively with pyarrow (no JVM row<->Arrow
@@ -597,7 +629,7 @@ def encode_files_job(
     lineage_json = json.dumps(
         {**(lineage or {}), "columns": columns, "n_files": len(files),
          "chunk_bytes": chunk_bytes, "mode": "files",
-         "bloom_bits_per_value": bloom_bits_per_value,
+         "bloom_bits_per_value": bloom_bits_per_value, "hll_p": hll_p,
          "sort_key": sort_cols}
     )
     tasks = [(pid_offset + i, f) for i, f in enumerate(files)
@@ -633,7 +665,7 @@ def encode_files_job(
                     reader = pf.iter_batches(batch_size=batch_rows, columns=columns)
                 row = _encode_one_partition(pid, reader, out_dir, chunk_bytes,
                                             lineage_json, set(),
-                                            bloom_bits_per_value)
+                                            bloom_bits_per_value, hll_p)
                 if row is not None:
                     yield from pa.Table.from_pylist([row], schema=METRIC_PA_SCHEMA).to_batches()
 

@@ -340,3 +340,76 @@ def encoded_distinct(spark, out_dir: str, column: str,
     vals = meta.select("codec", "params", "payload") \
         .mapInArrow(task, f"val {spark_t}")
     return vals.distinct()
+
+
+def encoded_ndv(spark, out_dir: str, columns: list[str]) -> dict:
+    """Approximate distinct counts from per-chunk HyperLogLog sketches —
+    a metadata-only query: no payload byte is read or decoded.
+
+    HLL merge is an elementwise register max (associative/commutative),
+    so the plan is a tree reduction: each scan partition folds its chunks'
+    ~1 KiB blobs into one partial per column inside ``mapInArrow``, the
+    driver merges the ≤ #partitions partials and runs the bias-corrected
+    estimator (``kernel.hll.hll_estimate``, ~3.2% standard error at
+    p=10). At 100 TB that's KBs to the driver regardless of table size —
+    the exact shape warehouse NDV statistics use.
+
+    Returns ``{column: estimated_ndv}`` (non-null values). Raises if any
+    requested column has a chunk without a sketch (hll-disabled encode,
+    unsupported type, pre-sketch store): a partial merge would silently
+    under-count, which is worse than telling the caller to decode.
+    """
+    from ..kernel.hll import hll_estimate, hll_merge
+
+    types = column_arrow_types(spark, out_dir)
+    for c in columns:
+        if c not in types:
+            raise KeyError(f"column {c!r} not in encoded data")
+    meta = _chunks_df(spark, out_dir, list(columns))
+    if "hll" not in meta.columns:
+        raise ValueError("store has no HLL sketches (pre-sketch encode)")
+    src = meta.select("column", "hll")
+    # schema must match the DDL exactly (large_binary would crash the
+    # JVM ArrowColumnVector against a declared 'binary')
+    out_schema = pa.schema([("column", pa.string()), ("hll", pa.binary()),
+                            ("missing", pa.bool_())])
+
+    def partial_merge(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        acc: dict[str, bytes | None] = {}
+        missing: set[str] = set()
+        for batch in batches:
+            for col_s, blob_s in zip(batch.column("column"),
+                                     batch.column("hll")):
+                col = col_s.as_py()
+                blob = blob_s.as_py()
+                if blob is None:
+                    missing.add(col)
+                    continue
+                prev = acc.get(col)
+                acc[col] = blob if prev is None else hll_merge([prev, blob])
+        rows = [{"column": c, "hll": b, "missing": c in missing}
+                for c, b in acc.items()]
+        rows += [{"column": c, "hll": None, "missing": True}
+                 for c in missing if c not in acc]
+        yield pa.RecordBatch.from_pylist(rows, schema=out_schema)
+
+    partials = src.mapInArrow(
+        partial_merge, "column string, hll binary, missing boolean").collect()
+    merged: dict[str, bytes | None] = {}
+    incomplete: set[str] = set()
+    for r in partials:
+        if r["missing"]:
+            incomplete.add(r["column"])
+        if r["hll"] is not None:
+            prev = merged.get(r["column"])
+            merged[r["column"]] = (r["hll"] if prev is None
+                                   else hll_merge([prev, r["hll"]]))
+    result: dict[str, int] = {}
+    for c in columns:
+        if c in incomplete or merged.get(c) is None:
+            raise ValueError(
+                f"column {c!r} has chunks without HLL sketches "
+                f"({types[c]}; hll-disabled or pre-sketch encode) — "
+                f"estimate would under-count; decode instead")
+        result[c] = hll_estimate(merged[c])
+    return result

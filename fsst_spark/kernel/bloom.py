@@ -140,16 +140,19 @@ def _geometry(ndv_est: int, bits_per_value: int) -> tuple[int, int]:
 
 
 def bloom_build(arr: pa.Array, ndv_est: int,
-                bits_per_value: int = 10) -> bytes | None:
+                bits_per_value: int = 10,
+                hashes: np.ndarray | None = None) -> bytes | None:
     """Bloom blob over a chunk's non-null values, or None for value types
     without a hash path (floats: equality probes are rare and NaN/-0.0
     identity is a trap; nested types). An all-null chunk gets a zero
     bitmap — every probe misses, and ``x == v`` indeed matches no row
     there. Duplicated values re-set the same bits (no unique() pass);
-    sizing uses the caller's NDV estimate (chunk_stats' strided sample)."""
+    sizing uses the caller's NDV estimate (chunk_stats' strided sample).
+    ``hashes`` lets the encoder share one ``_value_hashes`` pass with the
+    HLL sketch instead of hashing the chunk twice."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    h1 = _value_hashes(arr)
+    h1 = _value_hashes(arr) if hashes is None else hashes
     if h1 is None and len(arr) != arr.null_count:
         return None  # unsupported type with actual values
     m_bits, k = _geometry(ndv_est, bits_per_value)

@@ -257,3 +257,104 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
         out = out.withColumn(f"n_pii_{name}", F.regexp_count(cur, F.lit(pat)))
         cur = F.regexp_replace(cur, pat, repl)
     return out.withColumn(text_col, cur)
+
+
+# Gopher / MassiveText repetition thresholds (Rae et al. 2021, table A1):
+# a document is removed when the fraction of characters in duplicate lines
+# exceeds 20%, in the most-covering word 2-gram exceeds 20%, or in
+# duplicated word 5-grams exceeds 15%.
+REP_DUP_LINE_CHAR_MAX_PCT = 20
+REP_TOP_BIGRAM_CHAR_MAX_PCT = 20
+REP_DUP_5GRAM_CHAR_MAX_PCT = 15
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document repetition signals (Gopher / MassiveText A1.1) — the
+    character-fraction family that ``gopher_quality_flags``'s line-COUNT
+    rule doesn't cover:
+
+      dup_line_char_pct   % of chars in lines occurring more than once
+                          (every occurrence counts, newlines excluded)
+      top_bigram_char_pct % of chars covered by the most-covering word
+                          2-gram (max over grams of count*len(gram))
+      dup_5gram_char_pct  % of chars in word 5-grams occurring more than
+                          once (count*len summed over duplicated grams)
+
+    plus per-rule ``*_ok`` flags at the published thresholds and an
+    overall ``rep_keep``. Percentages are integer (``div``) so Spark and
+    a SQL oracle agree bit-for-bit; empty documents score 0 everywhere.
+
+    Scale shape: ONE source scan builds kind-tagged gram structs (lines /
+    2-grams / 5-grams plus a sentinel so empty docs survive), ONE explode
+    feeds a (id, kind, gram) count with map-side partial aggregation —
+    keys are per-document, so no cross-document skew — and a second
+    per-id aggregation folds the three signals in the same pass. No
+    joins, no Python, O(doc length) work per document.
+
+    Reference tie: engine-side curation surface; the reference is a codec
+    kernel with no text layer (spiraldb/fsst src/lib.rs:14-17).
+    """
+    t = F.trim(F.col(text_col))
+    toks = F.split(t, r"\s+")
+
+    def grams_of(n: int):
+        return F.when(
+            (F.length(t) > 0) & (F.size(toks) >= n),
+            F.transform(F.sequence(F.lit(0), F.size(toks) - n),
+                        lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def tagged(kind: str, arr):
+        return F.transform(arr, lambda g: F.struct(
+            F.lit(kind).alias("kind"), g.alias("g")))
+
+    lines = F.when(F.length(t) == 0,
+                   F.array().cast("array<string>")).otherwise(F.split(t, r"\n"))
+    # the sentinel row keeps empty/short documents in the output
+    all_grams = F.concat(
+        F.array(F.struct(F.lit("N").alias("kind"), F.lit("").alias("g"))),
+        tagged("L", lines), tagged("2", grams_of(2)), tagged("5", grams_of(5)))
+
+    exploded = df.select(
+        F.col(id_col).alias("_rid"), F.length(t).alias("n_chars"),
+        F.explode(all_grams).alias("kg"),
+    ).select("_rid", "n_chars", F.col("kg.kind").alias("kind"),
+             F.col("kg.g").alias("g"))
+
+    counts = exploded.groupBy("_rid", "kind", "g").agg(
+        F.count("*").alias("cnt"), F.first("n_chars").alias("n_chars"))
+
+    covered = F.col("cnt") * F.length("g")
+    dup = F.when((F.col("cnt") > 1) & (F.col("kind") == "L"), covered)
+    dup5 = F.when((F.col("cnt") > 1) & (F.col("kind") == "5"), covered)
+    top2 = F.when(F.col("kind") == "2", covered)
+    agg = counts.groupBy("_rid").agg(
+        F.first("n_chars").alias("n_chars"),
+        F.coalesce(F.sum(dup), F.lit(0)).alias("_line_chars"),
+        F.coalesce(F.max(top2), F.lit(0)).alias("_g2_chars"),
+        F.coalesce(F.sum(dup5), F.lit(0)).alias("_g5_chars"),
+    )
+
+    out = agg
+    for src, dst in (("_line_chars", "dup_line_char_pct"),
+                     ("_g2_chars", "top_bigram_char_pct"),
+                     ("_g5_chars", "dup_5gram_char_pct")):
+        out = out.withColumn(
+            dst,
+            F.when(F.col("n_chars") == 0, F.lit(0))
+            .otherwise(F.expr(f"({src} * 100) div n_chars")).cast("bigint"))
+    return (
+        out.select(F.col("_rid").alias(id_col), "n_chars",
+                   "dup_line_char_pct", "top_bigram_char_pct",
+                   "dup_5gram_char_pct")
+        .withColumn("dup_line_char_ok",
+                    F.col("dup_line_char_pct") <= REP_DUP_LINE_CHAR_MAX_PCT)
+        .withColumn("top_bigram_char_ok",
+                    F.col("top_bigram_char_pct") <= REP_TOP_BIGRAM_CHAR_MAX_PCT)
+        .withColumn("dup_5gram_char_ok",
+                    F.col("dup_5gram_char_pct") <= REP_DUP_5GRAM_CHAR_MAX_PCT)
+        .withColumn("rep_keep",
+                    F.col("dup_line_char_ok") & F.col("top_bigram_char_ok")
+                    & F.col("dup_5gram_char_ok"))
+    )
