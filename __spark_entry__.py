@@ -317,6 +317,25 @@ def q_bloom_point_decode(spark, sf_dir):
         "n_rows bigint, sum_ids bigint, min_url string, max_url string")
 
 
+def q_front_roundtrip_url(spark, sf_dir):
+    """Front-coding round-trip gate: a sorted reversed-host URL column must
+    select the str_front codec (prefix share ≥ 25%) and decode
+    bit-identically; the codec name is VALUES-pinned like
+    codec_selection_detail."""
+    from fsst_spark.pipeline.roundtrip import codec_summary
+
+    url = F.concat(F.lit("net.example."), F.col("source"),
+                   F.lit("/docs/"), F.col("doc_id").cast("string"))
+    df = (_docs(spark, sf_dir).select(url.alias("url"))
+          .coalesce(1).sortWithinPartitions("url"))
+    s = codec_summary(df, ["url"])
+    return s.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_match").alias("n_match"),
+        F.concat_ws(",", F.array_sort(F.collect_list("codec"))).alias("codec"),
+    )
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher/MassiveText repetition signals (dup-line / top-bigram /
     dup-5-gram character fractions): every 10th document gets a repeated
@@ -1285,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonemap_decode_multi": q_zonemap_decode_multi,
         "dict_prune_decode": q_dict_prune_decode,
         "bloom_point_decode": q_bloom_point_decode,
+        "front_roundtrip_url": q_front_roundtrip_url,
         "repetition_stats": q_repetition_stats,
         "decode_semijoin": q_decode_semijoin,
         "encoded_ndv": q_encoded_ndv,
@@ -1511,6 +1531,11 @@ def oracle_sql() -> dict[str, str]:
             "min(url) AS min_url, max(url) AS max_url FROM u "
             "WHERE url IN ('https://d77.example.net/77', "
             "'https://d26.example.net/123', 'https://d23.example.net/411')"
+        ),
+        "front_roundtrip_url": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(count(*) AS BIGINT) AS n_match, "
+            "'str_front' AS codec FROM documents"
         ),
         "repetition_stats": (
             "WITH d AS (SELECT doc_id, trim(CASE WHEN doc_id % 10 = 0 "

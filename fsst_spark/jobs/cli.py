@@ -169,6 +169,13 @@ def main(argv: list[str] | None = None) -> int:
     sta.add_argument("--columns", required=True, help="comma-separated")
     sta.add_argument("--exact-minmax", action="store_true")
 
+    ndv = sub.add_parser("ndv",
+                         help="approx distinct counts from per-chunk HLL "
+                              "sketches — metadata-only, no payload reads "
+                              "(~3% standard error)")
+    ndv.add_argument("--data", required=True)
+    ndv.add_argument("--columns", required=True, help="comma-separated")
+
     tpk = sub.add_parser("topk",
                          help="ORDER BY col [DESC] LIMIT k from an encoded "
                               "store — zone maps bound the k-th value and "
@@ -344,6 +351,11 @@ def main(argv: list[str] | None = None) -> int:
                        for r in encoded_column_stats(spark, args.data,
                                                      cols).collect()}
             print(json.dumps(out, default=str))
+        elif args.cmd == "ndv":
+            from fsst_spark.jobs.stats import encoded_ndv
+
+            out = encoded_ndv(spark, args.data, args.columns.split(","))
+            print(json.dumps(out))
         elif args.cmd == "topk":
             from fsst_spark.jobs.stats import encoded_topk
 

@@ -247,6 +247,106 @@ def decode_str_fsst(enc: Encoded) -> tuple[np.ndarray, np.ndarray]:
     return decode_chunk(np.frombuffer(data, dtype=np.uint8), enc_off, sym_mat, sym_lens)
 
 
+FRONT_MAX_PREFIX = 255  # cap stored prefix length: bounds the decode loop
+FRONT_MAX_LEN = 2048  # front-code only short-string chunks (urls, keys)
+FRONT_MIN_SHARE = 0.25  # choose front when prefixes cover >=25% of bytes
+_FRONT_BLOCK = 1 << 16  # rows per prefix-computation block (bounds memory)
+
+
+def front_prefix_lens(buf: np.ndarray, offsets: np.ndarray,
+                      cap: int = FRONT_MAX_PREFIX) -> np.ndarray:
+    """Common-prefix length of each value with its predecessor (first value
+    0), capped at ``cap``. Vectorized: per block, gather both neighbors
+    into (rows, cap) zero-padded matrices and argmax the first mismatch —
+    O(n·cap) numpy, no per-byte Python. This is the analysis pass AND the
+    encode pass of front coding (Parquet DELTA_BYTE_ARRAY's shape)."""
+    n = len(offsets) - 1
+    plens = np.zeros(n, np.int64)
+    if n <= 1:
+        return plens
+    lens = _lens_from_offsets(offsets)
+    minlen = np.minimum(lens[:-1], lens[1:])
+    cap_eff = min(cap, int(minlen.max())) if n > 1 else 0
+    if cap_eff == 0:
+        return plens
+    col = np.arange(cap_eff, dtype=np.int64)
+    for lo in range(0, n - 1, _FRONT_BLOCK):
+        hi = min(lo + _FRONT_BLOCK, n - 1)
+        m = np.minimum(minlen[lo:hi], cap_eff)
+        mask = col[None, :] < m[:, None]
+        a = np.zeros((hi - lo, cap_eff), np.uint8)
+        b = np.zeros_like(a)
+        a[mask] = buf[(offsets[lo:hi, None] + col[None, :])[mask]]
+        b[mask] = buf[(offsets[lo + 1:hi + 1, None] + col[None, :])[mask]]
+        neq = (a != b) | ~mask
+        first = np.where(neq.any(axis=1), neq.argmax(axis=1), m)
+        plens[lo + 1:hi + 1] = first
+    return plens
+
+
+def encode_str_front(buf: np.ndarray, offsets: np.ndarray,
+                     plens: np.ndarray | None = None) -> Encoded:
+    """Front coding (incremental encoding): store each value as (shared
+    prefix length with the previous value, suffix bytes); suffixes FSST'd.
+    The classic layout for SORTED short strings — Parquet DELTA_BYTE_ARRAY,
+    ORC/LevelDB key blocks — and the payoff of clustering an encode by
+    ``url_sort_key``: adjacent reversed-host URLs share long prefixes that
+    FSST's 8-byte symbols cannot capture alone."""
+    lens = _lens_from_offsets(offsets)
+    if plens is None:
+        plens = front_prefix_lens(buf, offsets)
+    slens = lens - plens
+    base = offsets[:-1] + plens
+    total = int(slens.sum())
+    src = np.repeat(base - _offsets_from_lens(slens)[:-1], slens) \
+        + np.arange(total, dtype=np.int64)
+    sbuf = buf[src] if total else np.zeros(0, np.uint8)
+    soff = _offsets_from_lens(slens)
+    ep = select_int_codec(plens)
+    if int(soff[-1]) >= 4096:
+        es = encode_str_fsst(sbuf, soff)
+    else:
+        es = encode_str_plain(sbuf, soff)
+    params = {"n": len(lens),
+              "plens": {"codec": ep["codec"], "params": ep["params"]},
+              "suffix": {"codec": es["codec"], "params": es["params"]}}
+    return {"codec": "str_front", "params": params,
+            "payload": _pack_sections(params, ep["payload"], es["payload"])}
+
+
+def decode_str_front(enc: Encoded) -> tuple[np.ndarray, np.ndarray]:
+    """Reconstruct front-coded values without per-value Python: suffix
+    bytes scatter directly; prefix byte (row i, col j) comes from the
+    LATEST row k <= i with plen[k] <= j (its suffix holds column j), found
+    per column with a running maximum — O(max_prefix) vectorized passes,
+    bounded by the encode-time FRONT_MAX_PREFIX cap."""
+    p = enc["params"]
+    pp, sp = _split_sections(p, enc["payload"])
+    plens = decode_bytes_like({**p["plens"], "payload": pp}, kind="int")
+    sbuf, soff = decode_bytes_like({**p["suffix"], "payload": sp}, kind="str")
+    slens = _lens_from_offsets(soff)
+    lens = plens + slens
+    out_off = _offsets_from_lens(lens)
+    total = int(out_off[-1])
+    out = np.zeros(total, np.uint8)
+    n = len(lens)
+    if total == 0 or n == 0:
+        return out, out_off
+    # suffix bytes land at out_off[i] + plen[i] + t
+    dst = np.repeat(out_off[:-1] + plens - soff[:-1], slens) \
+        + np.arange(int(soff[-1]), dtype=np.int64)
+    out[dst] = sbuf
+    idx = np.arange(n, dtype=np.int64)
+    maxp = int(plens.max())
+    for j in range(maxp):
+        origin = np.maximum.accumulate(np.where(plens <= j, idx, -1))
+        need = plens > j  # rows whose byte j is inherited
+        rows = idx[need]
+        org = origin[rows]
+        out[out_off[rows] + j] = sbuf[soff[org] + j - plens[org]]
+    return out, out_off
+
+
 def encode_str_dict(arr: pa.Array) -> Encoded:
     """Dictionary-encode via Arrow (C++ hash kernel), then bit-pack the
     codes (RLE'd first when runny) and FSST the dictionary values."""
@@ -283,7 +383,8 @@ def decode_str_dict(enc: Encoded) -> tuple[np.ndarray, np.ndarray]:
 
 _INT_DECODERS = {"int_for": decode_int_for, "int_rle": decode_int_rle,
                  "int_plain": decode_int_plain, "int_delta": decode_int_delta}
-_STR_DECODERS = {"str_plain": decode_str_plain, "str_fsst": decode_str_fsst, "str_dict": decode_str_dict}
+_STR_DECODERS = {"str_plain": decode_str_plain, "str_fsst": decode_str_fsst,
+                 "str_dict": decode_str_dict, "str_front": decode_str_front}
 
 
 # ---------------------------------------------------------------------------
@@ -457,8 +558,18 @@ def encode_column(arr: pa.Array, stats: dict | None = None) -> Encoded:
             enc = encode_str_dict(values)
         else:
             buf, offsets = _arrow_bytes_buffers(values)
-            enc = encode_str_fsst(buf, offsets)
             raw = int(offsets[-1] - offsets[0])
+            lens = _lens_from_offsets(offsets)
+            enc = None
+            if len(lens) > 1 and raw and int(lens.max()) <= FRONT_MAX_LEN:
+                # sorted/clustered short strings (url_sort_key layouts):
+                # adjacent values sharing >=25% of their bytes as prefixes
+                # front-code; the suffix stream still goes through FSST
+                plens = front_prefix_lens(buf, offsets)
+                if int(plens.sum()) >= FRONT_MIN_SHARE * raw:
+                    enc = encode_str_front(buf, offsets, plens=plens)
+            if enc is None:
+                enc = encode_str_fsst(buf, offsets)
             if raw and raw / max(len(enc["payload"]), 1) < FSST_MIN_GAIN:
                 enc = encode_str_plain(buf, offsets)
     elif pa.types.is_floating(t):

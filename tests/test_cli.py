@@ -181,3 +181,19 @@ def test_cli_topk_and_distinct(tmp_path):
     ).fetchall())
     assert t["values"] == want_t and t["n_chunks_total"] >= 1
     assert d["values"] == want_d and d["n_distinct"] == len(want_d)
+
+
+def test_cli_ndv(tmp_path):
+    """ndv answers approx distinct counts from HLL sketches alone; at test
+    cardinalities (linear-counting regime) the estimates are near-exact."""
+    src = str(tmp_path / "corpus6")
+    enc = str(tmp_path / "encoded6")
+    _run("synth", "--rows", "400", "--out", src)
+    _run("encode", "--input", src, "--out", enc)
+    n = _run("ndv", "--data", enc, "--columns", "url,lang")
+    import duckdb
+    want_url, want_lang = duckdb.sql(
+        f"SELECT count(DISTINCT url), count(DISTINCT lang) "
+        f"FROM read_parquet('{src}/*.parquet')").fetchone()
+    assert abs(n["url"] - want_url) <= max(2, 0.06 * want_url)
+    assert n["lang"] == want_lang

@@ -114,8 +114,21 @@ def test_select_dict_for_low_ndv():
     assert enc["codec"] == "str_dict"
 
 
-def test_select_fsst_for_texty():
+def test_select_front_for_templated_text():
+    # constant-template rows share a long literal prefix: front coding
+    # beats plain FSST by ~33% here (measured), so the selector prefers it
     arr = _str_arr([f"document number {i} talks about the weather in city {i*7%93}" for i in range(1500)])
+    enc = _roundtrip_column(arr)
+    assert enc["codec"] == "str_front"
+
+
+def test_select_fsst_for_texty():
+    import random
+
+    rng = random.Random(5)
+    words = ("the quick brown fox jumps over lazy dog weather city "
+             "report about talks").split()
+    arr = _str_arr([" ".join(rng.choices(words, k=12)) for _ in range(1500)])
     enc = _roundtrip_column(arr)
     assert enc["codec"] == "str_fsst"
 

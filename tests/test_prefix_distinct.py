@@ -22,8 +22,18 @@ def store(spark, tmp_path_factory):
           .withColumn("lang", F.element_at(
               F.array(F.lit("de"), F.lit("en"), F.lit("fr"), F.lit("pt")),
               (F.col("doc_id") % 4 + 1).cast("int"))))
-    encode_job(spark, df, out, num_partitions=6, chunk_bytes=16 << 10,
-               resume=False, unique_col="doc_id", sort_key="key").collect()
+    # many chunks per partition: with one chunk per range partition the
+    # existence of an INTERIOR all-match chunk for a 1/4-keyspace prefix
+    # depends on where repartitionByRange's sampled boundaries land (they
+    # shift with session history); ~60 chunks make it structural
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "500")
+    try:
+        encode_job(spark, df, out, num_partitions=6, chunk_bytes=16 << 10,
+                   resume=False, unique_col="doc_id", sort_key="key").collect()
+    finally:
+        spark.conf.set(key, old)
     return out, df
 
 
