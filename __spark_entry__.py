@@ -317,6 +317,67 @@ def q_bloom_point_decode(spark, sf_dir):
         "n_rows bigint, sum_ids bigint, min_url string, max_url string")
 
 
+def q_recluster_decode(spark, sf_dir):
+    """Store re-layout (decode -> range-sort on a new key -> re-encode):
+    after reclustering on n_chars, a selective decode on that key must
+    return exactly the SQL-filtered rows (zones selectivity is pinned by
+    tests/test_recluster.py; this gate pins content fidelity through the
+    full decode/re-encode round)."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.compact import recluster_store
+    from fsst_spark.jobs.decode import decode_filtered
+    from fsst_spark.jobs.encode import encode_job
+
+    src = tempfile.mkdtemp(prefix="fsst_recl_src_")
+    dst = tempfile.mkdtemp(prefix="fsst_recl_dst_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+        encode_job(spark, docs, src, chunk_bytes=16 << 10, resume=False,
+                   pre_partitioned=True, unique_col="doc_id").collect()
+        recluster_store(spark, src, dst, "n_chars",
+                        num_partitions=4, chunk_bytes=16 << 10).collect()
+        r = decode_filtered(spark, dst, "n_chars", ">=", 400).agg(
+            F.count("*").alias("n_rows"),
+            F.sum("doc_id").alias("sum_ids"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["n_rows"], r["sum_ids"])], "n_rows bigint, sum_ids bigint")
+
+
+def q_encoded_profile(spark, sf_dir):
+    """Metadata-only column profiling: rows, exact null counts (from each
+    chunk's params), and the codec mix must match SQL counts + the
+    VALUES-pinned expected codecs, without reading any payload (payload-
+    freeness is plan-asserted in tests/test_profile.py)."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.encode import encode_job
+    from fsst_spark.jobs.stats import encoded_profile
+
+    out = tempfile.mkdtemp(prefix="fsst_profile_q_")
+    try:
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.when(F.col("doc_id") % 7 == 0, None)
+            .otherwise(F.col("lang")).alias("lang"))
+        encode_job(spark, docs, out, chunk_bytes=256 << 10, resume=False,
+                   pre_partitioned=True, unique_col="doc_id").collect()
+        rows = (encoded_profile(spark, out)
+                .select("column", "n_rows", "n_nulls", "codecs")
+                .orderBy("column").collect())
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["column"], r["n_rows"], r["n_nulls"], r["codecs"]) for r in rows],
+        "column string, n_rows bigint, n_nulls bigint, codecs string")
+
+
 def q_front_roundtrip_url(spark, sf_dir):
     """Front-coding round-trip gate: a sorted reversed-host URL column must
     select the str_front codec (prefix share ≥ 25%) and decode
@@ -1305,6 +1366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dict_prune_decode": q_dict_prune_decode,
         "bloom_point_decode": q_bloom_point_decode,
         "front_roundtrip_url": q_front_roundtrip_url,
+        "encoded_profile": q_encoded_profile,
+        "recluster_decode": q_recluster_decode,
         "repetition_stats": q_repetition_stats,
         "decode_semijoin": q_decode_semijoin,
         "encoded_ndv": q_encoded_ndv,
@@ -1536,6 +1599,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
             "CAST(count(*) AS BIGINT) AS n_match, "
             "'str_front' AS codec FROM documents"
+        ),
+        "recluster_decode": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_ids "
+            "FROM documents WHERE n_chars >= 400"
+        ),
+        "encoded_profile": (
+            "SELECT * FROM ("
+            "SELECT 'doc_id' AS \"column\", "
+            "CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(0 AS BIGINT) AS n_nulls, 'int_delta' AS codecs "
+            "FROM documents "
+            "UNION ALL SELECT 'lang', CAST(count(*) AS BIGINT), "
+            "CAST(count(*) FILTER (doc_id % 7 = 0) AS BIGINT), 'str_dict' "
+            "FROM documents) ORDER BY \"column\""
         ),
         "repetition_stats": (
             "WITH d AS (SELECT doc_id, trim(CASE WHEN doc_id % 10 = 0 "

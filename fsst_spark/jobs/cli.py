@@ -169,6 +169,14 @@ def main(argv: list[str] | None = None) -> int:
     sta.add_argument("--columns", required=True, help="comma-separated")
     sta.add_argument("--exact-minmax", action="store_true")
 
+    prf = sub.add_parser("profile",
+                         help="column profile from metadata alone: rows, "
+                              "nulls, chunks, codec mix, bytes, ratio, "
+                              "zone bounds (no payload reads)")
+    prf.add_argument("--data", required=True)
+    prf.add_argument("--columns", default=None, help="comma-separated; "
+                     "default all")
+
     ndv = sub.add_parser("ndv",
                          help="approx distinct counts from per-chunk HLL "
                               "sketches — metadata-only, no payload reads "
@@ -201,6 +209,16 @@ def main(argv: list[str] | None = None) -> int:
     cpt.add_argument("--out", required=True, help="compacted store (new dir)")
     cpt.add_argument("--target-files", type=int, default=None,
                      help="output chunk-file count (default: input/8)")
+
+    rcl = sub.add_parser("recluster",
+                         help="re-layout an encoded store on a cluster key "
+                              "(decode -> range-sort -> re-encode) so zone "
+                              "maps prune on that key")
+    rcl.add_argument("--data", required=True, help="existing encoded store")
+    rcl.add_argument("--out", required=True, help="re-clustered store (new dir)")
+    rcl.add_argument("--cluster-by", required=True,
+                     help="same grammar as encode --cluster-by")
+    rcl.add_argument("--partitions", type=int, default=None)
 
     grp = sub.add_parser("group-stats",
                          help="GROUP BY over an encoded store answered from "
@@ -351,6 +369,14 @@ def main(argv: list[str] | None = None) -> int:
                        for r in encoded_column_stats(spark, args.data,
                                                      cols).collect()}
             print(json.dumps(out, default=str))
+        elif args.cmd == "profile":
+            from fsst_spark.jobs.stats import encoded_profile
+
+            cols = args.columns.split(",") if args.columns else None
+            rows = encoded_profile(spark, args.data, cols).collect()
+            print(json.dumps({r["column"]: {k: r[k] for k in r.asDict()
+                                            if k != "column"}
+                              for r in rows}, default=str))
         elif args.cmd == "ndv":
             from fsst_spark.jobs.stats import encoded_ndv
 
@@ -392,6 +418,15 @@ def main(argv: list[str] | None = None) -> int:
                 "rows": sum(m["n_rows"] for m in metrics),
                 "chunks": sum(m["n_chunks"] for m in metrics),
             }))
+        elif args.cmd == "recluster":
+            from fsst_spark.jobs.compact import recluster_store
+
+            sort_names, sort_exprs = _parse_cluster_by(args.cluster_by)
+            keys = sort_names or sort_exprs
+            rows = recluster_store(spark, args.data, args.out, keys,
+                                   num_partitions=args.partitions).collect()
+            print(json.dumps({"partitions": len(rows),
+                              "rows": sum(r["n_rows"] for r in rows)}))
         elif args.cmd == "group-stats":
             from fsst_spark.jobs.agg import (encoded_group_count,
                                              encoded_group_sum)

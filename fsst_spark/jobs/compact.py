@@ -119,3 +119,35 @@ def compact_store(spark, in_dir: str, out_dir: str,
         yield from manifest_tbl.to_batches()
 
     return part.mapInArrow(rewrite, METRIC_SCHEMA_DDL)
+
+
+def recluster_store(spark, in_dir: str, out_dir: str, sort_key,
+                    num_partitions: int | None = None,
+                    chunk_bytes: int = 16 << 20,
+                    lineage: dict | None = None) -> DataFrame:
+    """Re-layout an existing encoded store on a new cluster key — the
+    maintenance action that turns an ingest-ordered store into one whose
+    zone maps actually prune (Iceberg's ``rewrite_data_files`` with a
+    sort order, Delta's ``OPTIMIZE ZORDER BY``).
+
+    Unlike ``compact_store`` this MUST decode and re-encode: changing row
+    order changes every chunk's zones, codecs (sorted strings front-code),
+    and payloads. The plan is the decode scan feeding the encode job's
+    range shuffle — two passes over payload bytes, metadata-scale driver
+    work, no collects.
+
+    ``sort_key`` is whatever ``encode_job(sort_key=)`` accepts (column
+    names, Spark Columns) plus factories ``df -> Column`` (the CLI's
+    parsed ``url_sort_key(COL)``/``zorder(...)`` expressions need the
+    decoded frame to bind against). Returns the encode metrics frame
+    (lazy — ``.collect()`` it to run)."""
+    from .decode import decode_job
+    from .encode import encode_job
+
+    df = decode_job(spark, in_dir).drop("pid", "chunk_id")
+    keys = sort_key if isinstance(sort_key, (list, tuple)) else [sort_key]
+    keys = [k(df) if callable(k) else k for k in keys]
+    return encode_job(
+        spark, df, out_dir, num_partitions=num_partitions,
+        chunk_bytes=chunk_bytes, resume=False, sort_key=list(keys),
+        lineage={**(lineage or {}), "recluster_from": in_dir})

@@ -413,3 +413,49 @@ def encoded_ndv(spark, out_dir: str, columns: list[str]) -> dict:
                 f"estimate would under-count; decode instead")
         result[c] = hll_estimate(merged[c])
     return result
+
+
+def encoded_profile(spark, out_dir: str,
+                    columns: list[str] | None = None) -> DataFrame:
+    """Column profile of an encoded store from metadata alone — the
+    ``DESCRIBE``/profiling pass a pipeline runs before deciding layouts,
+    filters, and codecs, answered without reading a payload byte.
+
+    One payload-free scan of the chunk table (parquet prunes to the
+    narrow metadata columns) aggregates per column:
+
+      n_rows, n_nulls   exact (null counts come from each chunk's params:
+                        ``n_total`` is written only for null-bearing
+                        chunks and ``n`` is its non-null count)
+      n_chunks, codecs  chunk count + distinct codec mix (sorted csv)
+      raw_bytes, enc_bytes, ratio_x100   exact compression accounting
+      zmin_long, zmax_long   zone-key bounds (exact values for ints/
+                        timestamps; order-preserving keys otherwise)
+
+    Pair with ``encoded_ndv`` (HLL sketches) for distinct counts and
+    ``encoded_column_minmax`` for exact string/float extremes — both stay
+    metadata-light, so the full profile of a 100 TB store is seconds of
+    footer reads."""
+    types = column_arrow_types(spark, out_dir)
+    for c in columns or []:
+        if c not in types:
+            raise KeyError(f"column {c!r} not in encoded data")
+    meta = _chunks_df(spark, out_dir, list(columns) if columns else None)
+    has_zones = "zmin_long" in meta.columns
+    n_vals = F.get_json_object("params", "$.n").cast("long")
+    n_total = F.get_json_object("params", "$.n_total").cast("long")
+    agg = [
+        F.first(F.get_json_object("params", "$.arrow_type")).alias("arrow_type"),
+        F.sum("n_rows").alias("n_rows"),
+        F.sum(F.coalesce(n_total - n_vals, F.lit(0))).alias("n_nulls"),
+        F.count("*").alias("n_chunks"),
+        F.concat_ws(",", F.array_sort(F.collect_set("codec"))).alias("codecs"),
+        F.sum("raw_bytes").alias("raw_bytes"),
+        F.sum("enc_bytes").alias("enc_bytes"),
+        (F.sum("raw_bytes") * 100 / F.greatest(F.sum("enc_bytes"), F.lit(1)))
+        .cast("bigint").alias("ratio_x100"),
+    ]
+    if has_zones:
+        agg += [F.min("zmin_long").alias("zmin_long"),
+                F.max("zmax_long").alias("zmax_long")]
+    return meta.groupBy("column").agg(*agg).orderBy("column")
