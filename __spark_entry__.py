@@ -317,6 +317,37 @@ def q_bloom_point_decode(spark, sf_dir):
         "n_rows bigint, sum_ids bigint, min_url string, max_url string")
 
 
+def q_or_filter_decode(spark, sf_dir):
+    """Disjunctive selective decode (CNF with one OR clause): rows where
+    n_chars >= 300 AND (doc_id < 50 OR lang = 'fr') — chunk pruning keeps
+    the union of the OR branches' keep-sets; the row set must equal the
+    plain SQL filter."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.decode import decode_filtered
+    from fsst_spark.jobs.encode import encode_job
+
+    out = tempfile.mkdtemp(prefix="fsst_orf_q_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+        encode_job(spark, docs, out, chunk_bytes=16 << 10, resume=False,
+                   pre_partitioned=True, unique_col="doc_id").collect()
+        r = decode_filtered(
+            spark, out, "n_chars", ">=", 300,
+            any_filters=[("doc_id", "<", 50), ("lang", "==", "fr")],
+        ).agg(
+            F.count("*").alias("n_rows"),
+            F.sum("doc_id").alias("sum_ids"),
+            F.sum("n_chars").alias("sum_chars"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["n_rows"], r["sum_ids"], r["sum_chars"])],
+        "n_rows bigint, sum_ids bigint, sum_chars bigint")
+
+
 def q_recluster_decode(spark, sf_dir):
     """Store re-layout (decode -> range-sort on a new key -> re-encode):
     after reclustering on n_chars, a selective decode on that key must
@@ -1368,6 +1399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "front_roundtrip_url": q_front_roundtrip_url,
         "encoded_profile": q_encoded_profile,
         "recluster_decode": q_recluster_decode,
+        "or_filter_decode": q_or_filter_decode,
         "repetition_stats": q_repetition_stats,
         "decode_semijoin": q_decode_semijoin,
         "encoded_ndv": q_encoded_ndv,
@@ -1604,6 +1636,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
             "CAST(sum(doc_id) AS BIGINT) AS sum_ids "
             "FROM documents WHERE n_chars >= 400"
+        ),
+        "or_filter_decode": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_ids, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents WHERE n_chars >= 300 "
+            "AND (doc_id < 50 OR lang = 'fr')"
         ),
         "encoded_profile": (
             "SELECT * FROM ("

@@ -388,6 +388,28 @@ def pruned_chunks(spark, out_dir: str, columns: list[str] | None,
     return chunks
 
 
+def pruned_chunks_any(spark, out_dir: str, columns: list[str] | None,
+                      filters: list[tuple[str, str, int | str]],
+                      dict_prune: bool = True) -> DataFrame:
+    """Chunk rows for ``columns``, minus every chunk that NO branch of the
+    disjunction ``filters`` can match — the OR complement of
+    ``pruned_chunks``. A chunk survives if any single branch's full
+    pruning stack (zones, dict sections, blooms) keeps it, so the
+    surviving set is exactly the union of the per-branch keep-sets; each
+    branch reuses the conjunctive pruner with itself as the only filter
+    (metadata-only scans, one per branch — OR fan-out is small in
+    practice)."""
+    chunks = _chunks_df(spark, out_dir, columns)
+    if not filters:
+        return chunks
+    keep = None
+    for zf in filters:
+        k = pruned_chunks(spark, out_dir, columns, [zf], dict_prune) \
+            .select("pid", "chunk_id")
+        keep = k if keep is None else keep.unionByName(k)
+    return chunks.join(keep.distinct(), ["pid", "chunk_id"], "left_semi")
+
+
 def chunk_repartition(spark, chunks: DataFrame, out_dir: str) -> DataFrame:
     """Shuffle chunk rows so all column rows of one chunk land in one task.
 
@@ -412,6 +434,7 @@ def chunk_repartition(spark, chunks: DataFrame, out_dir: str) -> DataFrame:
 def decode_job(spark, out_dir: str, columns: list[str] | None = None,
                zone_filter: tuple[str, str, int | str] | None = None,
                zone_filters: list[tuple[str, str, int | str]] | None = None,
+               zone_filters_any: list[tuple[str, str, int | str]] | None = None,
                dict_prune: bool = True) -> DataFrame:
     """DataFrame of the decoded table (plus pid/chunk_id provenance cols).
 
@@ -420,15 +443,22 @@ def decode_job(spark, out_dir: str, columns: list[str] | None = None,
     chunks via the encode-time zone maps BEFORE any payload is read or
     decoded — chunk-granular, so the result still contains non-matching
     rows from surviving chunks; apply the exact row predicate afterwards
-    (``decode_filtered`` does both). String equality filters additionally
-    prune via the dict codec's dictionary (``dict_prune``): chunks whose
-    dictionary lacks the value are skipped without decoding any payload
-    beyond the dictionary itself."""
+    (``decode_filtered`` does both). ``zone_filters_any`` instead prunes
+    for a DISJUNCTION (any branch may hold; composable with the
+    conjunctive filters — both prunings apply). String equality filters
+    additionally prune via the dict codec's dictionary (``dict_prune``):
+    chunks whose dictionary lacks the value are skipped without decoding
+    any payload beyond the dictionary itself."""
     ddl, ordered = decoded_schema_ddl(spark, out_dir, columns)
     filters = list(zone_filters or [])
     if zone_filter is not None:
         filters.append(zone_filter)
     chunks = pruned_chunks(spark, out_dir, columns, filters, dict_prune)
+    if zone_filters_any:
+        any_keep = pruned_chunks_any(spark, out_dir, columns,
+                                     list(zone_filters_any), dict_prune) \
+            .select("pid", "chunk_id").distinct()
+        chunks = chunks.join(any_keep, ["pid", "chunk_id"], "left_semi")
     # sketches served their purpose at pruning time; don't shuffle them
     chunks = chunk_repartition(spark, chunks.drop("bloom", "hll"), out_dir)
 
@@ -486,28 +516,42 @@ def _row_predicate(col: str, op: str, value, arrow_name: str):
 def decode_filtered(spark, out_dir: str, col: str | None = None, op: str | None = None,
                     value: int | str | float | None = None,
                     columns: list[str] | None = None,
-                    filters: list[tuple] | None = None) -> DataFrame:
+                    filters: list[tuple] | None = None,
+                    any_filters: list[tuple] | None = None) -> DataFrame:
     """Selective decode: zone-map chunk pruning + the exact row predicates.
 
-    Pass one predicate positionally (``col, op, value``) or a conjunction
-    via ``filters=[(col, op, value), ...]`` — all must hold. Returns
-    exactly the matching rows while reading and decoding only the chunks
-    whose zone maps can match EVERY predicate — on a corpus whose encode
-    order correlates with a filter column (time-partitioned crawls, sorted
-    ids) this touches a small fraction of the payload bytes at 100 TB."""
+    Pass one predicate positionally (``col, op, value``), a conjunction
+    via ``filters=[(col, op, value), ...]`` (all must hold), and/or a
+    disjunction via ``any_filters=[...]`` (at least one must hold); when
+    both are given the result is ``AND(filters) AND OR(any_filters)`` —
+    SQL's conjunctive normal form with one OR clause. Returns exactly the
+    matching rows while reading and decoding only the chunks whose zone
+    maps (plus dict sections and blooms) can match — the OR clause prunes
+    to the union of its branches' keep-sets, so ``lang == 'de' OR lang ==
+    'fr'`` on a clustered corpus still skips every other language's
+    chunks at 100 TB."""
     flt = list(filters or [])
     if col is not None:
         flt.insert(0, (col, op, value))
-    if not flt:
-        raise ValueError("decode_filtered needs (col, op, value) or filters=[...]")
-    fcols = [f[0] for f in flt]
+    any_flt = list(any_filters or [])
+    if not flt and not any_flt:
+        raise ValueError("decode_filtered needs (col, op, value), "
+                         "filters=[...], or any_filters=[...]")
+    fcols = [f[0] for f in flt + any_flt]
     cols = columns
     if cols is not None:
         cols = cols + [c for c in fcols if c not in cols]
     types = column_arrow_types(spark, out_dir)
-    df = decode_job(spark, out_dir, cols, zone_filters=flt)
+    df = decode_job(spark, out_dir, cols, zone_filters=flt,
+                    zone_filters_any=any_flt or None)
     for fc, fop, fval in flt:
         df = df.where(_row_predicate(fc, fop, fval, types[fc]))
+    if any_flt:
+        pred = None
+        for fc, fop, fval in any_flt:
+            p = _row_predicate(fc, fop, fval, types[fc])
+            pred = p if pred is None else (pred | p)
+        df = df.where(pred)
     if columns is not None:
         df = df.drop(*[c for c in fcols if c not in columns])
     return df
