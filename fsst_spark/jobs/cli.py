@@ -142,6 +142,12 @@ def main(argv: list[str] | None = None) -> int:
                           "host-reversed URL key (e.g. "
                           "--cluster-by 'url_sort_key(url)')")
     enc.add_argument("--no-resume", action="store_true")
+    enc.add_argument("--bloom-bits", type=int, default=10, metavar="N",
+                     help="bloom filter bits per value for ==/IN chunk "
+                          "pruning (0 disables; default 10 ≈ 1%% fp)")
+    enc.add_argument("--hll-p", type=int, default=10, metavar="P",
+                     help="HLL register bits for metadata NDV "
+                          "(0 disables; default 10 ≈ 3%% error, 1 KiB/chunk)")
 
     dec = sub.add_parser("decode", help="decode chunks back to a parquet table")
     dec.add_argument("--data", required=True)
@@ -301,6 +307,7 @@ def main(argv: list[str] | None = None) -> int:
                     chunk_bytes=args.chunk_mb << 20,
                     resume=not args.no_resume,
                     sort_key=sort_names or None,
+                    bloom_bits_per_value=args.bloom_bits, hll_p=args.hll_p,
                     lineage={"source": args.input, "cli": True},
                 ).collect()
             else:
@@ -317,6 +324,7 @@ def main(argv: list[str] | None = None) -> int:
                     resume=not args.no_resume,
                     sort_key=([f(df_in) for f in sort_exprs]
                               if sort_exprs else (sort_names or None)),
+                    bloom_bits_per_value=args.bloom_bits, hll_p=args.hll_p,
                     lineage={"source": args.input, "cli": True},
                 ).collect()
             from pyspark.sql import functions as F
