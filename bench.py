@@ -197,12 +197,18 @@ def main() -> None:
     from fsst_spark.jobs.encode import encode_job
 
     df_walls = []
-    for _ in range(2):  # best-of-2: the host has multi-tenant noise spikes
+    # warm rep + best-of-2, the same discipline as the phase-1 arms: the
+    # first run in a fresh session pays worker spawn + page faults (4x
+    # steady state measured: 11.5s -> 2.7/2.7/2.7), which is session
+    # warm-up, not this arm's code path (it reroutes into the same
+    # file-granular job web_encode measures).
+    for rep in range(3):
         out_df = tempfile.mkdtemp(prefix="fsst_bench_df_")
         t0 = time.time()
         encode_job(spark, corpus, out_df, chunk_bytes=32 << 20,
                    resume=False).collect()
-        df_walls.append(time.time() - t0)
+        if rep > 0:
+            df_walls.append(time.time() - t0)
         shutil.rmtree(out_df, ignore_errors=True)
     queries["web_encode_df"] = round(min(df_walls), 3)
     extras["encode_mb_s"] = round(big["mb_s"], 1)

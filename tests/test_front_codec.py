@@ -144,3 +144,26 @@ def test_clustered_encode_front_codes_and_roundtrips(spark, tmp_path):
                  decode_job(spark, stores["clustered"][0]).collect())
     want = sorted((r["doc_id"], r["url_key"]) for r in df.collect())
     assert got == want
+
+
+# ---------------------------------------------------------- property test
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        vals=st.lists(st.binary(min_size=0, max_size=40), min_size=1,
+                      max_size=80),
+        sort=st.booleans(),
+    )
+    def test_front_roundtrip_property(vals, sort):
+        if sort:
+            vals = sorted(vals)
+        arr = pa.array(vals, pa.large_binary())
+        buf, off = _arrow_bytes_buffers(arr)
+        enc = encode_str_front(buf, off)
+        b, o = decode_str_front(enc)
+        assert [bytes(b[o[i]:o[i + 1]]) for i in range(len(o) - 1)] == vals
+except ImportError:  # pragma: no cover
+    pass
