@@ -161,6 +161,11 @@ def main(argv: list[str] | None = None) -> int:
                           "'VALUE%'). VALUE is coerced to the "
                           "COLUMN's type (int/float/timestamp-ISO/string) — a "
                           "string column keeps numeric-looking text as text")
+    dec.add_argument("--where-any", action="append", default=None,
+                     metavar="COL:OP:VALUE",
+                     help="disjunctive predicates (at least ONE must hold); "
+                          "same grammar as --where; combines with --where "
+                          "as AND(--where) AND OR(--where-any)")
 
     ver = sub.add_parser("verify", help="chunk checksum round-trip verification")
     ver.add_argument("--data", required=True)
@@ -342,13 +347,18 @@ def main(argv: list[str] | None = None) -> int:
                                                 decode_filtered, decode_job)
 
             cols = args.columns.split(",") if args.columns else None
-            if args.where:
-                filters = _parse_where(spark, args.data, args.where)
-                df = decode_filtered(spark, args.data, columns=cols, filters=filters)
+            if args.where or args.where_any:
+                filters = (_parse_where(spark, args.data, args.where)
+                           if args.where else None)
+                any_flt = (_parse_where(spark, args.data, args.where_any)
+                           if args.where_any else None)
+                df = decode_filtered(spark, args.data, columns=cols,
+                                     filters=filters, any_filters=any_flt)
             else:
                 df = decode_job(spark, args.data, cols)
             df.drop("pid", "chunk_id").write.mode("overwrite").parquet(args.out)
-            print(json.dumps({"decoded_to": args.out, "where": args.where}))
+            print(json.dumps({"decoded_to": args.out, "where": args.where,
+                              "where_any": args.where_any}))
         elif args.cmd == "verify":
             from pyspark.sql import functions as F
 

@@ -197,3 +197,21 @@ def test_cli_ndv(tmp_path):
         f"FROM read_parquet('{src}/*.parquet')").fetchone()
     assert abs(n["url"] - want_url) <= max(2, 0.06 * want_url)
     assert n["lang"] == want_lang
+
+
+def test_cli_decode_where_any(tmp_path):
+    """--where-any ORs predicates (combined with --where as CNF)."""
+    src = str(tmp_path / "corpus7")
+    enc = str(tmp_path / "encoded7")
+    dec = str(tmp_path / "decoded7")
+    _run("synth", "--rows", "400", "--out", src)
+    _run("encode", "--input", src, "--out", enc)
+    _run("decode", "--data", enc, "--out", dec,
+         "--where-any", "lang:==:de", "--where-any", "lang:==:fr")
+    import duckdb
+    got = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{dec}/*.parquet')").fetchone()[0]
+    want = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{src}/*.parquet') "
+        "WHERE lang IN ('de', 'fr')").fetchone()[0]
+    assert got == want > 0
