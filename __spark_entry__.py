@@ -317,6 +317,69 @@ def q_bloom_point_decode(spark, sf_dir):
         "n_rows bigint, sum_ids bigint, min_url string, max_url string")
 
 
+def q_fsst_source_scan(spark, sf_dir):
+    """First-class ``fsst`` Spark DataSource: write the store with
+    ``df.write.format('fsst')``, read it back with ``spark.read.format
+    ('fsst')`` under a pushed WHERE (lang = 'de' AND n_chars >= 300) —
+    ``pushFilters`` prunes chunks executor-side via zones/dicts/blooms and
+    Spark re-applies the exact predicates, so the result must equal the
+    plain SQL filter on the raw table (fsst_spark/sources/fsst_source.py)."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.sources.fsst_source import register
+
+    register(spark)
+    out = tempfile.mkdtemp(prefix="fsst_source_q_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+        (docs.write.format("fsst").mode("overwrite")
+             .option("chunk_bytes", 256 << 10).save(out))
+        r = (
+            spark.read.format("fsst").load(out)
+            .where((F.col("lang") == "de") & (F.col("n_chars") >= 300))
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("doc_id").alias("sum_ids"),
+                 F.sum("n_chars").alias("sum_chars"))
+        ).collect()[0]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["n_rows"], r["sum_ids"], r["sum_chars"])],
+        "n_rows bigint, sum_ids bigint, sum_chars bigint")
+
+
+def q_fsst_source_append(spark, sf_dir):
+    """Incremental store load through ``mode('append')``: two disjoint
+    halves written as separate appends (the second takes pids past the
+    first) must read back as the full table — count/sum over the union
+    equals the plain SQL aggregate."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.sources.fsst_source import register
+
+    register(spark)
+    out = tempfile.mkdtemp(prefix="fsst_source_append_q_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+        (docs.where("doc_id % 2 = 0").write.format("fsst")
+             .mode("append").option("chunk_bytes", 256 << 10).save(out))
+        (docs.where("doc_id % 2 = 1").write.format("fsst")
+             .mode("append").option("chunk_bytes", 256 << 10).save(out))
+        r = (
+            spark.read.format("fsst").load(out)
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("doc_id").alias("sum_ids"),
+                 F.count_distinct("lang").alias("n_langs"))
+        ).collect()[0]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["n_rows"], r["sum_ids"], r["n_langs"])],
+        "n_rows bigint, sum_ids bigint, n_langs bigint")
+
+
 def q_or_filter_decode(spark, sf_dir):
     """Disjunctive selective decode (CNF with one OR clause): rows where
     n_chars >= 300 AND (doc_id < 50 OR lang = 'fr') — chunk pruning keeps
@@ -1396,6 +1459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonemap_decode_multi": q_zonemap_decode_multi,
         "dict_prune_decode": q_dict_prune_decode,
         "bloom_point_decode": q_bloom_point_decode,
+        "fsst_source_scan": q_fsst_source_scan,
+        "fsst_source_append": q_fsst_source_append,
         "front_roundtrip_url": q_front_roundtrip_url,
         "encoded_profile": q_encoded_profile,
         "recluster_decode": q_recluster_decode,
@@ -1636,6 +1701,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
             "CAST(sum(doc_id) AS BIGINT) AS sum_ids "
             "FROM documents WHERE n_chars >= 400"
+        ),
+        "fsst_source_scan": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_ids, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents WHERE lang = 'de' AND n_chars >= 300"
+        ),
+        "fsst_source_append": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_ids, "
+            "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs "
+            "FROM documents"
         ),
         "or_filter_decode": (
             "SELECT CAST(count(*) AS BIGINT) AS n_rows, "

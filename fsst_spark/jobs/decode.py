@@ -243,6 +243,77 @@ def _zone_prune(chunks: DataFrame, zsrc: DataFrame,
     return chunks.join(keep, ["pid", "chunk_id"], "left_semi")
 
 
+def _dict_probes(value: "str | bytes | list",
+                 prefix: bool = False) -> tuple[dict[int, set], bytes | None]:
+    """(length-bucketed probe byte-sets, prefix bytes or None) for a
+    dictionary membership test — shared prep of ``_dict_value_drop`` and
+    the ``fsst`` DataSource's executor-side pruning."""
+    vals = value if isinstance(value, (list, tuple, set)) else [value]
+    probes = {v.encode("utf-8", "surrogatepass") if isinstance(v, str) else bytes(v)
+              for v in vals}
+    by_len: dict[int, set] = {}
+    for vb in probes:
+        by_len.setdefault(len(vb), set()).add(vb)
+    pfx = sorted(probes)[0] if prefix else None  # prefix mode is single-value
+    return by_len, pfx
+
+
+def dict_payload_has_value(params: dict, payload: bytes,
+                           by_len: dict[int, set],
+                           pfx: bytes | None) -> bool:
+    """True iff a ``str_dict`` chunk's DICTIONARY contains any probed value
+    (or, with ``pfx``, any value starting with those bytes). Decodes only
+    the dictionary section — codes stay encoded. ``by_len``/``pfx`` come
+    from ``_dict_probes``."""
+    from ..kernel.codecs import _split_sections, decode_bytes_like
+
+    if "n_total" in params:  # strip the appended validity bits
+        payload = payload[: params["validity_len"]]
+    _, up = _split_sections(params, payload)
+    buf, off = decode_bytes_like(
+        {"codec": params["values"]["codec"],
+         "params": params["values"]["params"], "payload": up},
+        kind="str")
+    lens = off[1:] - off[:-1]
+    if pfx is not None:
+        lp = len(pfx)
+        return any(
+            buf[off[i]: off[i] + lp].tobytes() == pfx
+            for i in (lens >= lp).nonzero()[0])
+    return any(
+        buf[off[i]: off[i + 1]].tobytes() in vset
+        for ln, vset in by_len.items()
+        for i in (lens == ln).nonzero()[0]
+    )
+
+
+def zone_keep(arrow_name: str, op: str, value, zmin, zmax) -> bool:
+    """Pure-Python chunk-survival test for one zone filter — the scalar
+    twin of ``_zone_prune`` for callers outside a Spark plan (the ``fsst``
+    DataSource prunes per chunk file inside ``read()``). Conservative:
+    null zones always keep; string zones are 8-byte prefixes, so strict
+    ops compare non-strictly (same rule as ``_ZONE_OPS_PREFIX``)."""
+    if zmin is None or zmax is None:
+        return True
+    if op == "prefix":
+        lo, hi = _prefix_zone_bounds(arrow_name, value)
+        return zmax >= lo and zmin <= hi
+    if op == "in":
+        values = list(value)
+        if not values:
+            raise ValueError("'in' filter needs a non-empty value list")
+        return any(zone_keep(arrow_name, "==", v, zmin, zmax) for v in values)
+    zval, ops = _zone_key(arrow_name, value)
+    exact = ops is _ZONE_OPS  # ints/timestamps/floats: exact zone bounds
+    if op == "==":
+        return zmin <= zval <= zmax
+    if op in (">", ">="):
+        return zmax > zval if (op == ">" and exact) else zmax >= zval
+    if op in ("<", "<="):
+        return zmin < zval if (op == "<" and exact) else zmin <= zval
+    raise ValueError(f"zone op must be one of {sorted(_ZONE_OPS) + ['in', 'prefix']}, got {op!r}")
+
+
 def _dict_value_drop(spark, out_dir: str, col: str,
                      value: "str | bytes | list",
                      prefix: bool = False) -> DataFrame:
@@ -258,13 +329,7 @@ def _dict_value_drop(spark, out_dir: str, col: str,
     columns (lang, source, content-type) this turns a value probe into a
     near-metadata scan at 100 TB; on columns with no dict chunks the scan
     matches zero rows and costs footer reads only."""
-    vals = value if isinstance(value, (list, tuple, set)) else [value]
-    probes = {v.encode("utf-8", "surrogatepass") if isinstance(v, str) else bytes(v)
-              for v in vals}
-    by_len: dict[int, set] = {}
-    for vb in probes:
-        by_len.setdefault(len(vb), set()).add(vb)
-    pfx = sorted(probes)[0] if prefix else None  # prefix mode is single-value
+    by_len, pfx = _dict_probes(value, prefix)
     src = (
         _chunks_df(spark, out_dir, [col])
         .filter(F.col("codec") == "str_dict")  # pushed: plain/fsst payloads unread
@@ -272,8 +337,6 @@ def _dict_value_drop(spark, out_dir: str, col: str,
     )
 
     def task(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        from ..kernel.codecs import _split_sections, decode_bytes_like
-
         for batch in batches:
             pids, cids = [], []
             # iterate columns directly: to_pylist() would materialize every
@@ -281,27 +344,9 @@ def _dict_value_drop(spark, out_dir: str, col: str,
             for pid_s, cid_s, params_s, payload_s in zip(
                     batch.column("pid"), batch.column("chunk_id"),
                     batch.column("params"), batch.column("payload")):
-                p = json.loads(params_s.as_py())
-                payload = payload_s.as_py()
-                if "n_total" in p:  # strip the appended validity bits
-                    payload = payload[: p["validity_len"]]
-                _, up = _split_sections(p, payload)
-                buf, off = decode_bytes_like(
-                    {"codec": p["values"]["codec"],
-                     "params": p["values"]["params"], "payload": up},
-                    kind="str")
-                lens = off[1:] - off[:-1]
-                if pfx is not None:
-                    lp = len(pfx)
-                    has_value = any(
-                        buf[off[i]: off[i] + lp].tobytes() == pfx
-                        for i in (lens >= lp).nonzero()[0])
-                else:
-                    has_value = any(
-                        buf[off[i]: off[i + 1]].tobytes() in vset
-                        for ln, vset in by_len.items()
-                        for i in (lens == ln).nonzero()[0]
-                    )
+                has_value = dict_payload_has_value(
+                    json.loads(params_s.as_py()), payload_s.as_py(),
+                    by_len, pfx)
                 if not has_value:
                     pids.append(pid_s.as_py())
                     cids.append(cid_s.as_py())

@@ -1,0 +1,424 @@
+"""``fsst`` Spark DataSource: encoded stores as a first-class format.
+
+Exposes the chunk stores written by ``jobs.encode`` through Spark's
+Python DataSource API (PySpark 4.1), so an encoded corpus reads and
+writes like any other format::
+
+    from fsst_spark.sources.fsst_source import register
+    register(spark)
+    df.write.format("fsst").mode("overwrite").save("/data/corpus_enc")
+    hits = (spark.read.format("fsst").load("/data/corpus_enc")
+                 .where("lang = 'de' AND n_chars >= 300"))
+
+Why this matters at 100 TB: ``pushFilters`` hands the WHERE clause to the
+source during planning, and each read task prunes its chunk file with the
+same metadata stack ``decode_filtered`` uses — zone maps, dictionary
+membership, Bloom filters — before touching any payload bytes. A fully
+pruned file costs one narrow-column footer read; payload columns of
+pruned files are never fetched (columnar parquet IO). Spark re-applies
+the exact row predicates on top (``pushFilters`` returns every filter as
+"still needs evaluation"), so chunk-granular pruning can never change
+results — the same conservative contract as parquet row-group stats.
+
+Execution shape: ``partitions()`` is one :class:`InputPartition` per
+chunk file (the encode task granularity), listed driver-side — the same
+O(#files) listing Spark's own ``FileIndex`` does for parquet. All
+pruning and decoding happens executor-side inside ``read()``; the driver
+never reads data. The write path routes each input partition through
+``jobs.encode._encode_one_partition`` — identical chunk layout, zone
+maps, sketches, and atomic-rename durability as ``encode_job``, so a
+store written via ``df.write.format("fsst")`` is indistinguishable from
+one written by the job API.
+
+Reference tie: the reference engine exposes compression only as a
+library call (``/root/reference/src/lib.rs:505-529``); surfacing the
+encoded form as a queryable Spark source with predicate pushdown is the
+engine-level capability this repo adds on top.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from dataclasses import dataclass
+from typing import TYPE_CHECKING, Iterable, Iterator, List
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    StringStartsWith,
+    WriterCommitMessage,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pyarrow as pa
+
+# narrow projection that drives pruning: everything except payload bytes
+_META_COLS = ["pid", "chunk_id", "column", "codec", "params",
+              "zmin_long", "zmax_long"]
+
+_FILTER_OPS = {
+    EqualTo: "==",
+    GreaterThan: ">",
+    GreaterThanOrEqual: ">=",
+    LessThan: "<",
+    LessThanOrEqual: "<=",
+    In: "in",
+    StringStartsWith: "prefix",
+}
+
+
+def store_column_types(store: str) -> dict[str, str]:
+    """{column: arrow type name} from ONE chunk-file footer (driver-side,
+    no SparkSession — the DataSource ``schema()`` hook runs before any
+    job exists). Every encode partition writes all columns, so any single
+    file carries the full schema."""
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(store, "chunks", "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no encoded chunks under {store!r}")
+    t = pq.read_table(files[0], columns=["column", "params"])
+    return {
+        c: json.loads(p)["arrow_type"]
+        for c, p in zip(t.column("column").to_pylist(),
+                        t.column("params").to_pylist())
+    }
+
+
+def _store_ddl(col_types: dict[str, str]) -> str:
+    from ..jobs.decode import _spark_type
+
+    return ", ".join(f"{c} {_spark_type(col_types[c])}" for c in sorted(col_types))
+
+
+@dataclass
+class _ChunkFilePartition(InputPartition):
+    path: str
+
+
+def _translate_filter(f: Filter, col_types: dict[str, str]):
+    """One Spark Filter -> internal (col, op, value) prune tuple, or None
+    when the filter can't drive chunk pruning (unsupported shape, nested
+    column, or a value the zone packer rejects — e.g. a float probe on an
+    int column). Returning None only skips pruning; Spark still applies
+    the exact predicate because ``pushFilters`` echoes every filter back."""
+    op = _FILTER_OPS.get(type(f))
+    if op is None or len(f.attribute) != 1:
+        return None
+    col = f.attribute[0]
+    if col not in col_types:
+        return None
+    value = list(f.value) if op == "in" else f.value
+    try:
+        from ..jobs.decode import _prefix_bytes, _zone_key
+
+        if op == "prefix":
+            _prefix_bytes(col_types[col], value)
+        else:
+            for v in (value if op == "in" else [value]):
+                _zone_key(col_types[col], v)  # type check only
+    except (TypeError, ValueError):
+        return None
+    return (col, op, value)
+
+
+def _file_survivors(path: str, filters: list[tuple],
+                    col_types: dict[str, str]) -> "set[tuple[int, int]] | None":
+    """(pid, chunk_id) keys in one chunk file that survive every pruning
+    stage for the conjunction ``filters`` — or None for "all survive"
+    (no filters), letting the caller skip the key-membership filter.
+
+    Stage order mirrors ``pruned_chunks``: zone intervals first (needs
+    only the already-read meta columns), then dictionary membership and
+    Bloom probes, which read the filter column's payload/bloom cells for
+    still-live chunks only. Everything here runs in the read task —
+    driver-side cost stays O(#files)."""
+    import pyarrow.parquet as pq
+
+    from ..jobs.decode import _STRINGY, zone_keep
+
+    if not filters:
+        return None
+    have = set(pq.read_schema(path).names)
+    meta = pq.read_table(path, columns=[c for c in _META_COLS if c in have])
+    n = meta.num_rows
+    zmins = (meta.column("zmin_long").to_pylist() if "zmin_long" in have
+             else [None] * n)  # pre-zone-map store: conservatively keep all
+    zmaxs = (meta.column("zmax_long").to_pylist() if "zmax_long" in have
+             else [None] * n)
+    zones: dict[tuple[str, tuple[int, int]], tuple] = {}
+    keys: set[tuple[int, int]] = set()
+    for pid, cid, col, zmin, zmax in zip(
+            meta.column("pid").to_pylist(), meta.column("chunk_id").to_pylist(),
+            meta.column("column").to_pylist(), zmins, zmaxs):
+        keys.add((pid, cid))
+        zones[(col, (pid, cid))] = (zmin, zmax)
+    live = {
+        k for k in keys
+        if all(zone_keep(col_types[col], op, value, *zones.get((col, k), (None, None)))
+               for col, op, value in filters)
+    }
+    for col, op, value in filters:
+        if not live:
+            break
+        if col_types[col] in _STRINGY and op in ("==", "in", "prefix"):
+            live = _dict_survivors(path, meta, col, op, value, live)
+        if op in ("==", "in"):
+            live = _bloom_survivors(path, meta, col, value, col_types[col], live)
+    return live
+
+
+def _bloom_survivors(path: str, meta: "pa.Table", col: str, value,
+                     arrow_name: str, live: set) -> set:
+    """Drop live chunks whose Bloom filter proves every probed value
+    absent — the same typing rules as ``_bloom_value_drop`` (strings
+    hash natively, ints as-is, timestamps in storage-unit ticks)."""
+    import pyarrow.parquet as pq
+
+    from ..jobs.decode import _INTY, _STRINGY, _ts_ticks
+    from ..kernel.bloom import bloom_might_contain
+
+    vals = value if isinstance(value, (list, tuple, set)) else [value]
+    if arrow_name in _STRINGY:
+        probes = list(vals)
+    elif arrow_name in _INTY:
+        probes = [int(v) for v in vals]
+    elif arrow_name.startswith("timestamp["):
+        probes = [_ts_ticks(arrow_name, v) for v in vals]
+    else:
+        return live
+    if "bloom" not in pq.read_schema(path).names:
+        return live  # pre-bloom store
+    rows = [
+        i for i, c in enumerate(meta.column("column").to_pylist())
+        if c == col
+        and (meta.column("pid")[i].as_py(), meta.column("chunk_id")[i].as_py()) in live
+    ]
+    if not rows:
+        return live
+    blooms = pq.read_table(path, columns=["pid", "chunk_id", "bloom"])
+    out = set(live)
+    for i in rows:
+        blob = blooms.column("bloom")[i].as_py()
+        if blob is None:
+            continue  # dict-coded / bloom-less chunk: conservatively keep
+        key = (blooms.column("pid")[i].as_py(), blooms.column("chunk_id")[i].as_py())
+        if not bloom_might_contain(blob, probes):
+            out.discard(key)
+    return out
+
+
+def _dict_survivors(path: str, meta: "pa.Table", col: str, op: str, value,
+                    live: set) -> set:
+    """Drop live chunks whose str_dict dictionary provably lacks every
+    probed value. Runs only when the file has live dict-coded rows for
+    the filter column, and decodes only their dictionary sections (the
+    payload column read is file-granular — parquet IO can't slice rows
+    within a row group — but the decode cost stays dictionary-only)."""
+    import pyarrow.parquet as pq
+
+    from ..jobs.decode import _dict_probes, dict_payload_has_value
+
+    rows = [
+        i for i, (c, codec) in enumerate(zip(meta.column("column").to_pylist(),
+                                             meta.column("codec").to_pylist()))
+        if c == col and codec == "str_dict"
+        and (meta.column("pid")[i].as_py(), meta.column("chunk_id")[i].as_py()) in live
+    ]
+    if not rows:
+        return live
+    by_len, pfx = _dict_probes(value, prefix=op == "prefix")
+    full = pq.read_table(path, columns=["pid", "chunk_id", "params", "payload"])
+    out = set(live)
+    for i in rows:
+        key = (meta.column("pid")[i].as_py(), meta.column("chunk_id")[i].as_py())
+        params = json.loads(full.column("params")[i].as_py())
+        payload = full.column("payload")[i].as_py()
+        if not dict_payload_has_value(params, payload, by_len, pfx):
+            out.discard(key)
+    return out
+
+
+class FsstReader(DataSourceReader):
+    def __init__(self, store: str, col_types: dict[str, str]):
+        self.store = store
+        self.col_types = col_types
+        self.pruning: list[tuple] = []
+
+    def pushFilters(self, filters: List[Filter]) -> Iterable[Filter]:
+        for f in filters:
+            t = _translate_filter(f, self.col_types)
+            if t is not None:
+                self.pruning.append(t)
+        # chunk pruning is conservative, never exact: every filter goes
+        # back to Spark for row-level evaluation (the parquet model)
+        return filters
+
+    def partitions(self) -> list[InputPartition]:
+        files = sorted(glob.glob(os.path.join(self.store, "chunks", "*.parquet")))
+        return [_ChunkFilePartition(f) for f in files]
+
+    def read(self, partition: _ChunkFilePartition) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ..env import madvise_hugepages
+        from ..kernel.codecs import decode_column
+
+        madvise_hugepages()
+        live = _file_survivors(partition.path, self.pruning, self.col_types)
+        if live is not None and not live:
+            return  # fully pruned: payload column bytes were never read
+        ordered = sorted(self.col_types)
+        target = _arrow_schema(self.col_types, ordered)
+        tbl = pq.read_table(
+            partition.path,
+            columns=["pid", "chunk_id", "column", "codec", "params", "payload"])
+        chunks: dict[tuple[int, int], dict] = {}
+        # zip arrow scalars; .as_py() materializes a payload only for
+        # chunks that survived pruning
+        for pid_s, cid_s, col_s, codec_s, params_s, payload_s in zip(
+                tbl.column("pid"), tbl.column("chunk_id"), tbl.column("column"),
+                tbl.column("codec"), tbl.column("params"), tbl.column("payload")):
+            key = (pid_s.as_py(), cid_s.as_py())
+            if live is not None and key not in live:
+                continue
+            chunks.setdefault(key, {})[col_s.as_py()] = decode_column(
+                {"codec": codec_s.as_py(), "params": json.loads(params_s.as_py()),
+                 "payload": payload_s.as_py()})
+        for key in sorted(chunks):
+            cols = chunks[key]
+            arrays = [cols[c].cast(target.field(i).type)
+                      for i, c in enumerate(ordered)]
+            yield pa.RecordBatch.from_arrays(arrays, schema=target)
+
+
+def _arrow_schema(col_types: dict[str, str], ordered: list[str]) -> "pa.Schema":
+    """Arrow schema Spark's converter accepts for the declared DDL types
+    (decoded arrays may be large_string/large_binary — cast down; chunk
+    payloads are bounded by chunk_bytes, far under the 2 GiB offset limit)."""
+    import pyarrow as pa
+
+    def t(arrow_name: str) -> "pa.DataType":
+        if arrow_name.startswith("timestamp["):
+            return pa.timestamp("us")
+        return {
+            "string": pa.string(), "large_string": pa.string(),
+            "binary": pa.binary(), "large_binary": pa.binary(),
+            "int64": pa.int64(), "int32": pa.int32(),
+            "int16": pa.int16(), "int8": pa.int8(),
+            "double": pa.float64(), "float": pa.float32(),
+            "bool": pa.bool_(),
+        }[arrow_name]
+
+    return pa.schema([(c, t(col_types[c])) for c in ordered])
+
+
+@dataclass
+class _FsstCommit(WriterCommitMessage):
+    pid: int
+    n_rows: int
+
+
+class FsstWriter(DataSourceArrowWriter):
+    def __init__(self, store: str, options: dict, pid_offset: int = 0):
+        self.store = store
+        self.pid_offset = pid_offset
+        self.chunk_bytes = int(options.get("chunk_bytes", 32 << 20))
+        self.bloom_bits = int(options.get("bloom_bits_per_value", 10))
+        self.hll_p = int(options.get("hll_p", 10))
+        self.lineage_json = json.dumps(
+            {"mode": "datasource", "chunk_bytes": self.chunk_bytes,
+             "bloom_bits_per_value": self.bloom_bits, "hll_p": self.hll_p,
+             "pid_offset": pid_offset})
+
+    def write(self, iterator: Iterator["pa.RecordBatch"]) -> _FsstCommit:
+        from pyspark import TaskContext
+
+        from ..jobs.encode import _encode_one_partition
+
+        pid = TaskContext.get().partitionId() + self.pid_offset
+        row = _encode_one_partition(
+            pid, iterator, self.store, self.chunk_bytes, self.lineage_json,
+            set(), self.bloom_bits, self.hll_p)
+        return _FsstCommit(pid=pid, n_rows=row["n_rows"] if row else 0)
+
+    def commit(self, messages) -> None:
+        # chunk+manifest files were atomically renamed per task; nothing
+        # further to publish (same durability contract as encode_job)
+        return None
+
+    def abort(self, messages) -> None:
+        return None
+
+
+class FsstDataSource(DataSource):
+    """spark.read.format("fsst") / df.write.format("fsst") over encoded
+    chunk stores. ``load(path)``/``save(path)`` name the store directory."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "fsst"
+
+    def _path(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("fsst source needs a store path: .load(path) / .save(path)")
+        return path
+
+    def schema(self) -> str:
+        return _store_ddl(store_column_types(self._path()))
+
+    def reader(self, schema) -> FsstReader:
+        store = self._path()
+        return FsstReader(store, store_column_types(store))
+
+    def writer(self, schema, overwrite: bool) -> FsstWriter:
+        import shutil
+
+        store = self._path()
+        pid_offset = 0
+        if overwrite:
+            for sub in ("chunks", "manifest"):
+                shutil.rmtree(os.path.join(store, sub), ignore_errors=True)
+        else:
+            # append: new partitions take pids past every existing one, so
+            # the store grows without touching (or re-reading) prior data —
+            # incremental loads are just another write. Mode mixing is
+            # refused the same way encode_job's resume guard does: pids
+            # keyed by another scheme could silently collide.
+            from ..jobs.encode import _manifest_mode
+
+            mode = _manifest_mode(store)
+            if mode not in (None, "datasource"):
+                raise ValueError(
+                    f"store {store!r} was written by encode mode {mode!r}; "
+                    "append via df.write.format('fsst') only composes with "
+                    "datasource-written stores — use jobs.encode APIs here")
+            existing = glob.glob(os.path.join(store, "manifest", "part-*.parquet"))
+            if existing:
+                pid_offset = 1 + max(
+                    int(os.path.basename(p)[len("part-"):-len(".parquet")])
+                    for p in existing)
+        for sub in ("chunks", "manifest"):
+            os.makedirs(os.path.join(store, sub), exist_ok=True)
+        return FsstWriter(store, dict(self.options), pid_offset)
+
+
+def register(spark) -> None:
+    """Register the ``fsst`` format on this session (idempotent) and
+    enable Python-source filter pushdown (off by default in Spark 4.1;
+    without it a reader that implements ``pushFilters`` is rejected)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(FsstDataSource)
