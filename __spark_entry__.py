@@ -380,6 +380,75 @@ def q_fsst_source_append(spark, sf_dir):
         "n_rows bigint, sum_ids bigint, n_langs bigint")
 
 
+def q_fsst_source_stream(spark, sf_dir):
+    """Streaming follow of a growing encoded store: two appends land as
+    two commit-log entries; ``readStream.format('fsst')`` with an
+    availableNow pass drains exactly the committed writes into a parquet
+    sink — sink content must equal the full table (exactly-once)."""
+    import os
+    import shutil
+    import tempfile
+
+    from fsst_spark.sources.fsst_source import register
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="fsst_source_stream_q_")
+    store, ckpt, sink = (os.path.join(root, d) for d in ("store", "ckpt", "sink"))
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+        for half in ("doc_id % 2 = 0", "doc_id % 2 = 1"):
+            (docs.where(half).write.format("fsst")
+                 .mode("append").option("chunk_bytes", 256 << 10).save(store))
+        q = (
+            spark.readStream.format("fsst").load(store)
+            .writeStream.format("parquet").option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+        if q.isActive:
+            q.stop()
+        r = (
+            spark.read.parquet(sink)
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("doc_id").alias("sum_ids"),
+                 F.sum("n_chars").alias("sum_chars"))
+        ).collect()[0]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["n_rows"], r["sum_ids"], r["sum_chars"])],
+        "n_rows bigint, sum_ids bigint, sum_chars bigint")
+
+
+def q_fsst_source_columns(spark, sf_dir):
+    """Column-pruned read: ``.option('columns', 'doc_id,lang')`` narrows
+    the declared schema so unselected payloads are never decoded; the
+    projected aggregate must equal plain SQL over the same projection."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.sources.fsst_source import register
+
+    register(spark)
+    out = tempfile.mkdtemp(prefix="fsst_source_cols_q_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars", "text")
+        (docs.write.format("fsst").mode("overwrite")
+             .option("chunk_bytes", 256 << 10).save(out))
+        r = (
+            spark.read.format("fsst").option("columns", "doc_id,lang").load(out)
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_rows"), F.sum("doc_id").alias("sum_ids"))
+            .orderBy("lang")
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(x["lang"], x["n_rows"], x["sum_ids"]) for x in r],
+        "lang string, n_rows bigint, sum_ids bigint")
+
+
 def q_or_filter_decode(spark, sf_dir):
     """Disjunctive selective decode (CNF with one OR clause): rows where
     n_chars >= 300 AND (doc_id < 50 OR lang = 'fr') — chunk pruning keeps
@@ -1461,6 +1530,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_point_decode": q_bloom_point_decode,
         "fsst_source_scan": q_fsst_source_scan,
         "fsst_source_append": q_fsst_source_append,
+        "fsst_source_stream": q_fsst_source_stream,
+        "fsst_source_columns": q_fsst_source_columns,
         "front_roundtrip_url": q_front_roundtrip_url,
         "encoded_profile": q_encoded_profile,
         "recluster_decode": q_recluster_decode,
@@ -1713,6 +1784,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(doc_id) AS BIGINT) AS sum_ids, "
             "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs "
             "FROM documents"
+        ),
+        "fsst_source_stream": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_ids, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents"
+        ),
+        "fsst_source_columns": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_ids "
+            "FROM documents GROUP BY lang ORDER BY lang"
         ),
         "or_filter_decode": (
             "SELECT CAST(count(*) AS BIGINT) AS n_rows, "

@@ -30,6 +30,23 @@ maps, sketches, and atomic-rename durability as ``encode_job``, so a
 store written via ``df.write.format("fsst")`` is indistinguishable from
 one written by the job API.
 
+Column pruning: the Python DataSource API has no ``pruneColumns`` hook
+(Spark applies projection after the scan), so narrow reads opt in via
+``.option("columns", "doc_id,lang")`` — the declared schema shrinks and
+``read()`` row-filters the chunk-file scan to the selected columns'
+rows, so pruned columns' payload bytes are never decompressed (and with
+parquet row-group filtering, largely never read).
+
+Streaming: ``spark.readStream.format("fsst").load(store)`` follows a
+GROWING store. Each completed write appends one atomic entry to
+``<store>/commits/`` naming its pids (the same manifest-commit-log
+pattern as Spark's file-sink ``_spark_metadata``); the stream offset is
+the monotone commit index, so a micro-batch is exactly the chunk files
+of newly committed writes — restart-safe, and never tears a mid-flight
+append (task files become visible only through their commit entry).
+Datasource writes log the entry in ``commit()``; job-API stores become
+streamable via :func:`log_commit_snapshot`.
+
 Reference tie: the reference engine exposes compression only as a
 library call (``/root/reference/src/lib.rs:505-529``); surfacing the
 encoded form as a queryable Spark source with predicate pushdown is the
@@ -48,6 +65,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -105,6 +123,65 @@ def _store_ddl(col_types: dict[str, str]) -> str:
 @dataclass
 class _ChunkFilePartition(InputPartition):
     path: str
+
+
+# ---------------------------------------------------------------------------
+# commit log: <store>/commits/{idx:08d}.json, one entry per COMPLETED write
+# ---------------------------------------------------------------------------
+
+def _commits_dir(store: str) -> str:
+    return os.path.join(store, "commits")
+
+
+def commit_count(store: str) -> int:
+    """Number of committed writes — the streaming high-watermark. O(#entries)
+    listing; entries are tiny JSON files, one per WRITE (not per task)."""
+    d = _commits_dir(store)
+    if not os.path.isdir(d):
+        return 0
+    return sum(1 for f in os.listdir(d) if f.endswith(".json"))
+
+
+def _read_commit(store: str, idx: int) -> dict:
+    with open(os.path.join(_commits_dir(store), f"{idx:08d}.json")) as fh:
+        return json.load(fh)
+
+
+def log_commit(store: str, pids: list[int], mode: str) -> int:
+    """Append one commit entry naming this write's chunk-file pids; returns
+    the entry index. ``os.O_EXCL`` claims the next index atomically, so two
+    concurrent appends serialize instead of clobbering (the loser retries
+    at idx+1). Entries are never rewritten — the log is append-only, which
+    is what makes the streaming offset (a plain entry count) replayable."""
+    os.makedirs(_commits_dir(store), exist_ok=True)
+    payload = json.dumps({"pids": sorted(pids), "mode": mode}).encode()
+    idx = commit_count(store)
+    while True:
+        path = os.path.join(_commits_dir(store), f"{idx:08d}.json")
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        except FileExistsError:
+            idx += 1
+            continue
+        with os.fdopen(fd, "wb") as fh:
+            fh.write(payload)
+        return idx
+
+
+def log_commit_snapshot(store: str) -> int | None:
+    """Make a job-API store streamable: log every completed pid not named
+    by an existing entry as ONE new commit (None if nothing new). Call
+    after an ``encode_job``/``encode_files_job`` action finishes — never
+    mid-write, since completed_pids would tear the in-flight write."""
+    from ..jobs.encode import completed_pids
+
+    logged: set[int] = set()
+    for i in range(commit_count(store)):
+        logged.update(_read_commit(store, i)["pids"])
+    fresh = completed_pids(store) - logged
+    if not fresh:
+        return None
+    return log_commit(store, sorted(fresh), mode="snapshot")
 
 
 def _translate_filter(f: Filter, col_types: dict[str, str]):
@@ -266,42 +343,70 @@ class FsstReader(DataSourceReader):
         return filters
 
     def partitions(self) -> list[InputPartition]:
+        # datasource-written stores log every completed write: read exactly
+        # the committed pids, so a torn/aborted append's leftover files are
+        # invisible (snapshot isolation). Job-API stores (no logging
+        # guarantee) keep the plain listing — their resume contract already
+        # treats present files as durable.
+        if commit_count(self.store):
+            from ..jobs.encode import _manifest_mode
+
+            if _manifest_mode(self.store) == "datasource":
+                pids: set[int] = set()
+                for i in range(commit_count(self.store)):
+                    pids.update(_read_commit(self.store, i)["pids"])
+                return [
+                    _ChunkFilePartition(os.path.join(self.store, "chunks",
+                                                     f"part-{pid:05d}.parquet"))
+                    for pid in sorted(pids)
+                ]
         files = sorted(glob.glob(os.path.join(self.store, "chunks", "*.parquet")))
         return [_ChunkFilePartition(f) for f in files]
 
     def read(self, partition: _ChunkFilePartition) -> Iterator["pa.RecordBatch"]:
-        import pyarrow as pa
-        import pyarrow.parquet as pq
+        return _read_chunk_file(partition.path, self.col_types, self.pruning)
 
-        from ..env import madvise_hugepages
-        from ..kernel.codecs import decode_column
 
-        madvise_hugepages()
-        live = _file_survivors(partition.path, self.pruning, self.col_types)
-        if live is not None and not live:
-            return  # fully pruned: payload column bytes were never read
-        ordered = sorted(self.col_types)
-        target = _arrow_schema(self.col_types, ordered)
-        tbl = pq.read_table(
-            partition.path,
-            columns=["pid", "chunk_id", "column", "codec", "params", "payload"])
-        chunks: dict[tuple[int, int], dict] = {}
-        # zip arrow scalars; .as_py() materializes a payload only for
-        # chunks that survived pruning
-        for pid_s, cid_s, col_s, codec_s, params_s, payload_s in zip(
-                tbl.column("pid"), tbl.column("chunk_id"), tbl.column("column"),
-                tbl.column("codec"), tbl.column("params"), tbl.column("payload")):
-            key = (pid_s.as_py(), cid_s.as_py())
-            if live is not None and key not in live:
-                continue
-            chunks.setdefault(key, {})[col_s.as_py()] = decode_column(
-                {"codec": codec_s.as_py(), "params": json.loads(params_s.as_py()),
-                 "payload": payload_s.as_py()})
-        for key in sorted(chunks):
-            cols = chunks[key]
-            arrays = [cols[c].cast(target.field(i).type)
-                      for i, c in enumerate(ordered)]
-            yield pa.RecordBatch.from_arrays(arrays, schema=target)
+def _read_chunk_file(path: str, col_types: dict[str, str],
+                     pruning: list[tuple]) -> Iterator["pa.RecordBatch"]:
+    """Decode one chunk file into RecordBatches of ``col_types``' columns
+    (shared by the batch and stream readers). When ``col_types`` is a
+    projection (the ``columns`` read option), the parquet scan row-filters
+    to the selected columns, so pruned columns' payloads are never
+    decompressed — and pruning stages still only read the filter columns."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..env import madvise_hugepages
+    from ..kernel.codecs import decode_column
+
+    madvise_hugepages()
+    live = _file_survivors(path, pruning, col_types)
+    if live is not None and not live:
+        return  # fully pruned: payload column bytes were never read
+    ordered = sorted(col_types)
+    target = _arrow_schema(col_types, ordered)
+    tbl = pq.read_table(
+        path,
+        columns=["pid", "chunk_id", "column", "codec", "params", "payload"],
+        filters=[("column", "in", ordered)])
+    chunks: dict[tuple[int, int], dict] = {}
+    # zip arrow scalars; .as_py() materializes a payload only for
+    # chunks that survived pruning
+    for pid_s, cid_s, col_s, codec_s, params_s, payload_s in zip(
+            tbl.column("pid"), tbl.column("chunk_id"), tbl.column("column"),
+            tbl.column("codec"), tbl.column("params"), tbl.column("payload")):
+        key = (pid_s.as_py(), cid_s.as_py())
+        if live is not None and key not in live:
+            continue
+        chunks.setdefault(key, {})[col_s.as_py()] = decode_column(
+            {"codec": codec_s.as_py(), "params": json.loads(params_s.as_py()),
+             "payload": payload_s.as_py()})
+    for key in sorted(chunks):
+        cols = chunks[key]
+        arrays = [cols[c].cast(target.field(i).type)
+                  for i, c in enumerate(ordered)]
+        yield pa.RecordBatch.from_arrays(arrays, schema=target)
 
 
 def _arrow_schema(col_types: dict[str, str], ordered: list[str]) -> "pa.Schema":
@@ -323,6 +428,41 @@ def _arrow_schema(col_types: dict[str, str], ordered: list[str]) -> "pa.Schema":
         }[arrow_name]
 
     return pa.schema([(c, t(col_types[c])) for c in ordered])
+
+
+class FsstStreamReader(DataSourceStreamReader):
+    """Micro-batch reader over a growing store. Offset = commit-log entry
+    count, so a batch is exactly the chunk files of writes committed in
+    (start, end] — replayable (entries are immutable), tear-free (files
+    become visible only via their commit entry), and O(1)-sized offsets
+    no matter how many pids a store accumulates."""
+
+    def __init__(self, store: str, col_types: dict[str, str]):
+        self.store = store
+        self.col_types = col_types
+
+    def initialOffset(self) -> dict:
+        return {"commit": 0}
+
+    def latestOffset(self) -> dict:
+        return {"commit": commit_count(self.store)}
+
+    def partitions(self, start: dict, end: dict) -> List[InputPartition]:
+        pids: set[int] = set()
+        for i in range(start["commit"], end["commit"]):
+            pids.update(_read_commit(self.store, i)["pids"])
+        return [
+            _ChunkFilePartition(os.path.join(self.store, "chunks",
+                                             f"part-{pid:05d}.parquet"))
+            for pid in sorted(pids)
+        ]
+
+    def read(self, partition: _ChunkFilePartition) -> Iterator["pa.RecordBatch"]:
+        # stream scans have no pushFilters hook; Spark filters rows above
+        return _read_chunk_file(partition.path, self.col_types, [])
+
+    def commit(self, end: dict) -> None:
+        return None  # progress is tracked by Spark's own checkpoint
 
 
 @dataclass
@@ -355,11 +495,16 @@ class FsstWriter(DataSourceArrowWriter):
         return _FsstCommit(pid=pid, n_rows=row["n_rows"] if row else 0)
 
     def commit(self, messages) -> None:
-        # chunk+manifest files were atomically renamed per task; nothing
-        # further to publish (same durability contract as encode_job)
-        return None
+        # chunk+manifest files were atomically renamed per task; publish
+        # them to stream readers as ONE commit-log entry (empty partitions
+        # wrote no chunk file and are excluded)
+        log_commit(self.store,
+                   [m.pid for m in messages if m is not None and m.n_rows > 0],
+                   mode="datasource")
 
     def abort(self, messages) -> None:
+        # no commit entry is logged, so stream readers never see this
+        # write's files; a later append re-claims fresh pids past these
         return None
 
 
@@ -377,12 +522,38 @@ class FsstDataSource(DataSource):
             raise ValueError("fsst source needs a store path: .load(path) / .save(path)")
         return path
 
+    def _types(self) -> dict[str, str]:
+        """Store column types, narrowed by the ``columns`` read option
+        (comma-separated). Spark has no pruneColumns hook for Python
+        sources, so narrow reads are opt-in: the declared schema shrinks
+        and unselected columns' payloads are never decoded."""
+        types = store_column_types(self._path())
+        sel = self.options.get("columns")
+        if not sel:
+            return types
+        wanted = [c.strip() for c in sel.split(",") if c.strip()]
+        missing = [c for c in wanted if c not in types]
+        if missing:
+            raise ValueError(
+                f"columns option names {missing} not in store "
+                f"(has {sorted(types)})")
+        return {c: types[c] for c in wanted}
+
     def schema(self) -> str:
-        return _store_ddl(store_column_types(self._path()))
+        return _store_ddl(self._types())
 
     def reader(self, schema) -> FsstReader:
+        return FsstReader(self._path(), self._types())
+
+    def streamReader(self, schema) -> FsstStreamReader:
         store = self._path()
-        return FsstReader(store, store_column_types(store))
+        if commit_count(store) == 0 and not os.path.isdir(_commits_dir(store)):
+            raise ValueError(
+                f"store {store!r} has no commit log; streaming follows "
+                "committed writes only. Write it via df.write.format('fsst') "
+                "or call fsst_source.log_commit_snapshot(store) after an "
+                "encode job finishes.")
+        return FsstStreamReader(store, self._types())
 
     def writer(self, schema, overwrite: bool) -> FsstWriter:
         import shutil
@@ -390,7 +561,7 @@ class FsstDataSource(DataSource):
         store = self._path()
         pid_offset = 0
         if overwrite:
-            for sub in ("chunks", "manifest"):
+            for sub in ("chunks", "manifest", "commits"):
                 shutil.rmtree(os.path.join(store, sub), ignore_errors=True)
         else:
             # append: new partitions take pids past every existing one, so

@@ -144,6 +144,108 @@ def test_append_to_job_written_store_refused(spark, docs, tmp_path):
         docs.limit(5).write.format("fsst").mode("append").save(out)
 
 
+def test_columns_option_prunes_schema_and_matches(spark, docs, store):
+    """.option('columns', ...) narrows the declared schema (the Python
+    DataSource API has no pruneColumns hook) and values still match."""
+    back = (spark.read.format("fsst").option("columns", "doc_id,lang")
+            .load(store))
+    assert back.columns == ["doc_id", "lang"]
+    a = back.orderBy("doc_id").collect()
+    b = docs.select("doc_id", "lang").orderBy("doc_id").collect()
+    assert a == b
+    with pytest.raises(Exception, match="columns option"):
+        (spark.read.format("fsst").option("columns", "doc_id,nope")
+         .load(store).collect())
+
+
+def test_commit_log_written_and_batch_reads_committed_only(spark, docs, store):
+    """Every datasource write logs one commits/ entry; the batch reader
+    trusts the log, so an uncommitted (torn-append) chunk file is
+    invisible until its write commits."""
+    import shutil
+
+    from fsst_spark.sources.fsst_source import _read_commit, commit_count
+
+    assert commit_count(store) == 1
+    entry = _read_commit(store, 0)
+    assert entry["mode"] == "datasource" and len(entry["pids"]) == 4
+    n = spark.read.format("fsst").load(store).count()
+    # simulate a torn append: a chunk file appears with no commit entry
+    src = os.path.join(store, "chunks", f"part-{entry['pids'][0]:05d}.parquet")
+    orphan = os.path.join(store, "chunks", "part-99998.parquet")
+    shutil.copyfile(src, orphan)
+    try:
+        assert spark.read.format("fsst").load(store).count() == n
+    finally:
+        os.remove(orphan)
+
+
+def _run_stream(spark, store, checkpoint, out_dir):
+    """One availableNow pass: drain everything committed, then stop.
+    Parquet sink (not memory) so the query can RESTART from the same
+    checkpoint — the restart is the point of the offset test."""
+    q = (
+        spark.readStream.format("fsst").load(store)
+        .writeStream.format("parquet").option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    if q.isActive:
+        q.stop()
+    return spark.read.parquet(out_dir)
+
+
+def test_stream_reads_follow_commits(spark, docs, tmp_path):
+    """readStream.format('fsst') over a growing store: the first run sees
+    the first append; a restart from the same checkpoint processes ONLY
+    the writes committed since (offset = commit index, Spark-checkpointed),
+    so the sink accumulates each row exactly once."""
+    register(spark)
+    out = str(tmp_path / "growing")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    first = docs.where("doc_id < 100")
+    rest = docs.where("doc_id >= 100")
+    first.write.format("fsst").mode("append").save(out)
+    got1 = _run_stream(spark, out, ckpt, sink)
+    assert got1.count() == first.count()
+    rest.write.format("fsst").mode("append").save(out)
+    got2 = _run_stream(spark, out, ckpt, sink)
+    # exactly-once across the restart: no first-batch replay, no misses
+    assert got2.count() == docs.count()
+    assert (got2.agg(F.sum("doc_id")).collect()
+            == docs.agg(F.sum("doc_id")).collect())
+
+
+def test_stream_job_store_needs_snapshot(spark, docs, tmp_path):
+    """Job-API stores stream only after log_commit_snapshot publishes
+    their completed pids as a commit entry."""
+    from fsst_spark.jobs.encode import encode_job
+    from fsst_spark.sources.fsst_source import log_commit_snapshot
+
+    register(spark)
+    out = str(tmp_path / "jobstream")
+    encode_job(spark, docs, out, chunk_bytes=64 << 10, resume=False,
+               pre_partitioned=True, unique_col="doc_id").collect()
+    # streamReader is instantiated at query START (load() is lazy): the
+    # missing-commit-log guard surfaces when the query spins up
+    with pytest.raises(Exception, match="commit log"):
+        q = (spark.readStream.format("fsst").load(out)
+             .writeStream.format("noop")
+             .trigger(availableNow=True).start())
+        try:
+            q.awaitTermination(60)
+        finally:
+            if q.isActive:
+                q.stop()
+    assert log_commit_snapshot(out) == 0
+    assert log_commit_snapshot(out) is None  # idempotent: nothing new
+    got = _run_stream(spark, out, str(tmp_path / "ckpt2"),
+                      str(tmp_path / "sink2"))
+    assert got.count() == docs.count()
+
+
 def test_store_readable_by_decode_job(spark, docs, store):
     """A DataSource-written store is a normal store: the job-API decoder
     reads it bit-identically."""
