@@ -421,6 +421,86 @@ def q_fsst_source_stream(spark, sf_dir):
         "n_rows bigint, sum_ids bigint, sum_chars bigint")
 
 
+def q_fsst_stream_write(spark, sf_dir):
+    """Streaming sink: encoded store → readStream → writeStream.format
+    ('fsst') → second encoded store. Epoch-scoped pids + batchId-tagged
+    commit entries give exactly-once; the sink store must decode to the
+    full table."""
+    import os
+    import shutil
+    import tempfile
+
+    from fsst_spark.sources.fsst_source import register
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="fsst_stream_write_q_")
+    src, dst, ckpt = (os.path.join(root, d) for d in ("src", "dst", "ckpt"))
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+        (docs.write.format("fsst").mode("append")
+             .option("chunk_bytes", 256 << 10).save(src))
+        q = (
+            spark.readStream.format("fsst").load(src)
+            .writeStream.format("fsst")
+            .option("chunk_bytes", 256 << 10)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start(dst)
+        )
+        q.awaitTermination(300)
+        if q.isActive:
+            q.stop()
+        r = (
+            spark.read.format("fsst").load(dst)
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("doc_id").alias("sum_ids"),
+                 F.sum("n_chars").alias("sum_chars"))
+        ).collect()[0]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["n_rows"], r["sum_ids"], r["sum_chars"])],
+        "n_rows bigint, sum_ids bigint, sum_chars bigint")
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Persistent MinHash index gate: index the even half of the corpus,
+    probe a new batch = odd half + exact copies of every 20th doc. Every
+    planted copy must flag (identical signatures collide in every band)
+    and no planted copy survives. Probe plans are join-only on the corpus
+    side — the 'dedupe a new crawl against 10^12 kept docs' op."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.pipeline.dedup_index import (flag_against_index,
+                                                 minhash_index_write)
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="mh_index_q_")
+    try:
+        minhash_index_write(docs.where("doc_id % 2 = 0"), path)
+        planted = (docs.where("doc_id % 20 = 0")
+                   .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000)))
+        batch = docs.where("doc_id % 2 = 1").unionByName(planted)
+        out = flag_against_index(batch, path).persist()
+        r = (
+            out.agg(
+                F.sum(F.when(F.col("doc_id") >= 10_000_000, 1).otherwise(0))
+                 .alias("n_planted"),
+                F.sum(F.when((F.col("doc_id") >= 10_000_000)
+                             & F.col("index_dup"), 1).otherwise(0))
+                 .alias("n_planted_flagged"),
+            )
+            .withColumn("all_planted_flagged",
+                        F.col("n_planted_flagged") == F.col("n_planted"))
+        ).collect()[0]
+        out.unpersist()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["n_planted"], r["n_planted_flagged"], r["all_planted_flagged"])],
+        "n_planted bigint, n_planted_flagged bigint, all_planted_flagged boolean")
+
+
 def q_fsst_source_columns(spark, sf_dir):
     """Column-pruned read: ``.option('columns', 'doc_id,lang')`` narrows
     the declared schema so unselected payloads are never decoded; the
@@ -1531,7 +1611,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fsst_source_scan": q_fsst_source_scan,
         "fsst_source_append": q_fsst_source_append,
         "fsst_source_stream": q_fsst_source_stream,
+        "fsst_stream_write": q_fsst_stream_write,
         "fsst_source_columns": q_fsst_source_columns,
+        "dedup_incremental": q_dedup_incremental,
         "front_roundtrip_url": q_front_roundtrip_url,
         "encoded_profile": q_encoded_profile,
         "recluster_decode": q_recluster_decode,
@@ -1790,6 +1872,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(doc_id) AS BIGINT) AS sum_ids, "
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
             "FROM documents"
+        ),
+        "fsst_stream_write": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_ids, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents"
+        ),
+        "dedup_incremental": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_planted, "
+            "CAST(count(*) AS BIGINT) AS n_planted_flagged, "
+            "TRUE AS all_planted_flagged "
+            "FROM documents WHERE doc_id % 20 = 0"
         ),
         "fsst_source_columns": (
             "SELECT lang, CAST(count(*) AS BIGINT) AS n_rows, "

@@ -156,6 +156,25 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def band_buckets(sig: DataFrame, id_col: str = "doc_id",
+                 n_hashes: int = 64, bands: int = 16) -> DataFrame:
+    """(id, band, bucket) rows from a signature frame: each band's slice of
+    the signature hashes to one 64-bit bucket key (band index salted in so
+    identical slices in different bands never collide). Pure JVM
+    expressions — this is the narrow frame every LSH consumer (self-join
+    candidates, the persisted dedup index) shuffles instead of text."""
+    rows_per_band = n_hashes // bands
+    band_cols = [
+        F.xxhash64(F.slice("sig", i * rows_per_band + 1, rows_per_band)
+                   .cast("string"), F.lit(i)).alias("bucket")
+        for i in range(bands)
+    ]
+    return sig.select(
+        F.col(id_col),
+        F.posexplode(F.array(*band_cols)).alias("band", "bucket"),
+    )
+
+
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                            n_hashes: int = 64, bands: int = 16, shingle_k: int = 5,
                            seed: int = 1, estimate: bool = False,
@@ -196,7 +215,6 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str = 
     session stop — long-lived sessions should pass the list or a prebuilt
     ``sig_df``."""
     assert n_hashes % bands == 0
-    rows_per_band = n_hashes // bands
     sig = sig_df if sig_df is not None else minhash_signatures(
         df, text_col, id_col, n_hashes, shingle_k, seed)
     if sig_df is None and estimate:
@@ -206,14 +224,7 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str = 
         sig = sig.persist()
         if persisted_out is not None:
             persisted_out.append(sig)
-    band_cols = [
-        F.xxhash64(F.slice("sig", i * rows_per_band + 1, rows_per_band).cast("string"), F.lit(i)).alias("bucket")
-        for i in range(bands)
-    ]
-    banded = sig.select(
-        F.col(id_col),
-        F.posexplode(F.array(*band_cols)).alias("band", "bucket"),
-    )
+    banded = band_buckets(sig, id_col, n_hashes, bands)
     if bucket_cap:
         over = (banded.groupBy("band", "bucket").count()
                 .where(F.col("count") > bucket_cap).select("band", "bucket"))

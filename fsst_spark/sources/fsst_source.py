@@ -65,6 +65,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     Filter,
@@ -147,14 +148,20 @@ def _read_commit(store: str, idx: int) -> dict:
         return json.load(fh)
 
 
-def log_commit(store: str, pids: list[int], mode: str) -> int:
+def log_commit(store: str, pids: list[int], mode: str,
+               batch_id: int | None = None) -> int:
     """Append one commit entry naming this write's chunk-file pids; returns
     the entry index. ``os.O_EXCL`` claims the next index atomically, so two
     concurrent appends serialize instead of clobbering (the loser retries
     at idx+1). Entries are never rewritten — the log is append-only, which
-    is what makes the streaming offset (a plain entry count) replayable."""
+    is what makes the streaming offset (a plain entry count) replayable.
+    ``batch_id`` tags entries written by the streaming sink so a replayed
+    epoch can be recognized and skipped (see :class:`FsstStreamWriter`)."""
     os.makedirs(_commits_dir(store), exist_ok=True)
-    payload = json.dumps({"pids": sorted(pids), "mode": mode}).encode()
+    entry = {"pids": sorted(pids), "mode": mode}
+    if batch_id is not None:
+        entry["batch_id"] = batch_id
+    payload = json.dumps(entry).encode()
     idx = commit_count(store)
     while True:
         path = os.path.join(_commits_dir(store), f"{idx:08d}.json")
@@ -351,7 +358,7 @@ class FsstReader(DataSourceReader):
         if commit_count(self.store):
             from ..jobs.encode import _manifest_mode
 
-            if _manifest_mode(self.store) == "datasource":
+            if _manifest_mode(self.store) in ("datasource", "stream"):
                 pids: set[int] = set()
                 for i in range(commit_count(self.store)):
                     pids.update(_read_commit(self.store, i)["pids"])
@@ -508,6 +515,70 @@ class FsstWriter(DataSourceArrowWriter):
         return None
 
 
+_STREAM_PID_BITS = 20  # pid = (epoch << 20) | taskPartitionId
+
+
+class FsstStreamWriter(DataSourceStreamArrowWriter):
+    """writeStream.format('fsst'): continuous encode of a stream into a
+    chunk store, exactly-once.
+
+    pid keying is EPOCH-SCOPED and deterministic: ``(batchId << 20) |
+    partitionId`` (batchId read task-side from the ``streaming.sql.batchId``
+    local property Spark sets on micro-batch tasks). A replayed epoch
+    re-runs the same input partitions onto the same pids — the atomic
+    rename overwrites with identical content — and ``commit()`` skips
+    logging when an entry for that batchId already exists, so downstream
+    stream readers never see a write twice. Epochs that fail before
+    commit leave files no reader trusts (stream-mode stores are read
+    through the commit log only)."""
+
+    def __init__(self, store: str, options: dict):
+        self.store = store
+        self.chunk_bytes = int(options.get("chunk_bytes", 32 << 20))
+        self.bloom_bits = int(options.get("bloom_bits_per_value", 10))
+        self.hll_p = int(options.get("hll_p", 10))
+
+    def write(self, iterator: Iterator["pa.RecordBatch"]) -> _FsstCommit:
+        from pyspark import TaskContext
+
+        from ..jobs.encode import _encode_one_partition
+
+        ctx = TaskContext.get()
+        batch_id = ctx.getLocalProperty("streaming.sql.batchId")
+        if batch_id is None:
+            raise RuntimeError(
+                "streaming.sql.batchId local property missing — cannot key "
+                "epoch-scoped pids; use streaming.encode_stream (foreachBatch) "
+                "on this Spark build")
+        part = ctx.partitionId()
+        if part >= (1 << _STREAM_PID_BITS):
+            raise ValueError(
+                f"micro-batch has >{1 << _STREAM_PID_BITS} partitions; "
+                "coalesce the stream or raise _STREAM_PID_BITS")
+        pid = (int(batch_id) << _STREAM_PID_BITS) | part
+        lineage_json = json.dumps(
+            {"mode": "stream", "chunk_bytes": self.chunk_bytes,
+             "batch_id": int(batch_id),
+             "bloom_bits_per_value": self.bloom_bits, "hll_p": self.hll_p})
+        row = _encode_one_partition(
+            pid, iterator, self.store, self.chunk_bytes, lineage_json,
+            set(), self.bloom_bits, self.hll_p)
+        return _FsstCommit(pid=pid, n_rows=row["n_rows"] if row else 0)
+
+    def commit(self, messages, batchId: int) -> None:
+        for i in range(commit_count(self.store)):
+            if _read_commit(self.store, i).get("batch_id") == batchId:
+                return  # replayed epoch: already published, exactly-once
+        log_commit(self.store,
+                   [m.pid for m in messages if m is not None and m.n_rows > 0],
+                   mode="stream", batch_id=batchId)
+
+    def abort(self, messages, batchId: int) -> None:
+        # files of the failed epoch stay untrusted (no commit entry); the
+        # replay overwrites them pid-for-pid
+        return None
+
+
 class FsstDataSource(DataSource):
     """spark.read.format("fsst") / df.write.format("fsst") over encoded
     chunk stores. ``load(path)``/``save(path)`` name the store directory."""
@@ -554,6 +625,26 @@ class FsstDataSource(DataSource):
                 "or call fsst_source.log_commit_snapshot(store) after an "
                 "encode job finishes.")
         return FsstStreamReader(store, self._types())
+
+    def streamWriter(self, schema, overwrite: bool) -> FsstStreamWriter:
+        from ..jobs.encode import _manifest_mode
+
+        store = self._path()
+        if overwrite:
+            raise ValueError(
+                "the fsst streaming sink is append-only (a store is an "
+                "accumulating corpus); 'complete'/truncate output modes are "
+                "not supported")
+        mode = _manifest_mode(store)
+        if mode not in (None, "stream"):
+            raise ValueError(
+                f"store {store!r} was written by encode mode {mode!r}; the "
+                "streaming sink keys pids by (epoch, partition) and only "
+                "composes with stream-mode stores — point writeStream at a "
+                "fresh directory")
+        for sub in ("chunks", "manifest"):
+            os.makedirs(os.path.join(store, sub), exist_ok=True)
+        return FsstStreamWriter(store, dict(self.options))
 
     def writer(self, schema, overwrite: bool) -> FsstWriter:
         import shutil

@@ -246,6 +246,62 @@ def test_stream_job_store_needs_snapshot(spark, docs, tmp_path):
     assert got.count() == docs.count()
 
 
+def test_stream_write_store_to_store(spark, docs, tmp_path):
+    """writeStream.format('fsst'): encoded store → stream → encoded store.
+    The sink store must decode to the full table; its commit entries are
+    batchId-tagged, and re-committing a batchId is a no-op (the replayed-
+    epoch exactly-once guarantee)."""
+    from fsst_spark.sources.fsst_source import (FsstStreamWriter,
+                                                _read_commit, commit_count)
+
+    register(spark)
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    docs.write.format("fsst").mode("append").save(src)
+    q = (
+        spark.readStream.format("fsst").load(src)
+        .writeStream.format("fsst")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start(dst)
+    )
+    q.awaitTermination(180)
+    if q.isActive:
+        q.stop()
+    back = spark.read.format("fsst").load(dst)
+    assert back.count() == docs.count()
+    assert (back.agg(F.sum("doc_id"), F.sum("n_chars")).collect()
+            == docs.agg(F.sum("doc_id"), F.sum("n_chars")).collect())
+    n = commit_count(dst)
+    entries = [_read_commit(dst, i) for i in range(n)]
+    assert all(e["mode"] == "stream" and "batch_id" in e for e in entries)
+    # replayed epoch: commit() with an already-logged batchId must not
+    # append a duplicate entry (stream readers would double-read)
+    w = FsstStreamWriter(dst, {})
+    w.commit([], batchId=entries[0]["batch_id"])
+    assert commit_count(dst) == n
+    # and stream pids are epoch-scoped: (batchId << 20) | partition
+    for e in entries:
+        for pid in e["pids"]:
+            assert pid >> 20 == e["batch_id"]
+
+
+def test_stream_write_refuses_foreign_store(spark, docs, tmp_path):
+    register(spark)
+    out = str(tmp_path / "batchstore")
+    docs.write.format("fsst").mode("overwrite").save(out)
+    with pytest.raises(Exception, match="stream"):
+        q = (
+            spark.readStream.format("fsst").load(out)
+            .writeStream.format("fsst")
+            .option("checkpointLocation", str(tmp_path / "c"))
+            .trigger(availableNow=True).start(out)
+        )
+        try:
+            q.awaitTermination(60)
+        finally:
+            if q.isActive:
+                q.stop()
+
+
 def test_store_readable_by_decode_job(spark, docs, store):
     """A DataSource-written store is a normal store: the job-API decoder
     reads it bit-identically."""
