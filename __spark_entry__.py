@@ -462,6 +462,24 @@ def q_fsst_stream_write(spark, sf_dir):
         "n_rows bigint, sum_ids bigint, sum_chars bigint")
 
 
+def q_pack_chunks(spark, sf_dir):
+    """Sequence packing (concat-then-cut, GPT-style): exact global token
+    cumsum via range shards + broadcast offsets (never a one-task global
+    window), bin = floor(cum_before/budget). Per-bin rollup must equal
+    the single-window SQL plan bit-for-bit."""
+    from fsst_spark.pipeline.packing import pack_chunks
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    out = pack_chunks(docs, "n_chars", "doc_id", budget=50_000)
+    return (
+        out.groupBy("bin")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_chars").alias("sum_tokens"),
+             F.min("bin_offset").alias("first_offset"))
+        .orderBy("bin")
+    )
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Persistent MinHash index gate: index the even half of the corpus,
     probe a new batch = odd half + exact copies of every 20th doc. Every
@@ -1614,6 +1632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fsst_stream_write": q_fsst_stream_write,
         "fsst_source_columns": q_fsst_source_columns,
         "dedup_incremental": q_dedup_incremental,
+        "pack_chunks": q_pack_chunks,
         "front_roundtrip_url": q_front_roundtrip_url,
         "encoded_profile": q_encoded_profile,
         "recluster_decode": q_recluster_decode,
@@ -1884,6 +1903,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_planted_flagged, "
             "TRUE AS all_planted_flagged "
             "FROM documents WHERE doc_id % 20 = 0"
+        ),
+        "pack_chunks": (
+            "WITH c AS (SELECT doc_id, n_chars, "
+            "COALESCE(CAST(sum(n_chars) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) "
+            "AS cb FROM documents) "
+            "SELECT cb // 50000 AS bin, "
+            "CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_tokens, "
+            "CAST(min(cb % 50000) AS BIGINT) AS first_offset "
+            "FROM c GROUP BY 1 ORDER BY 1"
         ),
         "fsst_source_columns": (
             "SELECT lang, CAST(count(*) AS BIGINT) AS n_rows, "
