@@ -480,6 +480,32 @@ def q_pack_chunks(spark, sf_dir):
     )
 
 
+def q_encoded_quantiles(spark, sf_dir):
+    """Metadata-only percentiles from per-chunk quantile sketches: encode
+    with ≤128-row chunks (below the k=256 sample size, so every sketch is
+    its chunk's complete sorted values) — the merged weighted-rank answer
+    must then be EXACT: the ceil(q·N)-th smallest value, pinned against
+    DuckDB. No payload byte is read."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.encode import encode_files_job
+    from fsst_spark.jobs.stats import encoded_quantiles
+
+    out = tempfile.mkdtemp(prefix="qsketch_q_")
+    try:
+        encode_files_job(spark, "", out,
+                         files=[f"{sf_dir}/documents.parquet"],
+                         columns=["n_chars"], chunk_bytes=1,
+                         batch_rows=128, resume=False).collect()
+        rows = encoded_quantiles(spark, out, "n_chars",
+                                 [0.25, 0.5, 0.75]).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["q"], r["val"]) for r in rows], "q double, val bigint")
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Persistent MinHash index gate: index the even half of the corpus,
     probe a new batch = odd half + exact copies of every 20th doc. Every
@@ -1633,6 +1659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fsst_source_columns": q_fsst_source_columns,
         "dedup_incremental": q_dedup_incremental,
         "pack_chunks": q_pack_chunks,
+        "encoded_quantiles": q_encoded_quantiles,
         "front_roundtrip_url": q_front_roundtrip_url,
         "encoded_profile": q_encoded_profile,
         "recluster_decode": q_recluster_decode,
@@ -1903,6 +1930,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_planted_flagged, "
             "TRUE AS all_planted_flagged "
             "FROM documents WHERE doc_id % 20 = 0"
+        ),
+        "encoded_quantiles": (
+            "WITH o AS (SELECT n_chars AS v, "
+            "row_number() OVER (ORDER BY n_chars) AS r, "
+            "count(*) OVER () AS n FROM documents), "
+            "qs AS (SELECT unnest([0.25, 0.5, 0.75]) AS q) "
+            "SELECT q, CAST(min(v) AS BIGINT) AS val FROM o, qs "
+            "WHERE r = CAST(ceil(q * n) AS BIGINT) GROUP BY q ORDER BY q"
         ),
         "pack_chunks": (
             "WITH c AS (SELECT doc_id, n_chars, "

@@ -195,6 +195,41 @@ def main(argv: list[str] | None = None) -> int:
     ndv.add_argument("--data", required=True)
     ndv.add_argument("--columns", required=True, help="comma-separated")
 
+    qtl = sub.add_parser("quantiles",
+                         help="approx percentiles from per-chunk quantile "
+                              "sketches — metadata-only, no payload reads "
+                              "(exact when chunks hold <= k values)")
+    qtl.add_argument("--data", required=True)
+    qtl.add_argument("--column", required=True)
+    qtl.add_argument("--q", default="0.25,0.5,0.75",
+                     help="comma-separated fractions in [0,1]")
+
+    dix = sub.add_parser("dedup-index",
+                         help="persistent MinHash dedup index: build from a "
+                              "corpus, or probe a new batch against it "
+                              "(join-only on the corpus side)")
+    dix.add_argument("action", choices=["build", "probe"])
+    dix.add_argument("--index", required=True, help="index directory")
+    dix.add_argument("--input", required=True,
+                     help="parquet dir / iceberg: table (corpus or new batch)")
+    dix.add_argument("--id-col", default="doc_id")
+    dix.add_argument("--text-col", default="text")
+    dix.add_argument("--threshold", type=float, default=0.8)
+    dix.add_argument("--survivors-out", default=None,
+                     help="probe only: write surviving rows (parquet) and "
+                          "append them to the index")
+
+    pck = sub.add_parser("pack",
+                         help="sequence packing: assign docs to fixed "
+                              "token-budget training bins (chunks = "
+                              "concat-then-cut, greedy = no straddling)")
+    pck.add_argument("--input", required=True)
+    pck.add_argument("--out", required=True)
+    pck.add_argument("--mode", choices=["chunks", "greedy"], default="chunks")
+    pck.add_argument("--token-col", required=True)
+    pck.add_argument("--order-col", default="doc_id")
+    pck.add_argument("--budget", type=int, required=True)
+
     tpk = sub.add_parser("topk",
                          help="ORDER BY col [DESC] LIMIT k from an encoded "
                               "store — zone maps bound the k-th value and "
@@ -400,6 +435,69 @@ def main(argv: list[str] | None = None) -> int:
 
             out = encoded_ndv(spark, args.data, args.columns.split(","))
             print(json.dumps(out))
+        elif args.cmd == "quantiles":
+            from fsst_spark.jobs.stats import encoded_quantiles
+
+            qs = [float(x) for x in args.q.split(",")]
+            obs: dict = {}
+            rows = encoded_quantiles(spark, args.data, args.column, qs,
+                                     observer=obs).collect()
+            print(json.dumps({"column": args.column,
+                              "quantiles": {str(r["q"]): r["val"]
+                                            for r in rows},
+                              **obs}))
+        elif args.cmd == "dedup-index":
+            from fsst_spark.pipeline.dedup_index import (dedup_against_index,
+                                                         flag_against_index,
+                                                         minhash_index_write)
+            from fsst_spark.sources import read_table
+
+            df_in = read_table(spark, args.input)
+            if args.action == "build":
+                minhash_index_write(df_in, args.index,
+                                    text_col=args.text_col,
+                                    id_col=args.id_col)
+                print(json.dumps({"built": args.index,
+                                  "n_docs": df_in.count()}))
+            elif args.survivors_out:
+                surv = dedup_against_index(
+                    df_in, args.index, text_col=args.text_col,
+                    id_col=args.id_col, threshold=args.threshold)
+                surv.write.mode("overwrite").parquet(args.survivors_out)
+                n_surv = spark.read.parquet(args.survivors_out).count()
+                print(json.dumps({"n_in": df_in.count(), "n_survivors": n_surv,
+                                  "survivors": args.survivors_out,
+                                  "index_appended": True}))
+            else:
+                from pyspark.sql import functions as F
+
+                flags = flag_against_index(
+                    df_in, args.index, text_col=args.text_col,
+                    id_col=args.id_col, threshold=args.threshold)
+                agg = flags.agg(
+                    F.count("*").alias("n_in"),
+                    F.sum(F.col("index_dup").cast("int")).alias("n_dups"),
+                ).collect()[0]
+                print(json.dumps({"n_in": agg["n_in"],
+                                  "n_index_dups": agg["n_dups"] or 0}))
+        elif args.cmd == "pack":
+            from fsst_spark.pipeline.packing import pack_chunks, pack_greedy
+            from fsst_spark.sources import read_table
+
+            df_in = read_table(spark, args.input)
+            fn = pack_chunks if args.mode == "chunks" else pack_greedy
+            out = fn(df_in, args.token_col, args.order_col, args.budget)
+            out.write.mode("overwrite").parquet(args.out)
+            from pyspark.sql import functions as F
+
+            packed = spark.read.parquet(args.out)
+            bin_cols = (["bin"] if args.mode == "chunks"
+                        else ["shard", "bin"])
+            print(json.dumps({
+                "n_docs": packed.count(),
+                "n_bins": packed.select(*bin_cols).distinct().count(),
+                "out": args.out, "mode": args.mode,
+            }))
         elif args.cmd == "topk":
             from fsst_spark.jobs.stats import encoded_topk
 

@@ -70,6 +70,11 @@ CHUNK_SCHEMA = pa.schema(
         # is an elementwise register max over chunks — metadata-only at
         # any scale; null for unsupported types and hll-disabled encodes.
         ("hll", pa.large_binary()),
+        # quantile sketch (kernel.qsample blob): sorted equi-spaced value
+        # sample — approximate percentiles merge store-wide by weighted
+        # rank, exact when chunks are small; null for strings/all-null
+        # chunks and qsample-disabled encodes.
+        ("qsketch", pa.large_binary()),
     ]
 )
 
@@ -199,15 +204,23 @@ def _chunk_bloom(arr: pa.Array, stats: dict, codec: str,
 
 
 def _chunk_sketches(arr: pa.Array, stats: dict, codec: str,
-                    bloom_bits_per_value: int,
-                    hll_p: int) -> tuple[bytes | None, bytes | None]:
-    """(bloom, hll) for one chunk, sharing a single value-hash pass (the
-    hash over string bytes dominates sketch cost; floats hash only inside
-    hll_build, which has the raw-bits path the bloom deliberately lacks)."""
+                    bloom_bits_per_value: int, hll_p: int,
+                    qsample_k: int = 256,
+                    ) -> tuple[bytes | None, bytes | None, bytes | None]:
+    """(bloom, hll, qsketch) for one chunk; bloom and hll share a single
+    value-hash pass (the hash over string bytes dominates sketch cost;
+    floats hash only inside hll_build, which has the raw-bits path the
+    bloom deliberately lacks). The quantile sample sorts numeric values
+    instead — no hashing, and qsample_build rejects strings itself."""
     want_bloom = bloom_bits_per_value > 0 and codec != "str_dict"
     want_hll = hll_p > 0
+    qs = None
+    if qsample_k > 0:
+        from ..kernel.qsample import qsample_build
+
+        qs = qsample_build(arr, qsample_k)
     if not (want_bloom or want_hll):
-        return None, None
+        return None, None, qs
     from ..kernel.bloom import _value_hashes
     from ..kernel.hll import hll_build
 
@@ -217,7 +230,7 @@ def _chunk_sketches(arr: pa.Array, stats: dict, codec: str,
     bloom = (_chunk_bloom(arr, stats, codec, bloom_bits_per_value, hashes=h)
              if want_bloom else None)
     hll = hll_build(arr, hll_p, hashes=h) if want_hll else None
-    return bloom, hll
+    return bloom, hll, qs
 
 
 def _zone_bounds(arr: pa.Array, stats: dict) -> tuple[int | None, int | None]:
@@ -399,6 +412,7 @@ def encode_job(
     sort_key=None,
     bloom_bits_per_value: int = 10,
     hll_p: int = 10,
+    qsample_k: int = 256,
     _test_fail_pids: set[int] | None = None,
 ) -> DataFrame:
     """Run the encode pipeline; returns the per-partition metrics DataFrame.
@@ -437,6 +451,7 @@ def encode_job(
                 spark, "", out_dir, columns=columns, chunk_bytes=chunk_bytes,
                 resume=resume, files=files,
                 bloom_bits_per_value=bloom_bits_per_value, hll_p=hll_p,
+                qsample_k=qsample_k,
                 lineage={**(lineage or {}), "rerouted_from": "encode_job"})
     df = df.select(*cols)
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism * 2
@@ -452,7 +467,7 @@ def encode_job(
         {**(lineage or {}), "columns": cols, "num_partitions": num_partitions,
          "group_cols": group_cols, "chunk_bytes": chunk_bytes,
          "mode": "dataframe", "bloom_bits_per_value": bloom_bits_per_value,
-         "hll_p": hll_p,
+         "hll_p": hll_p, "qsample_k": qsample_k,
          "sort_key": [str(k) for k in sort_cols] if sort_cols else None}
     )
 
@@ -485,7 +500,8 @@ def encode_job(
         if pid in done:
             return  # durable already; input never gets pulled -> no rescan work
         row = _encode_one_partition(pid, batches, out_dir, chunk_bytes, lineage_json,
-                                    fail_pids, bloom_bits_per_value, hll_p)
+                                    fail_pids, bloom_bits_per_value, hll_p,
+                                    qsample_k)
         if row is not None:
             yield from pa.Table.from_pylist([row], schema=METRIC_PA_SCHEMA).to_batches()
 
@@ -496,7 +512,8 @@ def _encode_one_partition(pid: int, batches: Iterator[pa.RecordBatch], out_dir: 
                           chunk_bytes: int, lineage_json: str,
                           fail_pids: set[int],
                           bloom_bits_per_value: int = 10,
-                          hll_p: int = 10) -> dict | None:
+                          hll_p: int = 10,
+                          qsample_k: int = 256) -> dict | None:
     """Encode one partition's batches into a chunk file + manifest row
     (temp + atomic rename). Shared by the DataFrame and file-driven jobs."""
     from ..env import madvise_hugepages
@@ -525,8 +542,9 @@ def _encode_one_partition(pid: int, batches: Iterator[pa.RecordBatch], out_dir: 
             m["enc"] += len(enc["payload"])
             m["codecs"][enc["codec"]] = m["codecs"].get(enc["codec"], 0) + 1
             zmin, zmax = _zone_bounds(arr, stats)
-            bloom, hll = _chunk_sketches(arr, stats, enc["codec"],
-                                         bloom_bits_per_value, hll_p)
+            bloom, hll, qsketch = _chunk_sketches(
+                arr, stats, enc["codec"], bloom_bits_per_value, hll_p,
+                qsample_k)
             records.append(
                 {
                     "pid": pid, "chunk_id": chunk_id, "column": name,
@@ -536,7 +554,7 @@ def _encode_one_partition(pid: int, batches: Iterator[pa.RecordBatch], out_dir: 
                     "raw_bytes": raw, "enc_bytes": len(enc["payload"]),
                     "checksum": canonical_bytes(arr),
                     "zmin_long": zmin, "zmax_long": zmax,
-                    "bloom": bloom, "hll": hll,
+                    "bloom": bloom, "hll": hll, "qsketch": qsketch,
                 }
             )
         n_rows_total += tbl.num_rows
@@ -588,6 +606,7 @@ def encode_files_job(
     sort_key: "str | list[str] | None" = None,
     bloom_bits_per_value: int = 10,
     hll_p: int = 10,
+    qsample_k: int = 256,
 ) -> DataFrame:
     """File-granular encode: Spark parallelizes over parquet *files*; each
     task reads its file columnar-natively with pyarrow (no JVM row<->Arrow
@@ -630,6 +649,7 @@ def encode_files_job(
         {**(lineage or {}), "columns": columns, "n_files": len(files),
          "chunk_bytes": chunk_bytes, "mode": "files",
          "bloom_bits_per_value": bloom_bits_per_value, "hll_p": hll_p,
+         "qsample_k": qsample_k,
          "sort_key": sort_cols}
     )
     tasks = [(pid_offset + i, f) for i, f in enumerate(files)
@@ -665,7 +685,8 @@ def encode_files_job(
                     reader = pf.iter_batches(batch_size=batch_rows, columns=columns)
                 row = _encode_one_partition(pid, reader, out_dir, chunk_bytes,
                                             lineage_json, set(),
-                                            bloom_bits_per_value, hll_p)
+                                            bloom_bits_per_value, hll_p,
+                                            qsample_k)
                 if row is not None:
                     yield from pa.Table.from_pylist([row], schema=METRIC_PA_SCHEMA).to_batches()
 

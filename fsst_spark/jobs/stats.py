@@ -415,6 +415,108 @@ def encoded_ndv(spark, out_dir: str, columns: list[str]) -> dict:
     return result
 
 
+def encoded_quantiles(spark, out_dir: str, column: str, qs: list[float],
+                      num_shards: int | None = None,
+                      observer: dict | None = None) -> DataFrame:
+    """Percentiles of a numeric column from per-chunk quantile sketches —
+    payload-free: only the narrow ``qsketch`` metadata column is read.
+
+    Each chunk stores a sorted equi-spaced ``k``-point sample of its own
+    values (``kernel.qsample``), so the store-wide quantile is a weighted
+    rank selection: every stored point carries weight ``n_chunk/k``, the
+    points sort globally by value (a range shuffle over #chunks×k narrow
+    rows — distributed, never one task), an exact prefix sum of weights
+    comes from ``pipeline.packing.global_cumsum``, and the answer for
+    target rank ``t = q·N`` is the lowest value whose weight interval
+    covers ``t``. Rank error is bounded by 2·N/k total (equi-depth bound:
+    one sample spacing plus one weight interval);
+    when every chunk has ≤ k values the sketches ARE the sorted data and
+    the result is EXACT — the driver gate pins that case against DuckDB.
+
+    N (non-null count) comes exactly from chunk params metadata, not from
+    summing float weights. Returns a DataFrame (q double, val <coltype>);
+    ints/timestamps stay int64-exact (ticks for timestamps), floats follow
+    NaN-greatest ordering (NaNs sort last in each chunk's sample).
+    ``observer`` gets ``n_values`` and ``exact`` (every chunk complete).
+    Raises for string columns, sketch-less stores, and chunks with values
+    but no sketch (a partial merge would silently mis-rank)."""
+    from ..pipeline.packing import global_cumsum
+
+    if not qs or not all(0.0 <= q <= 1.0 for q in qs):
+        raise ValueError(f"qs must be fractions in [0, 1], got {qs!r}")
+    types = column_arrow_types(spark, out_dir)
+    if column not in types:
+        raise KeyError(f"column {column!r} not in encoded data")
+    arrow_name = types[column]
+    is_int = arrow_name in _EXACT_ZONE_TYPES or arrow_name.startswith("timestamp[")
+    if not is_int and arrow_name not in ("float", "double"):
+        raise ValueError(
+            f"quantile sketches cover numeric/timestamp columns; {column!r} "
+            f"is {arrow_name}")
+    meta = _chunks_df(spark, out_dir, [column])
+    if "qsketch" not in meta.columns:
+        raise ValueError("store has no quantile sketches (pre-qsample encode)")
+    # a chunk with non-null values (non-null zones) must carry a sketch
+    n_bad = meta.filter(F.col("qsketch").isNull()
+                        & F.col("zmin_long").isNotNull()).count()
+    if n_bad:
+        raise ValueError(
+            f"{n_bad} chunks of {column!r} lack quantile sketches "
+            "(qsample-disabled encode) — merged ranks would be wrong; "
+            "decode instead")
+    n_vals = F.get_json_object("params", "$.n").cast("long")
+    n_total = F.get_json_object("params", "$.n_total").cast("long")
+    stats = meta.agg(
+        (F.sum("n_rows") - F.sum(F.coalesce(n_total - n_vals, F.lit(0))))
+        .alias("n")).collect()[0]
+    n_values = int(stats["n"] or 0)
+    val_t = "bigint" if is_int else "double"
+
+    def points(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..kernel.qsample import qsample_parse
+
+        for batch in batches:
+            vals, ws, fulls = [], [], []
+            for blob_s in batch.column("qsketch"):
+                blob = blob_s.as_py()
+                if blob is None:
+                    continue  # all-null chunk
+                _, n, pts = qsample_parse(blob)
+                vals.extend(pts.tolist())
+                w = n / len(pts)
+                ws.extend([w] * len(pts))
+                fulls.extend([len(pts) == n] * len(pts))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(vals, type=pa.int64() if is_int else pa.float64()),
+                 pa.array(ws, type=pa.float64()),
+                 pa.array(fulls, type=pa.bool_())],
+                names=["val", "w", "full"])
+
+    pts = meta.select("qsketch").mapInArrow(
+        points, f"val {val_t}, w double, full boolean")
+    if observer is not None:
+        observer["n_values"] = n_values
+        observer["exact"] = bool(
+            pts.agg(F.min("full")).collect()[0][0]) if n_values else True
+    if n_values == 0:
+        return spark.createDataFrame(
+            [(float(q), None) for q in sorted(qs)], f"q double, val {val_t}")
+    # exact global weighted prefix sums by value (ties are interchangeable
+    # for rank selection: tied rows share the value the rank resolves to)
+    cum = global_cumsum(pts.select("val", "w"), "w", "val", num_shards)
+    targets = spark.createDataFrame(
+        [(float(q), max(q * n_values, 1e-9)) for q in sorted(set(qs))],
+        "q double, t double")
+    hit = (
+        cum.crossJoin(F.broadcast(targets))
+        .where((F.col("cum_before") < F.col("t"))
+               & (F.col("t") <= F.col("cum_before") + F.col("w")))
+        .groupBy("q").agg(F.min("val").alias("val"))
+        .orderBy("q")
+    )
+    return hit
+
+
 def encoded_profile(spark, out_dir: str,
                     columns: list[str] | None = None) -> DataFrame:
     """Column profile of an encoded store from metadata alone — the

@@ -58,19 +58,23 @@ def global_cumsum(df: DataFrame, val_col: str, order_col: str,
            .withColumn("shard", F.spark_partition_id()))
     w = (Window.partitionBy("shard").orderBy(order_col)
          .rowsBetween(Window.unboundedPreceding, -1))
-    val = F.coalesce(F.col(val_col).cast("long"), F.lit(0))
-    d = d.withColumn("_local_before", F.coalesce(F.sum(val).over(w), F.lit(0)))
+    # double, not long: fractional weights (e.g. quantile-sketch n/k) must
+    # not truncate; integer weights stay exact far past any token count
+    # (2^53) and the final cast below restores a long when safe
+    val = F.coalesce(F.col(val_col).cast("double"), F.lit(0.0))
+    d = d.withColumn("_local_before",
+                     F.coalesce(F.sum(val).over(w), F.lit(0.0)))
     # per-shard totals: #shards rows — metadata-scale by construction.
     # RangePartitioner ids are ordered by key range, so a running sum over
     # ids IS the global prefix at each shard boundary.
     totals = (d.groupBy("shard").agg(F.sum(val).alias("_tot"))
               .orderBy("shard").collect())
-    offsets, run = [], 0
+    offsets, run = [], 0.0
     for r in totals:
         offsets.append((r["shard"], run))
-        run += r["_tot"] or 0
+        run += r["_tot"] or 0.0
     off = F.broadcast(
-        spark.createDataFrame(offsets, "shard int, _shard_offset long"))
+        spark.createDataFrame(offsets, "shard int, _shard_offset double"))
     return (
         d.join(off, "shard")
         .withColumn(out_col, (F.col("_local_before") + F.col("_shard_offset")))
@@ -88,9 +92,12 @@ def pack_chunks(df: DataFrame, token_col: str, order_col: str,
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     d = global_cumsum(df, token_col, order_col, num_shards)
+    # integer token counts make cum_before integral (doubles are exact to
+    # 2^53): cast back to long so bin/bin_offset are exact integers
+    cum = F.col("cum_before").cast("long")
     return (
-        d.withColumn("bin", (F.col("cum_before") / F.lit(budget)).cast("long"))
-         .withColumn("bin_offset", F.col("cum_before") % F.lit(budget))
+        d.withColumn("bin", F.floor(cum / F.lit(budget)).cast("long"))
+         .withColumn("bin_offset", cum % F.lit(budget))
          .drop("cum_before", "shard")
     )
 

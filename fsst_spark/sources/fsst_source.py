@@ -485,10 +485,11 @@ class FsstWriter(DataSourceArrowWriter):
         self.chunk_bytes = int(options.get("chunk_bytes", 32 << 20))
         self.bloom_bits = int(options.get("bloom_bits_per_value", 10))
         self.hll_p = int(options.get("hll_p", 10))
+        self.qsample_k = int(options.get("qsample_k", 256))
         self.lineage_json = json.dumps(
             {"mode": "datasource", "chunk_bytes": self.chunk_bytes,
              "bloom_bits_per_value": self.bloom_bits, "hll_p": self.hll_p,
-             "pid_offset": pid_offset})
+             "qsample_k": self.qsample_k, "pid_offset": pid_offset})
 
     def write(self, iterator: Iterator["pa.RecordBatch"]) -> _FsstCommit:
         from pyspark import TaskContext
@@ -498,7 +499,7 @@ class FsstWriter(DataSourceArrowWriter):
         pid = TaskContext.get().partitionId() + self.pid_offset
         row = _encode_one_partition(
             pid, iterator, self.store, self.chunk_bytes, self.lineage_json,
-            set(), self.bloom_bits, self.hll_p)
+            set(), self.bloom_bits, self.hll_p, self.qsample_k)
         return _FsstCommit(pid=pid, n_rows=row["n_rows"] if row else 0)
 
     def commit(self, messages) -> None:
@@ -537,6 +538,7 @@ class FsstStreamWriter(DataSourceStreamArrowWriter):
         self.chunk_bytes = int(options.get("chunk_bytes", 32 << 20))
         self.bloom_bits = int(options.get("bloom_bits_per_value", 10))
         self.hll_p = int(options.get("hll_p", 10))
+        self.qsample_k = int(options.get("qsample_k", 256))
 
     def write(self, iterator: Iterator["pa.RecordBatch"]) -> _FsstCommit:
         from pyspark import TaskContext
@@ -559,10 +561,11 @@ class FsstStreamWriter(DataSourceStreamArrowWriter):
         lineage_json = json.dumps(
             {"mode": "stream", "chunk_bytes": self.chunk_bytes,
              "batch_id": int(batch_id),
-             "bloom_bits_per_value": self.bloom_bits, "hll_p": self.hll_p})
+             "bloom_bits_per_value": self.bloom_bits, "hll_p": self.hll_p,
+             "qsample_k": self.qsample_k})
         row = _encode_one_partition(
             pid, iterator, self.store, self.chunk_bytes, lineage_json,
-            set(), self.bloom_bits, self.hll_p)
+            set(), self.bloom_bits, self.hll_p, self.qsample_k)
         return _FsstCommit(pid=pid, n_rows=row["n_rows"] if row else 0)
 
     def commit(self, messages, batchId: int) -> None:

@@ -215,3 +215,31 @@ def test_cli_decode_where_any(tmp_path):
         f"SELECT count(*) FROM read_parquet('{src}/*.parquet') "
         "WHERE lang IN ('de', 'fr')").fetchone()[0]
     assert got == want > 0
+
+
+def test_cli_quantiles_pack_dedup_index(tmp_path):
+    """Round-5 ops end-to-end via spark-submit entry points: quantile
+    sketches, sequence packing, and the persistent dedup index."""
+    src = str(tmp_path / "corpus5")
+    enc = str(tmp_path / "encoded5")
+    _run("synth", "--rows", "300", "--out", src)
+    _run("encode", "--input", src, "--out", enc)
+    r = _run("quantiles", "--data", enc, "--column", "warc_ts",
+             "--q", "0.5")
+    assert r["n_values"] == 300 and r["quantiles"]["0.5"] > 0
+
+    packed = str(tmp_path / "packed")
+    # warc_ts ticks (~1.8e15 each) stand in for token counts: a budget of
+    # two docs' worth forces many bins
+    r = _run("pack", "--input", src, "--out", packed,
+             "--mode", "greedy", "--token-col", "warc_ts",
+             "--order-col", "url", "--budget", str(4 * 10 ** 15))
+    assert r["n_docs"] == 300 and r["n_bins"] > 1
+
+    idx = str(tmp_path / "mhidx")
+    r = _run("dedup-index", "build", "--index", idx, "--input", src,
+             "--id-col", "url")
+    assert r["n_docs"] == 300
+    r = _run("dedup-index", "probe", "--index", idx, "--input", src,
+             "--id-col", "url")
+    assert r["n_in"] == 300 and r["n_index_dups"] == 300  # self-probe: all dups
