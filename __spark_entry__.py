@@ -506,6 +506,80 @@ def q_encoded_quantiles(spark, sf_dir):
         [(r["q"], r["val"]) for r in rows], "q double, val bigint")
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join, JOIN-FREE: every click attaches its user's most recent
+    view at-or-before it (union + one hash shuffle + last(ignorenulls)
+    running window — no range join, no pair blow-up; the plan test pins
+    zero Join nodes). Tie rule (right rows first at equal ts, largest
+    event_id among tied right rows) is mirrored exactly in the oracle's
+    window SQL."""
+    from fsst_spark.pipeline.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "click") \
+             .select("user_id", "ts", "event_id")
+    right = ev.where(F.col("event_type") == "view") \
+              .select("user_id", "ts", "event_id", "value")
+    out = asof_join(left, right, on="user_id", ts_col="ts",
+                    right_cols=["event_id", "value"],
+                    tiebreak_col="event_id")
+    return out.select(
+        F.col("event_id").alias("click_id"),
+        F.col("event_id_r").alias("view_id"),
+        F.round(F.col("value_r"), 6).alias("view_value"),
+    )
+
+
+def q_session_stats(spark, sf_dir):
+    """Gaps-and-islands sessionization (6 h inactivity gap) + per-session
+    rollup: one shuffle on user_id, exact integer microsecond gaps
+    (unix_micros, never float seconds), deterministic event_id tiebreak."""
+    from fsst_spark.pipeline.temporal import session_stats
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    return session_stats(ev, key_col="user_id", ts_col="ts",
+                         gap_us=6 * 3600 * 1_000_000,
+                         tiebreak_col="event_id") \
+        .select("user_id", "session_seq", "n_events", "dur_us")
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: distinct word 8-gram overlap of every
+    document against a benchmark set (every 25th doc), broadcast hash
+    join on the gram — the corpus side never shuffles. Benchmark members
+    self-overlap at 1.0 by construction; the gate pins per-doc distinct
+    gram counts, hit counts, and the 0.5-threshold flags against DuckDB
+    recomputing the same tokenizer in SQL."""
+    from fsst_spark.pipeline.contamination import ngram_contamination
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 25 == 0)
+    out = ngram_contamination(docs, bench, n=8, threshold=0.5)
+    return (
+        out.where(F.col("contaminated"))
+        .select("doc_id", "n_grams", "n_overlap",
+                F.round("overlap_frac", 6).alias("overlap_frac"))
+    )
+
+
+def q_temperature_sample(spark, sf_dir):
+    """Alpha-tempered domain balancing (the multilingual-sampling recipe
+    over web sources): keep probability q_g ∝ n_g^alpha / n_g, selection
+    content-keyed on md5 so the survivor SET is engine-reproducible —
+    the oracle recomputes thresholds AND the per-row hash test in SQL.
+    Returns per-source survivor counts + id-sums (set-pinning)."""
+    from fsst_spark.pipeline.sampling import temperature_sample
+
+    docs = _docs(spark, sf_dir)
+    kept = temperature_sample(docs, "source", alpha=0.5, target_rows=120)
+    return (
+        kept.groupBy("source")
+        .agg(F.count("*").alias("n_kept"),
+             F.sum("doc_id").alias("sum_ids"))
+        .orderBy("source")
+    )
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Persistent MinHash index gate: index the even half of the corpus,
     probe a new batch = odd half + exact copies of every 20th doc. Every
@@ -1659,6 +1733,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fsst_source_columns": q_fsst_source_columns,
         "dedup_incremental": q_dedup_incremental,
         "pack_chunks": q_pack_chunks,
+        "asof_join": q_asof_join,
+        "session_stats": q_session_stats,
+        "contamination": q_contamination,
+        "temperature_sample": q_temperature_sample,
         "encoded_quantiles": q_encoded_quantiles,
         "front_roundtrip_url": q_front_roundtrip_url,
         "encoded_profile": q_encoded_profile,
@@ -1949,6 +2027,80 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(n_chars) AS BIGINT) AS sum_tokens, "
             "CAST(min(cb % 50000) AS BIGINT) AS first_offset "
             "FROM c GROUP BY 1 ORDER BY 1"
+        ),
+        "asof_join": (
+            # the exact mirror of the union+window plan, tie rule included:
+            # right rows sort first at equal ts (inclusive bound), largest
+            # event_id wins among tied right rows, match rides in ONE struct
+            "WITH u AS ("
+            "  SELECT user_id, ts, 0 AS side, event_id AS tb, NULL::BIGINT AS click_id, "
+            "         struct_pack(eid := event_id, val := value) AS r "
+            "  FROM events WHERE event_type = 'view' AND ts IS NOT NULL "
+            "  UNION ALL "
+            "  SELECT user_id, ts, 1, NULL, event_id, NULL "
+            "  FROM events WHERE event_type = 'click'"
+            "), c AS ("
+            "  SELECT *, last_value(r IGNORE NULLS) OVER ("
+            "    PARTITION BY user_id "
+            "    ORDER BY ts ASC NULLS FIRST, side ASC, tb ASC NULLS FIRST "
+            "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m "
+            "  FROM u) "
+            "SELECT click_id, m.eid AS view_id, "
+            "round(m.val, 6) AS view_value "
+            "FROM c WHERE side = 1"
+        ),
+        "session_stats": (
+            "WITH e AS (SELECT user_id, ts, event_id, epoch_us(ts) AS us "
+            "           FROM events WHERE ts IS NOT NULL), "
+            "l AS (SELECT *, lag(us) OVER "
+            "      (PARTITION BY user_id ORDER BY ts, event_id) AS pus FROM e), "
+            "s AS (SELECT *, CAST(sum(CASE WHEN pus IS NULL "
+            "      OR us - pus > 21600000000 THEN 1 ELSE 0 END) OVER "
+            "      (PARTITION BY user_id ORDER BY ts, event_id "
+            "       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+            "      AS session_seq FROM l) "
+            "SELECT user_id, session_seq, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(max(us) - min(us) AS BIGINT) AS dur_us "
+            "FROM s GROUP BY user_id, session_seq"
+        ),
+        "contamination": (
+            # same tokenizer (lower + split on [^a-z0-9]+), same distinct
+            # 8-gram shingles, same global-distinct benchmark dictionary
+            "WITH d AS (SELECT doc_id, list_filter("
+            "  regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+            "  x -> x <> '') AS w FROM documents), "
+            "g AS (SELECT doc_id, list_distinct(list_transform("
+            "  generate_series(1, len(w) - 7), "
+            "  i -> array_to_string(w[i:i+7], ' '))) AS grams FROM d), "
+            "bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g "
+            "       WHERE doc_id % 25 = 0), "
+            "x AS (SELECT doc_id, unnest(grams) AS gram FROM g), "
+            "o AS (SELECT x.doc_id, count(*) AS n_grams, "
+            "      count(bg.gram) AS n_overlap "
+            "      FROM x LEFT JOIN bg USING (gram) GROUP BY x.doc_id) "
+            "SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, "
+            "CAST(n_overlap AS BIGINT) AS n_overlap, "
+            "round(n_overlap / CAST(n_grams AS DOUBLE), 6) AS overlap_frac "
+            "FROM o WHERE n_grams > 0 "
+            "AND n_overlap / CAST(n_grams AS DOUBLE) >= 0.5"
+        ),
+        "temperature_sample": (
+            # thresholds AND the per-row md5 test re-derived in SQL: the
+            # survivor SET (pinned by sum_ids) must match, not just counts
+            "WITH n AS (SELECT source, CAST(count(*) AS DOUBLE) AS n "
+            "           FROM documents GROUP BY source), "
+            "z AS (SELECT sum(pow(n, 0.5)) AS z FROM n), "
+            "t AS (SELECT source, CASE WHEN q >= 1.0 THEN 'g' ELSE "
+            "      lower(lpad(to_hex(CAST(floor(q * 4294967296.0) AS BIGINT)), 8, '0')) END AS thr "
+            "      FROM (SELECT source, "
+            "            least(1.0, 120.0 * pow(n, 0.5) / (z * n)) AS q "
+            "            FROM n, z)), "
+            "k AS (SELECT d.source, d.doc_id FROM documents d JOIN t USING (source) "
+            "      WHERE substr(md5(d.doc_id || ':temp'), 1, 8) < t.thr) "
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_kept, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_ids "
+            "FROM k GROUP BY source ORDER BY source"
         ),
         "fsst_source_columns": (
             "SELECT lang, CAST(count(*) AS BIGINT) AS n_rows, "

@@ -90,3 +90,69 @@ def cap_per_group(df: DataFrame, group_col: str = "source", n: int = 10,
         .where(F.col("_rn") <= n)
         .drop("_rn")
     )
+
+
+def temperature_sample(df: DataFrame, group_col: str = "source",
+                       alpha: float = 0.5, target_rows: int = 1000,
+                       key_col: str = "doc_id",
+                       salt: str = "temp") -> DataFrame:
+    """Temperature-flatten group proportions: keep each row of group
+    ``g`` with probability ``q_g = min(1, target_rows * n_g**alpha /
+    (Z * n_g))`` where ``Z = sum_h n_h**alpha`` — expected kept rows
+    total ``~target_rows`` distributed by the alpha-tempered
+    distribution (``alpha=1`` preserves natural proportions, ``alpha->0``
+    approaches uniform across groups; the multilingual-sampling recipe
+    of published LLM pipelines, applied to web domains).
+
+    Selection is content-keyed exactly like ``deterministic_sample`` —
+    per-group hex thresholds on md5(key:salt) — so re-runs at any
+    parallelism, and other engines, reproduce the same survivor SET
+    (not just the same counts). Group counts are one narrow groupBy;
+    thresholds broadcast back (#groups rows — domains are metadata-scale
+    next to rows). The scan side is one expression filter: no second
+    shuffle, no RNG state, no UDF.
+
+    Threshold quantization note: ``q_g`` is computed in doubles from
+    exact integer counts; engines' ``pow`` may differ in the last ulp,
+    which flips the int64 threshold ``floor(q_g * 2**32)`` only when
+    ``q_g * 2**32`` sits within an ulp of an integer AND some row's hash
+    prefix equals that exact boundary value — vanishingly rare and
+    detectable (counts differ by 1); accepted for a join-free scan.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if target_rows <= 0:
+        raise ValueError(f"target_rows must be positive, got {target_rows}")
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
+    z = counts.agg(F.sum(F.pow("_n", F.lit(alpha))).alias("z"))
+    thr = (
+        counts.crossJoin(F.broadcast(z))
+        .withColumn(
+            "_q",
+            F.least(
+                F.lit(1.0),
+                F.lit(float(target_rows)) * F.pow("_n", F.lit(alpha))
+                / (F.col("z") * F.col("_n")),
+            ),
+        )
+        # same fixed-width-hex comparison trick as deterministic_sample;
+        # q == 1.0 maps to 'g' which outsorts every hex digit
+        .withColumn(
+            "_thr",
+            F.when(F.col("_q") >= 1.0, F.lit("g")).otherwise(
+                F.lpad(
+                    F.hex(F.floor(F.col("_q") * F.lit(float(1 << 32))))
+                    , 8, "0")),
+        )
+        .select(group_col, F.lower(F.col("_thr")).alias("_thr"))
+    )
+    h = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))
+              .cast("binary")),
+        1, 8,
+    )
+    return (
+        df.join(F.broadcast(thr), group_col)
+        .where(h < F.col("_thr"))
+        .drop("_thr")
+    )

@@ -100,3 +100,79 @@ def test_cap_per_group_ties_with_tie_col_identical_sets(spark):
     # = scores 0 at doc_id 0,3,6,9,12,15,18
     mega = [d for d in plain if d < 10000]
     assert mega == [0, 3, 6, 9, 12, 15, 18]
+
+
+class TestTemperatureSample:
+    def _docs(self, spark):
+        return spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+
+    def test_matches_python_reference(self, spark):
+        """Survivor SET equals a hashlib/pow re-derivation — the property
+        that makes the sample reproducible on any engine."""
+        import hashlib
+
+        from fsst_spark.pipeline.sampling import temperature_sample
+
+        docs = self._docs(spark)
+        alpha, target = 0.5, 120
+        got = {r["doc_id"] for r in
+               temperature_sample(docs, "source", alpha, target).collect()}
+        rows = [(r["doc_id"], r["source"]) for r in docs.collect()]
+        n_g = {}
+        for _, s in rows:
+            n_g[s] = n_g.get(s, 0) + 1
+        z = sum(n ** alpha for n in n_g.values())
+        thr = {s: ("g" if (q := min(1.0, target * n ** alpha / (z * n))) >= 1.0
+                   else format(int(q * (1 << 32)), "08x"))
+               for s, n in n_g.items()}
+        want = {d for d, s in rows
+                if hashlib.md5(f"{d}:temp".encode()).hexdigest()[:8] < thr[s]}
+        assert got == want and 0 < len(got) < len(rows)
+
+    def test_alpha_one_is_uniform_rate(self, spark):
+        """alpha=1 gives every group the same keep probability
+        (natural proportions preserved): thresholds must all equal
+        target/N regardless of group size."""
+        from fsst_spark.pipeline.sampling import (deterministic_sample,
+                                                  temperature_sample)
+
+        docs = self._docs(spark)
+        n = docs.count()
+        got = {r["doc_id"] for r in
+               temperature_sample(docs, "source", 1.0, 200).collect()}
+        want = {r["doc_id"] for r in
+                deterministic_sample(docs, 200 / n, salt="temp").collect()}
+        assert got == want
+
+    def test_flattening_monotone(self, spark):
+        """Lower alpha shifts share toward small groups: the smallest
+        group's kept fraction of the total must not decrease as alpha
+        drops 1.0 -> 0.25."""
+        from pyspark.sql import functions as F
+
+        from fsst_spark.pipeline.sampling import temperature_sample
+
+        docs = self._docs(spark)
+        sizes = {r["source"]: r["n"] for r in
+                 docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        small = min(sizes, key=sizes.get)
+        shares = []
+        for alpha in (1.0, 0.25):
+            kept = temperature_sample(docs, "source", alpha, 150)
+            by = {r["source"]: r["n"] for r in
+                  kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+            total = sum(by.values())
+            shares.append(by.get(small, 0) / total)
+        assert shares[1] >= shares[0]
+
+    def test_validation(self, spark):
+        import pytest as _pt
+
+        from fsst_spark.pipeline.sampling import temperature_sample
+
+        docs = self._docs(spark)
+        with _pt.raises(ValueError):
+            temperature_sample(docs, "source", 0.0, 10)
+        with _pt.raises(ValueError):
+            temperature_sample(docs, "source", 0.5, 0)
