@@ -543,6 +543,21 @@ def q_session_stats(spark, sf_dir):
         .select("user_id", "session_seq", "n_events", "dur_us")
 
 
+def q_session_window(spark, sf_dir):
+    """The STREAMING-capable sessionization arm (built-in session_window,
+    watermark-bounded state in stream mode) run on batch input: must
+    reproduce the gaps-and-islands islands exactly — the oracle derives
+    sessions with the window SQL and pins (t_start, n_events, dur_us)."""
+    from fsst_spark.streaming.session_stream import session_window_stats
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    return session_window_stats(ev, key_col="user_id", ts_col="ts",
+                                gap_us=6 * 3600 * 1_000_000) \
+        .select("user_id",
+                F.col("t_start").cast("timestamp_ntz").alias("t_start"),
+                "n_events", "dur_us")
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark decontamination: distinct word 8-gram overlap of every
     document against a benchmark set (every 25th doc), broadcast hash
@@ -1735,6 +1750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "asof_join": q_asof_join,
         "session_stats": q_session_stats,
+        "session_window": q_session_window,
         "contamination": q_contamination,
         "temperature_sample": q_temperature_sample,
         "encoded_quantiles": q_encoded_quantiles,
@@ -2063,6 +2079,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_events, "
             "CAST(max(us) - min(us) AS BIGINT) AS dur_us "
             "FROM s GROUP BY user_id, session_seq"
+        ),
+        "session_window": (
+            "WITH e AS (SELECT user_id, ts, event_id, epoch_us(ts) AS us "
+            "           FROM events WHERE ts IS NOT NULL), "
+            "l AS (SELECT *, lag(us) OVER "
+            "      (PARTITION BY user_id ORDER BY ts, event_id) AS pus FROM e), "
+            "s AS (SELECT *, sum(CASE WHEN pus IS NULL "
+            "      OR us - pus > 21600000000 THEN 1 ELSE 0 END) OVER "
+            "      (PARTITION BY user_id ORDER BY ts, event_id "
+            "       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "      AS sid FROM l) "
+            "SELECT user_id, min(ts) AS t_start, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(max(us) - min(us) AS BIGINT) AS dur_us "
+            "FROM s GROUP BY user_id, sid"
         ),
         "contamination": (
             # same tokenizer (lower + split on [^a-z0-9]+), same distinct

@@ -6,6 +6,7 @@ a web-crawl corpus actually goes through before tokenization.
     [optional] paragraph dedup (C4)      -> drop repeated paragraphs
     exact dedup (normalized fingerprint) -> one survivor per content
     [optional] near-dup resolution       -> MinHash pairs -> components
+    [optional] decontamination           -> drop eval-set n-gram leaks
     per-domain cap                       -> balance mega-domains
     deterministic sample                 -> reproducible downsizing
 
@@ -20,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .contamination import ngram_contamination
 from .dedup import dedup_paragraphs, exact_dedup, neardup_dedup
 from .sampling import cap_per_group, deterministic_sample
 from .textstats import gopher_quality_flags, pii_scrub
@@ -29,11 +31,14 @@ def curate(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
            group_col: str | None = "source", cap_n: int = 50,
            sample_fraction: float = 1.0, neardup: bool = False,
            salt: str = "curate", pii: bool = False, para: bool = False,
-           words_per_para: int = 15) -> dict[str, DataFrame]:
+           words_per_para: int = 15, bench: DataFrame | None = None,
+           contam_n: int = 8,
+           contam_threshold: float = 0.5) -> dict[str, DataFrame]:
     """Run the curation pipeline; returns every intermediate stage.
 
     Returns ``{"quality": ..., ["scrubbed": ...,] ["para": ...,]
-    "deduped": ..., "capped": ..., "sampled": ...}`` — all lazy DataFrames
+    "deduped": ..., ["decontam": ...,] "capped": ..., "sampled": ...}``
+    — all lazy DataFrames
     sharing lineage, so asking for counts of each stage costs one pass per
     stage and Catalyst reuses the common prefix. The final stage is
     ``sampled``.
@@ -64,6 +69,16 @@ def curate(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     if neardup:
         deduped = neardup_dedup(deduped, text_col=text_col, id_col=id_col,
                                 method="minhash")
+    if bench is not None:
+        # decontaminate AFTER dedup (the cheaper set), BEFORE balancing —
+        # an eval leak must never survive into the training corpus; the
+        # anti-join side is the per-doc flag frame, metadata-narrow
+        flagged = (ngram_contamination(deduped, bench, n=contam_n,
+                                       text_col=text_col, id_col=id_col,
+                                       threshold=contam_threshold)
+                   .where(F.col("contaminated")).select(id_col))
+        deduped = deduped.join(flagged, id_col, "left_anti")
+        stages["decontam"] = deduped
     capped = (cap_per_group(deduped, group_col, cap_n, id_col)
               if group_col else deduped)
     sampled = (deterministic_sample(capped, sample_fraction, id_col, salt)

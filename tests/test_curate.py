@@ -69,3 +69,27 @@ def test_curate_pii_and_para_stages(spark):
     n_keys = set(stages2)
     assert n_keys == {"quality", "scrubbed", "para",
                       "deduped", "capped", "sampled"}
+
+
+def test_curate_decontam_stage(spark):
+    """bench!=None drops every doc whose 8-gram overlap with the bench
+    set is >= threshold — AFTER dedup (survivors only), BEFORE capping."""
+    good = ("the quick brown fox jumps over the lazy dog and it runs to "
+            "the barn for a nap in the hay that is warm ") * 3
+    rows = [(i, f"dom{i % 3}", good + (f"unique words tail number {i} "
+                                       "with plenty of extra filler "
+                                       "content appended here") * 3)
+            for i in range(20)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string")
+    # benchmark = doc 7's full text: doc 7 itself is a total leak; every
+    # other doc shares only the `good` prefix grams (well under half its
+    # distinct grams at threshold 0.9)
+    bench = docs.where(F.col("doc_id") == 7).select("text")
+    stages = curate(docs, cap_n=100, bench=bench, contam_threshold=0.9)
+    assert "decontam" in stages
+    kept = {r["doc_id"] for r in stages["decontam"].collect()}
+    assert 7 not in kept
+    assert len(kept) == 19
+    # final stages flow from the decontaminated set
+    assert stages["sampled"].count() == 19
