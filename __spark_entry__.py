@@ -1710,6 +1710,130 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_fsst_source_asof(spark, sf_dir):
+    """Time travel on the commit log: two appends land as commit entries
+    0 and 1; reading ``.option('as_of', 0)`` must see exactly the first
+    write's rows even though the store has since grown — the Iceberg
+    snapshot-read semantics on the store's own append-only log
+    (fsst_spark/sources/fsst_source.py FsstReader.partitions)."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.sources.fsst_source import register
+
+    register(spark)
+    out = tempfile.mkdtemp(prefix="fsst_source_asof_q_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+        for half in ("doc_id % 2 = 0", "doc_id % 2 = 1"):
+            (docs.where(half).write.format("fsst")
+                 .mode("append").option("chunk_bytes", 256 << 10).save(out))
+        r = (
+            spark.read.format("fsst").option("as_of", 0).load(out)
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("doc_id").alias("sum_ids"),
+                 F.sum("n_chars").alias("sum_chars"))
+        ).collect()[0]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["n_rows"], r["sum_ids"], r["sum_chars"])],
+        "n_rows bigint, sum_ids bigint, sum_chars bigint")
+
+
+def q_deleted_decode(spark, sf_dir):
+    """Merge-on-read row deletes: tombstone lang='de' (position deletes,
+    no chunk rewrite), then a full decode must return exactly the
+    surviving rows (fsst_spark/jobs/deletes.py delete_where +
+    decode-side apply)."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.decode import decode_job
+    from fsst_spark.jobs.deletes import delete_where
+    from fsst_spark.jobs.encode import encode_job
+
+    out = tempfile.mkdtemp(prefix="deleted_decode_q_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+        encode_job(spark, docs, out, chunk_bytes=64 << 10, resume=False,
+                   pre_partitioned=True, unique_col="doc_id").collect()
+        res = delete_where(spark, out, "lang", "==", "de")
+        r = decode_job(spark, out).agg(
+            F.count("*").alias("n_rows"),
+            F.sum("doc_id").alias("sum_ids"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.count_distinct("lang").alias("n_langs"),
+        ).collect()[0]
+        deleted = res["deleted_total"]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["n_rows"], r["sum_ids"], r["sum_chars"], r["n_langs"], deleted)],
+        "n_rows bigint, sum_ids bigint, sum_chars bigint, n_langs bigint, "
+        "n_deleted bigint")
+
+
+def q_deleted_filtered_decode(spark, sf_dir):
+    """Deletes compose with selective decode: after tombstoning lang='de',
+    a zone-pruned ``decode_filtered(n_chars >= 500)`` returns rows
+    matching BOTH the predicate and the tombstone mask."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.decode import decode_filtered
+    from fsst_spark.jobs.deletes import delete_where
+    from fsst_spark.jobs.encode import encode_job
+
+    out = tempfile.mkdtemp(prefix="deleted_filtered_q_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+        encode_job(spark, docs, out, chunk_bytes=64 << 10, resume=False,
+                   pre_partitioned=True, unique_col="doc_id",
+                   sort_key="n_chars").collect()
+        delete_where(spark, out, "lang", "==", "de")
+        r = decode_filtered(spark, out, "n_chars", ">=", 500).agg(
+            F.count("*").alias("n_rows"),
+            F.sum("doc_id").alias("sum_ids"),
+            F.min("n_chars").alias("min_chars"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["n_rows"], r["sum_ids"], r["min_chars"])],
+        "n_rows bigint, sum_ids bigint, min_chars bigint")
+
+
+def q_materialized_deletes(spark, sf_dir):
+    """Delete lifecycle end-to-end: tombstone lang='de', fold the
+    tombstones into a new store (materialize_deletes — the Iceberg
+    rewrite_data_files analog), then answer a GROUP BY from the NEW
+    store's metadata fast path (which refuses on the old one)."""
+    import os
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.agg import encoded_group_count
+    from fsst_spark.jobs.deletes import delete_where, materialize_deletes
+    from fsst_spark.jobs.encode import encode_job
+
+    root = tempfile.mkdtemp(prefix="materialized_deletes_q_")
+    store, folded = os.path.join(root, "store"), os.path.join(root, "folded")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+        encode_job(spark, docs, store, chunk_bytes=64 << 10, resume=False,
+                   pre_partitioned=True, unique_col="doc_id").collect()
+        delete_where(spark, store, "lang", "==", "de")
+        materialize_deletes(spark, store, folded,
+                            chunk_bytes=64 << 10).collect()
+        out = (encoded_group_count(spark, folded, "lang")
+               .orderBy("value").collect())
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["value"], r["cnt"]) for r in out], "value string, cnt bigint")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1746,6 +1870,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fsst_source_stream": q_fsst_source_stream,
         "fsst_stream_write": q_fsst_stream_write,
         "fsst_source_columns": q_fsst_source_columns,
+        "fsst_source_asof": q_fsst_source_asof,
+        "deleted_decode": q_deleted_decode,
+        "deleted_filtered_decode": q_deleted_filtered_decode,
+        "materialized_deletes": q_materialized_deletes,
         "dedup_incremental": q_dedup_incremental,
         "pack_chunks": q_pack_chunks,
         "asof_join": q_asof_join,
@@ -2137,6 +2265,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, CAST(count(*) AS BIGINT) AS n_rows, "
             "CAST(sum(doc_id) AS BIGINT) AS sum_ids "
             "FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        "fsst_source_asof": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_ids, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents WHERE doc_id % 2 = 0"
+        ),
+        "deleted_decode": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_ids, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+            "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs, "
+            "CAST((SELECT count(*) FROM documents WHERE lang = 'de') "
+            "AS BIGINT) AS n_deleted "
+            "FROM documents WHERE lang <> 'de'"
+        ),
+        "deleted_filtered_decode": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_ids, "
+            "CAST(min(n_chars) AS BIGINT) AS min_chars "
+            "FROM documents WHERE lang <> 'de' AND n_chars >= 500"
+        ),
+        "materialized_deletes": (
+            "SELECT lang AS value, CAST(count(*) AS BIGINT) AS cnt "
+            "FROM documents WHERE lang <> 'de' "
+            "GROUP BY lang ORDER BY value"
         ),
         "or_filter_decode": (
             "SELECT CAST(count(*) AS BIGINT) AS n_rows, "

@@ -52,6 +52,7 @@ from .decode import (
     column_arrow_types,
     pruned_chunks,
 )
+from .deletes import require_no_deletes as _require_no_deletes
 
 _INT_LIKE = ("int8", "int16", "int32", "int64")
 
@@ -300,6 +301,7 @@ def encoded_group_count(spark, out_dir: str, column: str,
     read, the exact row mask applies chunk-locally, and the shuffle stays
     NDV-scale — ``SELECT col, count(*) WHERE ... GROUP BY col`` without
     ever materializing the table."""
+    _require_no_deletes(out_dir, 'encoded_group_count')
     if filters:
         return _filtered_group_agg(spark, out_dir, column, None, filters)
     types = column_arrow_types(spark, out_dir, [column])
@@ -352,6 +354,7 @@ def encoded_group_sum(spark, out_dir: str, key_col: str, val_col: str,
     aggregation happens chunk-locally and the shuffle is NDV-scale. A
     dict-coded key column uses its code array directly — the expanded
     key strings are never materialized."""
+    _require_no_deletes(out_dir, 'encoded_group_sum')
     if filters:
         return _filtered_group_agg(spark, out_dir, key_col, val_col, filters)
     types = column_arrow_types(spark, out_dir, [key_col, val_col])
@@ -486,6 +489,7 @@ def encoded_count_filtered(spark, out_dir: str,
 
     Returns one row: ``n_rows`` plus observability counts
     (chunks_total/pruned/metadata_only/decoded)."""
+    _require_no_deletes(out_dir, 'encoded_count_filtered')
     if not filters:
         raise ValueError("encoded_count_filtered needs filters=[(col, op, value), ...]")
     types = column_arrow_types(spark, out_dir)

@@ -170,6 +170,33 @@ def main(argv: list[str] | None = None) -> int:
     ver = sub.add_parser("verify", help="chunk checksum round-trip verification")
     ver.add_argument("--data", required=True)
 
+    dlt = sub.add_parser(
+        "delete",
+        help="tombstone rows matching a predicate (merge-on-read position "
+             "deletes; reads apply them, metadata fast paths refuse until "
+             "materialized)")
+    dlt.add_argument("--data", required=True)
+    dlt.add_argument("--where", action="append", default=None,
+                     metavar="COL:OP:VALUE",
+                     help="conjunctive predicates (same grammar as decode "
+                          "--where); repeatable")
+    dlt.add_argument("--where-any", action="append", default=None,
+                     metavar="COL:OP:VALUE",
+                     help="disjunctive predicates (same grammar); combines "
+                          "with --where as AND(--where) AND OR(--where-any)")
+
+    mat = sub.add_parser(
+        "materialize-deletes",
+        help="fold tombstones into a NEW store (decode -> re-encode); "
+             "restores every metadata/sketch fast path")
+    mat.add_argument("--data", required=True)
+    mat.add_argument("--out", required=True)
+    mat.add_argument("--unique-col", default=None,
+                     help="rebalance on this column while rewriting "
+                          "(default: shuffle-free per-partition rewrite)")
+    mat.add_argument("--num-partitions", type=int, default=None)
+    mat.add_argument("--chunk-bytes", type=int, default=16 << 20)
+
     sta = sub.add_parser("stats",
                          help="column stats from an encoded store: count/min/max "
                               "from chunk metadata (zero payload reads for "
@@ -394,6 +421,29 @@ def main(argv: list[str] | None = None) -> int:
             df.drop("pid", "chunk_id").write.mode("overwrite").parquet(args.out)
             print(json.dumps({"decoded_to": args.out, "where": args.where,
                               "where_any": args.where_any}))
+        elif args.cmd == "delete":
+            from fsst_spark.jobs.deletes import delete_where
+
+            if not args.where and not args.where_any:
+                raise SystemExit("delete needs --where and/or --where-any")
+            filters = (_parse_where(spark, args.data, args.where)
+                       if args.where else None)
+            any_flt = (_parse_where(spark, args.data, args.where_any)
+                       if args.where_any else None)
+            res = delete_where(spark, args.data, filters=filters,
+                               any_filters=any_flt)
+            print(json.dumps({"store": args.data, "where": args.where,
+                              "where_any": args.where_any, **res}))
+        elif args.cmd == "materialize-deletes":
+            from fsst_spark.jobs.deletes import materialize_deletes
+
+            rows = materialize_deletes(
+                spark, args.data, args.out, unique_col=args.unique_col,
+                num_partitions=args.num_partitions,
+                chunk_bytes=args.chunk_bytes).collect()
+            print(json.dumps({"store": args.out,
+                              "partitions": len(rows),
+                              "rows": sum(r["n_rows"] for r in rows)}))
         elif args.cmd == "verify":
             from pyspark.sql import functions as F
 

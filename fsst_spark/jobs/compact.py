@@ -50,6 +50,16 @@ def compact_store(spark, in_dir: str, out_dir: str,
     if os.path.abspath(in_dir) == os.path.abspath(out_dir):
         raise ValueError("compact_store writes a NEW store; out_dir must "
                          "differ from in_dir (swap directories after)")
+    # compaction remaps (pid, chunk_id) while copying payloads verbatim —
+    # position tombstones key on those ids and would be orphaned
+    from .deletes import has_deletes
+
+    if has_deletes(in_dir):
+        raise ValueError(
+            f"store {in_dir!r} has row tombstones (deletes/); compact_store "
+            "copies payloads verbatim and remaps chunk ids, which would "
+            "orphan them. Run jobs.deletes.materialize_deletes (or "
+            "recluster_store) first.")
     os.makedirs(os.path.join(out_dir, "chunks"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
     lineage_json = json.dumps(

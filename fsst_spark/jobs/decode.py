@@ -506,11 +506,18 @@ def decode_job(spark, out_dir: str, columns: list[str] | None = None,
         chunks = chunks.join(any_keep, ["pid", "chunk_id"], "left_semi")
     # sketches served their purpose at pruning time; don't shuffle them
     chunks = chunk_repartition(spark, chunks.drop("bloom", "hll"), out_dir)
+    # row tombstones (jobs.deletes) apply executor-side: the flag is read
+    # once on the driver, each task lazily loads its pids' positions
+    from .deletes import has_deletes
+
+    deletes_on = has_deletes(out_dir)
 
     def decode_task(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from ..env import madvise_hugepages
+        from .deletes import DeleteMask
 
         madvise_hugepages()
+        dmask = DeleteMask(out_dir) if deletes_on else None
         pending: dict[tuple[int, int], dict] = {}
         for batch in batches:
             cols = batch.to_pylist()
@@ -522,7 +529,9 @@ def decode_job(spark, out_dir: str, columns: list[str] | None = None,
                      "payload": row["payload"]}
                 )
                 if len(slot["cols"]) == slot["need"]:
-                    yield _emit(key, slot["cols"], ordered)
+                    out = _emit(key, slot["cols"], ordered, dmask)
+                    if out is not None:
+                        yield out
                     del pending[key]
         assert not pending, f"incomplete chunks (missing column rows): {list(pending)[:4]}"
 
@@ -602,16 +611,23 @@ def decode_filtered(spark, out_dir: str, col: str | None = None, op: str | None 
     return df
 
 
-def _emit(key: tuple[int, int], cols: dict[str, pa.Array], ordered: list[str]) -> pa.RecordBatch:
+def _emit(key: tuple[int, int], cols: dict[str, pa.Array], ordered: list[str],
+          dmask=None) -> pa.RecordBatch | None:
     import numpy as np
 
-    n = len(next(iter(cols.values())))
     fixed = []
     for c in ordered:
         arr = cols[c]
         if pa.types.is_timestamp(arr.type) and arr.type.unit != "us":
             arr = arr.cast(pa.timestamp("us", tz=arr.type.tz))  # spark speaks us
         fixed.append(arr)
+    if dmask is not None:
+        from .deletes import apply_delete_mask
+
+        fixed = apply_delete_mask(dmask, key[0], key[1], fixed)
+        if fixed is None:
+            return None  # every row tombstoned
+    n = len(fixed[0]) if fixed else 0
     arrays = [
         pa.array(np.full(n, key[0], dtype=np.int32)),
         pa.array(np.full(n, key[1], dtype=np.int32)),

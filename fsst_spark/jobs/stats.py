@@ -21,6 +21,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
 
 from .decode import _chunks_df, _spark_type, column_arrow_types
+from .deletes import require_no_deletes as _require_no_deletes
 
 _EXACT_ZONE_TYPES = ("int8", "int16", "int32", "int64")
 
@@ -38,6 +39,7 @@ def encoded_column_stats(spark, out_dir: str, columns: list[str]) -> DataFrame:
     from min/max (they contribute no values), matching SQL min/max
     semantics; a store written before zone maps existed has no zone
     columns at all and also raises."""
+    _require_no_deletes(out_dir, 'encoded_column_stats')
     types = column_arrow_types(spark, out_dir)
     for c in columns:
         if c not in types:
@@ -85,6 +87,7 @@ def encoded_column_minmax(spark, out_dir: str, column: str) -> dict:
     column is all null). Float min/max follow Spark/DuckDB NaN ordering
     (NaN greatest; min/max never return NaN unless every value is NaN).
     """
+    _require_no_deletes(out_dir, 'encoded_column_minmax')
     types = column_arrow_types(spark, out_dir)
     if column not in types:
         raise KeyError(f"column {column!r} not in encoded data")
@@ -199,6 +202,7 @@ def encoded_topk(spark, out_dir: str, column: str, k: int,
     (multiset-deterministic under ties). ``observer``, if given, is filled
     with ``n_chunks_total`` / ``n_chunks_decoded`` for pruning assertions.
     """
+    _require_no_deletes(out_dir, 'encoded_topk')
     if not 1 <= int(k) <= 100_000:
         raise ValueError("k must be in [1, 100000]; larger top-k should "
                          "go through decode_job + a regular sort")
@@ -295,6 +299,7 @@ def encoded_distinct(spark, out_dir: str, column: str,
     is read from ``params`` without decoding). ``observer`` reports
     ``n_dict_chunks`` / ``n_decoded_chunks`` for pruning assertions.
     """
+    _require_no_deletes(out_dir, 'encoded_distinct')
     types = column_arrow_types(spark, out_dir)
     if column not in types:
         raise KeyError(f"column {column!r} not in encoded data")
@@ -359,6 +364,7 @@ def encoded_ndv(spark, out_dir: str, columns: list[str]) -> dict:
     unsupported type, pre-sketch store): a partial merge would silently
     under-count, which is worse than telling the caller to decode.
     """
+    _require_no_deletes(out_dir, 'encoded_ndv')
     from ..kernel.hll import hll_estimate, hll_merge
 
     types = column_arrow_types(spark, out_dir)
@@ -440,6 +446,7 @@ def encoded_quantiles(spark, out_dir: str, column: str, qs: list[float],
     ``observer`` gets ``n_values`` and ``exact`` (every chunk complete).
     Raises for string columns, sketch-less stores, and chunks with values
     but no sketch (a partial merge would silently mis-rank)."""
+    _require_no_deletes(out_dir, 'encoded_quantiles')
     from ..pipeline.packing import global_cumsum
 
     if not qs or not all(0.0 <= q <= 1.0 for q in qs):
@@ -538,6 +545,7 @@ def encoded_profile(spark, out_dir: str,
     ``encoded_column_minmax`` for exact string/float extremes — both stay
     metadata-light, so the full profile of a 100 TB store is seconds of
     footer reads."""
+    _require_no_deletes(out_dir, 'encoded_profile')
     types = column_arrow_types(spark, out_dir)
     for c in columns or []:
         if c not in types:

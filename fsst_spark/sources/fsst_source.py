@@ -335,9 +335,11 @@ def _dict_survivors(path: str, meta: "pa.Table", col: str, op: str, value,
 
 
 class FsstReader(DataSourceReader):
-    def __init__(self, store: str, col_types: dict[str, str]):
+    def __init__(self, store: str, col_types: dict[str, str],
+                 as_of: int | None = None):
         self.store = store
         self.col_types = col_types
+        self.as_of = as_of
         self.pruning: list[tuple] = []
 
     def pushFilters(self, filters: List[Filter]) -> Iterable[Filter]:
@@ -350,6 +352,32 @@ class FsstReader(DataSourceReader):
         return filters
 
     def partitions(self) -> list[InputPartition]:
+        # time travel: .option("as_of", N) reads the store as of commit
+        # entry N — exactly the pids named by entries 0..N (the Iceberg
+        # snapshot-id read, on the same append-only log the stream
+        # follows). Requires a commit log; entries are immutable, so the
+        # same as_of always returns the same rows even while the store
+        # keeps growing. Row tombstones (jobs.deletes) are store-global
+        # physical state, not versioned — deletes still apply.
+        if self.as_of is not None:
+            n = commit_count(self.store)
+            if n == 0:
+                raise ValueError(
+                    f"store {self.store!r} has no commit log; as_of needs "
+                    "one (write via df.write.format('fsst') or call "
+                    "log_commit_snapshot after an encode job)")
+            if not (0 <= self.as_of < n):
+                raise ValueError(
+                    f"as_of={self.as_of} out of range: store has commit "
+                    f"entries 0..{n - 1}")
+            pids: set[int] = set()
+            for i in range(self.as_of + 1):
+                pids.update(_read_commit(self.store, i)["pids"])
+            return [
+                _ChunkFilePartition(os.path.join(self.store, "chunks",
+                                                 f"part-{pid:05d}.parquet"))
+                for pid in sorted(pids)
+            ]
         # datasource-written stores log every completed write: read exactly
         # the committed pids, so a torn/aborted append's leftover files are
         # invisible (snapshot isolation). Job-API stores (no logging
@@ -385,9 +413,14 @@ def _read_chunk_file(path: str, col_types: dict[str, str],
     import pyarrow.parquet as pq
 
     from ..env import madvise_hugepages
+    from ..jobs.deletes import DeleteMask, has_deletes
     from ..kernel.codecs import decode_column
 
     madvise_hugepages()
+    # row tombstones (jobs.deletes) apply here too: chunk files live under
+    # <store>/chunks/, so the store root is two levels up
+    store_root = os.path.dirname(os.path.dirname(path))
+    dmask = DeleteMask(store_root) if has_deletes(store_root) else None
     live = _file_survivors(path, pruning, col_types)
     if live is not None and not live:
         return  # fully pruned: payload column bytes were never read
@@ -413,6 +446,12 @@ def _read_chunk_file(path: str, col_types: dict[str, str],
         cols = chunks[key]
         arrays = [cols[c].cast(target.field(i).type)
                   for i, c in enumerate(ordered)]
+        if dmask is not None:
+            from ..jobs.deletes import apply_delete_mask
+
+            arrays = apply_delete_mask(dmask, key[0], key[1], arrays)
+            if arrays is None:
+                continue  # every row of the chunk tombstoned
         yield pa.RecordBatch.from_arrays(arrays, schema=target)
 
 
@@ -617,7 +656,9 @@ class FsstDataSource(DataSource):
         return _store_ddl(self._types())
 
     def reader(self, schema) -> FsstReader:
-        return FsstReader(self._path(), self._types())
+        as_of = self.options.get("as_of")
+        return FsstReader(self._path(), self._types(),
+                          as_of=None if as_of is None else int(as_of))
 
     def streamReader(self, schema) -> FsstStreamReader:
         store = self._path()

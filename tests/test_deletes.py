@@ -1,0 +1,143 @@
+"""Row-level deletes (position tombstones, merge-on-read): delete_where
+scans only candidate chunks, decode paths apply tombstones, metadata
+fast paths refuse until materialize_deletes folds them in."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fsst_spark.jobs.decode import decode_filtered, decode_job
+from fsst_spark.jobs.deletes import (
+    delete_where,
+    deleted_count,
+    has_deletes,
+    materialize_deletes,
+)
+from fsst_spark.jobs.encode import encode_job
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+@pytest.fixture()
+def store(spark, docs, tmp_path):
+    out = str(tmp_path / "store")
+    encode_job(spark, docs, out, chunk_bytes=4 << 10, resume=False,
+               pre_partitioned=False, num_partitions=4,
+               unique_col="doc_id").collect()
+    return out
+
+
+def _ids(df):
+    return sorted(r["doc_id"] for r in df.select("doc_id").collect())
+
+
+def test_delete_then_decode_excludes_rows(spark, docs, store):
+    n_de = docs.where("lang = 'de'").count()
+    res = delete_where(spark, store, "lang", "==", "de")
+    assert res["deleted_now"] == n_de
+    assert res["deleted_total"] == n_de
+    assert has_deletes(store)
+    dec = decode_job(spark, store)
+    assert _ids(dec) == _ids(docs.where("lang <> 'de'"))
+    # values of survivors stay bit-identical
+    a = (dec.drop("pid", "chunk_id").select(*sorted(docs.columns))
+         .orderBy("doc_id").collect())
+    b = (docs.where("lang <> 'de'").select(*sorted(docs.columns))
+         .orderBy("doc_id").collect())
+    assert a == b
+
+
+def test_delete_composes_with_selective_decode(spark, docs, store):
+    delete_where(spark, store, "lang", "==", "de")
+    got = decode_filtered(spark, store, "n_chars", ">=", 500)
+    want = docs.where("lang <> 'de' AND n_chars >= 500")
+    assert _ids(got) == _ids(want)
+
+
+def test_delete_is_idempotent_and_accumulates(spark, docs, store):
+    first = delete_where(spark, store, "lang", "==", "de")
+    again = delete_where(spark, store, "lang", "==", "de")
+    assert again["deleted_now"] == 0
+    assert again["deleted_total"] == first["deleted_total"]
+    more = delete_where(spark, store, "lang", "==", "fr")
+    assert more["deleted_now"] == docs.where("lang = 'fr'").count()
+    assert more["deleted_total"] == deleted_count(store)
+    dec = decode_job(spark, store)
+    assert _ids(dec) == _ids(docs.where("lang NOT IN ('de', 'fr')"))
+
+
+def test_delete_disjunction(spark, docs, store):
+    delete_where(spark, store,
+                 any_filters=[("lang", "==", "de"), ("n_chars", "<", 200)])
+    want = docs.where("NOT (lang = 'de' OR n_chars < 200)")
+    assert _ids(decode_job(spark, store)) == _ids(want)
+
+
+def test_delete_everything(spark, docs, store):
+    res = delete_where(spark, store, "doc_id", ">=", 0)
+    assert res["deleted_now"] == docs.count()
+    assert decode_job(spark, store).count() == 0
+
+
+def test_fsst_source_read_applies_tombstones(spark, docs, store):
+    from fsst_spark.sources.fsst_source import register
+
+    register(spark)
+    delete_where(spark, store, "lang", "==", "de")
+    back = spark.read.format("fsst").load(store)
+    assert back.count() == docs.where("lang <> 'de'").count()
+    assert (back.agg(F.sum("doc_id")).collect()
+            == docs.where("lang <> 'de'").agg(F.sum("doc_id")).collect())
+
+
+def test_metadata_fast_paths_refuse(spark, docs, store):
+    from fsst_spark.jobs.agg import encoded_count_filtered, encoded_group_count
+    from fsst_spark.jobs.compact import compact_store
+    from fsst_spark.jobs.stats import encoded_column_stats, encoded_topk
+
+    delete_where(spark, store, "lang", "==", "de")
+    for call in [
+        lambda: encoded_group_count(spark, store, "lang"),
+        lambda: encoded_count_filtered(spark, store,
+                                       filters=[("lang", "==", "fr")]),
+        lambda: encoded_column_stats(spark, store, ["doc_id"]),
+        lambda: encoded_topk(spark, store, "n_chars", 3),
+        lambda: compact_store(spark, store, store + "_c"),
+    ]:
+        with pytest.raises(ValueError, match="tombstones"):
+            call()
+
+
+def test_materialize_restores_fast_paths(spark, docs, store, tmp_path):
+    from fsst_spark.jobs.agg import encoded_group_count
+
+    delete_where(spark, store, "lang", "==", "de")
+    out = str(tmp_path / "folded")
+    materialize_deletes(spark, store, out, chunk_bytes=4 << 10).collect()
+    assert not has_deletes(out)
+    want = docs.where("lang <> 'de'")
+    assert _ids(decode_job(spark, out)) == _ids(want)
+    got = {r["value"]: r["cnt"]
+           for r in encoded_group_count(spark, out, "lang").collect()}
+    exp = {r["lang"]: r["cnt"]
+           for r in want.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert got == exp
+
+
+def test_verify_stays_physical(spark, docs, store):
+    """verify checks the PHYSICAL store; tombstones never touch payloads,
+    so per-chunk checksums still pass after a delete."""
+    from fsst_spark.jobs.verify import verify_chunks
+
+    delete_where(spark, store, "lang", "==", "de")
+    bad = verify_chunks(spark, store).where("ok = false")
+    assert bad.count() == 0

@@ -311,3 +311,58 @@ def test_store_readable_by_decode_job(spark, docs, store):
     a = dec.select(*sorted(docs.columns)).orderBy("doc_id").collect()
     b = docs.select(*sorted(docs.columns)).orderBy("doc_id").collect()
     assert a == b
+
+
+def test_as_of_time_travel(spark, docs, tmp_path):
+    """.option('as_of', N) reads the store as of commit entry N: the
+    first write's rows at as_of=0, both writes at as_of=1, and the same
+    as_of keeps returning the same rows as the store grows (entries are
+    immutable). Out-of-range and log-less stores raise."""
+    out = str(tmp_path / "travel")
+    register(spark)
+    evens = docs.where("doc_id % 2 = 0")
+    odds = docs.where("doc_id % 2 = 1")
+    evens.write.format("fsst").mode("append").save(out)
+    odds.write.format("fsst").mode("append").save(out)
+
+    def agg(df):
+        return df.agg(F.count("*"), F.sum("doc_id")).collect()
+
+    at0 = spark.read.format("fsst").option("as_of", 0).load(out)
+    assert agg(at0) == agg(evens)
+    at1 = spark.read.format("fsst").option("as_of", 1).load(out)
+    assert agg(at1) == agg(docs)
+    # grow the store again: as_of=0 is unchanged (immutable snapshot)
+    odds.limit(7).write.format("fsst").mode("append").save(out)
+    assert agg(spark.read.format("fsst").option("as_of", 0).load(out)) \
+        == agg(evens)
+    with pytest.raises(Exception, match="out of range"):
+        spark.read.format("fsst").option("as_of", 99).load(out).collect()
+
+
+def test_as_of_needs_commit_log(spark, docs, tmp_path):
+    from fsst_spark.jobs.encode import encode_job
+
+    out = str(tmp_path / "nolog")
+    encode_job(spark, docs.limit(50), out, chunk_bytes=64 << 10,
+               resume=False, pre_partitioned=True, unique_col="doc_id").collect()
+    register(spark)
+    with pytest.raises(Exception, match="no commit log"):
+        spark.read.format("fsst").option("as_of", 0).load(out).collect()
+
+
+def test_as_of_composes_with_snapshot_log(spark, docs, tmp_path):
+    """A job-API store becomes time-travelable the same way it becomes
+    streamable: log_commit_snapshot after each completed encode action."""
+    from fsst_spark.jobs.encode import encode_files_job  # noqa: F401 (import parity)
+    from fsst_spark.jobs.encode import encode_job
+    from fsst_spark.sources.fsst_source import log_commit_snapshot
+
+    out = str(tmp_path / "joblog")
+    first = docs.where("doc_id < 100")
+    encode_job(spark, first, out, chunk_bytes=64 << 10,
+               resume=False, pre_partitioned=True, unique_col="doc_id").collect()
+    assert log_commit_snapshot(out) == 0
+    register(spark)
+    at0 = spark.read.format("fsst").option("as_of", 0).load(out)
+    assert at0.count() == first.count()
