@@ -1804,6 +1804,34 @@ def q_deleted_filtered_decode(spark, sf_dir):
         "n_rows bigint, sum_ids bigint, min_chars bigint")
 
 
+def q_deleted_count_where(spark, sf_dir):
+    """The tri-state metadata count stays EXACT under row tombstones:
+    after deleting lang='de', ``count(*) WHERE doc_id >= 250`` answers
+    full-match chunks from (n_rows - per-chunk tombstone count) metadata
+    and boundary chunks by masking tombstoned positions in-task — no
+    materialization needed (fsst_spark/jobs/agg.py)."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.agg import encoded_count_filtered
+    from fsst_spark.jobs.deletes import delete_where
+    from fsst_spark.jobs.encode import encode_job
+
+    out = tempfile.mkdtemp(prefix="deleted_count_q_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+        encode_job(spark, docs, out, chunk_bytes=64 << 10, resume=False,
+                   pre_partitioned=True, unique_col="doc_id",
+                   sort_key="doc_id").collect()
+        delete_where(spark, out, "lang", "==", "de")
+        r = encoded_count_filtered(
+            spark, out, filters=[("doc_id", ">=", 250)]).collect()[0]
+        n = r["n_rows"]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame([(n,)], "n_rows bigint")
+
+
 def q_materialized_deletes(spark, sf_dir):
     """Delete lifecycle end-to-end: tombstone lang='de', fold the
     tombstones into a new store (materialize_deletes — the Iceberg
@@ -1873,6 +1901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fsst_source_asof": q_fsst_source_asof,
         "deleted_decode": q_deleted_decode,
         "deleted_filtered_decode": q_deleted_filtered_decode,
+        "deleted_count_where": q_deleted_count_where,
         "materialized_deletes": q_materialized_deletes,
         "dedup_incremental": q_dedup_incremental,
         "pack_chunks": q_pack_chunks,
@@ -2291,6 +2320,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang AS value, CAST(count(*) AS BIGINT) AS cnt "
             "FROM documents WHERE lang <> 'de' "
             "GROUP BY lang ORDER BY value"
+        ),
+        "deleted_count_where": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows "
+            "FROM documents WHERE lang <> 'de' AND doc_id >= 250"
         ),
         "or_filter_decode": (
             "SELECT CAST(count(*) AS BIGINT) AS n_rows, "

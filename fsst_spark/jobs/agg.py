@@ -164,10 +164,14 @@ def _arrow_mask(arr: pa.Array, op: str, value, arrow_name: str) -> np.ndarray:
 
 
 def _assembled_chunks(batches: Iterator[pa.RecordBatch],
-                      needed: list[str]) -> Iterator[dict[str, dict]]:
+                      needed: list[str],
+                      with_keys: bool = False) -> Iterator:
     """Group a (pid, chunk_id)-co-located chunk-row stream back into whole
     chunks: yields {column: enc-dict} once every needed column row of a
-    chunk has arrived (same pending-slot shape as decode_job's task)."""
+    chunk has arrived (same pending-slot shape as decode_job's task).
+    ``with_keys`` yields ``((pid, chunk_id), cols)`` instead — consumers
+    that look up per-chunk side state (e.g. delete tombstones) need the
+    key."""
     pending: dict[tuple[int, int], dict[str, dict]] = {}
     for batch in batches:
         for pid_s, cid_s, col_s, codec_s, params_s, payload_s in zip(
@@ -182,7 +186,7 @@ def _assembled_chunks(batches: Iterator[pa.RecordBatch],
                 "payload": payload_s.as_py(),
             }
             if len(cols) == len(needed):
-                yield cols
+                yield (key, cols) if with_keys else cols
                 del pending[key]
     if pending:
         raise RuntimeError(
@@ -488,8 +492,14 @@ def encoded_count_filtered(spark, out_dir: str,
     count touches O(1) boundary chunks regardless of table size.
 
     Returns one row: ``n_rows`` plus observability counts
-    (chunks_total/pruned/metadata_only/decoded)."""
-    _require_no_deletes(out_dir, 'encoded_count_filtered')
+    (chunks_total/pruned/metadata_only/decoded).
+
+    Delete-aware (the one fast path that stays exact under row
+    tombstones): full-match chunks subtract their per-chunk tombstone
+    count (a narrow metadata join on the deletes parquet — still no
+    payload read), boundary chunks subtract tombstoned-AND-matching
+    positions in-task. Pruned chunks need no correction — zero rows
+    match, deleted or not."""
     if not filters:
         raise ValueError("encoded_count_filtered needs filters=[(col, op, value), ...]")
     types = column_arrow_types(spark, out_dir)
@@ -529,8 +539,23 @@ def encoded_count_filtered(spark, out_dir: str,
     cls = joined.select("pid", "chunk_id", "n_rows",
                         can_all.alias("can"), alm_all.alias("all_rows"))
 
+    from .deletes import _deletes_dir, has_deletes
+
+    deletes_on = has_deletes(out_dir)
+    if deletes_on:
+        # per-chunk tombstone counts: a narrow aggregation of the deletes
+        # parquet (spark ignores the _log/ sidecar), broadcast-joinable
+        tomb = (spark.read.parquet(_deletes_dir(out_dir))
+                .groupBy("pid", "chunk_id")
+                .agg(F.count("*").alias("n_del")))
+        cls = (cls.join(F.broadcast(tomb), ["pid", "chunk_id"], "left")
+               .na.fill({"n_del": 0}))
+    else:
+        cls = cls.withColumn("n_del", F.lit(0))
+
     meta = cls.select(
-        F.when(F.col("can") & F.col("all_rows"), F.col("n_rows"))
+        F.when(F.col("can") & F.col("all_rows"),
+               F.col("n_rows") - F.col("n_del"))
         .otherwise(F.lit(0)).cast("bigint").alias("n"))
     straddle_keys = cls.filter(F.col("can") & ~F.col("all_rows")).select("pid", "chunk_id")
     sub = (base.select("pid", "chunk_id", "column", "codec", "params", "payload")
@@ -539,11 +564,19 @@ def encoded_count_filtered(spark, out_dir: str,
     flt = list(filters)
 
     def task(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for cols in _assembled_chunks(batches, fcols):
+        from .deletes import DeleteMask
+
+        dmask = DeleteMask(out_dir) if deletes_on else None
+        for key, cols in _assembled_chunks(batches, fcols, with_keys=True):
             decoded: dict[str, pa.Array] = {}
             mask = _conj_mask(cols, flt, types, decoded)
+            n = int(mask.sum())
+            if dmask is not None and n:
+                pos = dmask.positions(*key)
+                if pos is not None:
+                    n -= int(mask[pos[pos < len(mask)]].sum())
             yield pa.RecordBatch.from_arrays(
-                [pa.array([int(mask.sum())], pa.int64())], names=["n"])
+                [pa.array([n], pa.int64())], names=["n"])
 
     straddle = sub.mapInArrow(task, "n bigint")
     total = meta.unionByName(straddle).agg(F.sum("n").alias("n_rows"))

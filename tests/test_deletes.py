@@ -100,21 +100,38 @@ def test_fsst_source_read_applies_tombstones(spark, docs, store):
 
 
 def test_metadata_fast_paths_refuse(spark, docs, store):
-    from fsst_spark.jobs.agg import encoded_count_filtered, encoded_group_count
+    from fsst_spark.jobs.agg import encoded_group_count
     from fsst_spark.jobs.compact import compact_store
     from fsst_spark.jobs.stats import encoded_column_stats, encoded_topk
 
     delete_where(spark, store, "lang", "==", "de")
     for call in [
         lambda: encoded_group_count(spark, store, "lang"),
-        lambda: encoded_count_filtered(spark, store,
-                                       filters=[("lang", "==", "fr")]),
         lambda: encoded_column_stats(spark, store, ["doc_id"]),
         lambda: encoded_topk(spark, store, "n_chars", 3),
         lambda: compact_store(spark, store, store + "_c"),
     ]:
         with pytest.raises(ValueError, match="tombstones"):
             call()
+
+
+def test_count_filtered_is_delete_aware(spark, docs, store):
+    """encoded_count_filtered stays EXACT under tombstones: full-match
+    chunks subtract per-chunk tombstone counts metadata-side, boundary
+    chunks subtract tombstoned-and-matching rows in-task."""
+    from fsst_spark.jobs.agg import encoded_count_filtered
+
+    delete_where(spark, store, "lang", "==", "de")
+    for flt, cond in [
+        ([("doc_id", ">=", 0)], "doc_id >= 0"),          # all full-match
+        ([("doc_id", ">=", 250)], "doc_id >= 250"),      # boundary mix
+        ([("lang", "==", "fr")], "lang = 'fr'"),         # string equality
+        ([("n_chars", ">=", 500), ("doc_id", "<", 400)],
+         "n_chars >= 500 AND doc_id < 400"),             # conjunction
+    ]:
+        got = encoded_count_filtered(spark, store, filters=flt).collect()[0]
+        want = docs.where(f"lang <> 'de' AND ({cond})").count()
+        assert got["n_rows"] == want, (flt, got["n_rows"], want)
 
 
 def test_materialize_restores_fast_paths(spark, docs, store, tmp_path):
