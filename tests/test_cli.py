@@ -243,3 +243,32 @@ def test_cli_quantiles_pack_dedup_index(tmp_path):
     r = _run("dedup-index", "probe", "--index", idx, "--input", src,
              "--id-col", "url")
     assert r["n_in"] == 300 and r["n_index_dups"] == 300  # self-probe: all dups
+
+
+def test_cli_delete_and_materialize(tmp_path):
+    """delete tombstones rows merge-on-read; count stays exact; decode
+    excludes them; materialize-deletes folds them into a new store."""
+    import duckdb
+
+    src = str(tmp_path / "corpus6")
+    enc = str(tmp_path / "encoded6")
+    dec = str(tmp_path / "decoded6")
+    mat = str(tmp_path / "folded6")
+    _run("synth", "--rows", "400", "--out", src)
+    _run("encode", "--input", src, "--out", enc, "--partitions", "4")
+    want_del = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{src}/*.parquet') "
+        "WHERE lang = 'en'").fetchone()[0]
+    r = _run("delete", "--data", enc, "--where", "lang:==:en")
+    assert r["deleted_now"] == want_del
+    c = _run("count", "--data", enc, "--where", "lang:<=:zz")
+    assert c["n_rows"] == 400 - want_del
+    _run("decode", "--data", enc, "--out", dec)
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{dec}/*.parquet')").fetchone()[0]
+    assert n == 400 - want_del
+    m = _run("materialize-deletes", "--data", enc, "--out", mat)
+    assert m["rows"] == 400 - want_del
+    g = _run("group-stats", "--data", mat, "--key", "lang")
+    assert all(row["value"] != "en" for row in g)
+    assert sum(row["cnt"] for row in g) == 400 - want_del
