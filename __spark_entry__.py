@@ -1832,6 +1832,33 @@ def q_deleted_count_where(spark, sf_dir):
     return spark.createDataFrame([(n,)], "n_rows bigint")
 
 
+def q_deleted_group_sum(spark, sf_dir):
+    """GROUP BY pushdown stays exact under row tombstones: after
+    deleting lang='de', ``SELECT lang, count(*), sum(n_chars) GROUP BY
+    lang`` answers from codec structure minus the tombstoned positions —
+    no materialization, no full decode (fsst_spark/jobs/agg.py)."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.agg import encoded_group_sum
+    from fsst_spark.jobs.deletes import delete_where
+    from fsst_spark.jobs.encode import encode_job
+
+    out = tempfile.mkdtemp(prefix="deleted_group_q_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+        encode_job(spark, docs, out, chunk_bytes=64 << 10, resume=False,
+                   pre_partitioned=True, unique_col="doc_id").collect()
+        delete_where(spark, out, "lang", "==", "de")
+        rows = (encoded_group_sum(spark, out, "lang", "n_chars")
+                .orderBy("value").collect())
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["value"], r["cnt"], r["sum_val"]) for r in rows],
+        "value string, cnt bigint, sum_val bigint")
+
+
 def q_materialized_deletes(spark, sf_dir):
     """Delete lifecycle end-to-end: tombstone lang='de', fold the
     tombstones into a new store (materialize_deletes — the Iceberg
@@ -1902,6 +1929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deleted_decode": q_deleted_decode,
         "deleted_filtered_decode": q_deleted_filtered_decode,
         "deleted_count_where": q_deleted_count_where,
+        "deleted_group_sum": q_deleted_group_sum,
         "materialized_deletes": q_materialized_deletes,
         "dedup_incremental": q_dedup_incremental,
         "pack_chunks": q_pack_chunks,
@@ -2324,6 +2352,12 @@ def oracle_sql() -> dict[str, str]:
         "deleted_count_where": (
             "SELECT CAST(count(*) AS BIGINT) AS n_rows "
             "FROM documents WHERE lang <> 'de' AND doc_id >= 250"
+        ),
+        "deleted_group_sum": (
+            "SELECT lang AS value, CAST(count(*) AS BIGINT) AS cnt, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_val "
+            "FROM documents WHERE lang <> 'de' "
+            "GROUP BY lang ORDER BY value"
         ),
         "or_filter_decode": (
             "SELECT CAST(count(*) AS BIGINT) AS n_rows, "

@@ -52,8 +52,6 @@ from .decode import (
     column_arrow_types,
     pruned_chunks,
 )
-from .deletes import require_no_deletes as _require_no_deletes
-
 _INT_LIKE = ("int8", "int16", "int32", "int64")
 
 
@@ -210,10 +208,13 @@ def _conj_mask(cols: dict[str, dict], filters: list[tuple],
 def _group_partial(kenc: dict, kt: pa.DataType, mask: np.ndarray | None,
                    karr: pa.Array | None = None,
                    venc: dict | None = None, varr: pa.Array | None = None,
-                   int_sum: bool | None = None) -> pa.RecordBatch:
+                   int_sum: bool | None = None,
+                   drop_pos: np.ndarray | None = None) -> pa.RecordBatch:
     """One chunk -> per-key partial rows (value, cnt[, sum_val]) under an
     optional row mask. Dict-coded null-free key chunks group on the CODE
-    array — the expanded key strings are never materialized."""
+    array — the expanded key strings are never materialized.
+    ``drop_pos`` (row positions to exclude — delete tombstones) folds
+    into the mask once the chunk length is known."""
     if karr is None and kenc["codec"] == "str_dict" and "n_total" not in kenc["params"]:
         p = kenc["params"]
         cp, up = _split_sections(p, kenc["payload"])
@@ -223,6 +224,10 @@ def _group_partial(kenc: dict, kt: pa.DataType, mask: np.ndarray | None,
     else:
         codes, dictv, k = _group_codes(karr if karr is not None
                                        else decode_column(kenc))
+    if drop_pos is not None and len(drop_pos):
+        keep = np.ones(len(codes), dtype=bool)
+        keep[drop_pos[drop_pos < len(codes)]] = False
+        mask = keep if mask is None else (mask & keep)
     mcodes = codes if mask is None else codes[mask]
     cnt = np.bincount(mcodes, minlength=k + 1).astype(np.int64)
     values = pa.concat_arrays([dictv.cast(kt), pa.nulls(1, kt)])
@@ -270,9 +275,15 @@ def _filtered_group_agg(spark, out_dir: str, key_col: str,
     chunks = chunk_repartition(
         spark, chunks.select("pid", "chunk_id", "column", "codec",
                              "params", "payload"), out_dir)
+    from .deletes import has_deletes
+
+    deletes_on = has_deletes(out_dir)
 
     def task(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for cols in _assembled_chunks(batches, needed):
+        from .deletes import DeleteMask
+
+        dmask = DeleteMask(out_dir) if deletes_on else None
+        for key, cols in _assembled_chunks(batches, needed, with_keys=True):
             decoded: dict[str, pa.Array] = {}
             mask = _conj_mask(cols, filters, types, decoded)
             if mask is not None and not mask.any():
@@ -281,7 +292,8 @@ def _filtered_group_agg(spark, out_dir: str, key_col: str,
                 cols[key_col], kt, mask, karr=decoded.get(key_col),
                 venc=cols[val_col] if val_col else None,
                 varr=decoded.get(val_col) if val_col else None,
-                int_sum=int_sum)
+                int_sum=int_sum,
+                drop_pos=dmask.positions(*key) if dmask is not None else None)
 
     ddl = f"value {_spark_type(types[key_col])}, cnt bigint"
     aggs = [F.sum("cnt").alias("cnt")]
@@ -304,31 +316,54 @@ def encoded_group_count(spark, out_dir: str, column: str,
     and dict dictionaries prune definite-miss chunks before any payload
     read, the exact row mask applies chunk-locally, and the shuffle stays
     NDV-scale — ``SELECT col, count(*) WHERE ... GROUP BY col`` without
-    ever materializing the table."""
-    _require_no_deletes(out_dir, 'encoded_group_count')
+    ever materializing the table.
+
+    Delete-aware: chunks carrying row tombstones group on their code
+    array minus the tombstoned positions (per-task pushed-pid reads of
+    the deletes parquet); tombstone-free chunks keep the pure
+    codec-structural fast path."""
     if filters:
         return _filtered_group_agg(spark, out_dir, column, None, filters)
+    from .deletes import has_deletes
+
+    deletes_on = has_deletes(out_dir)
     types = column_arrow_types(spark, out_dir, [column])
     if column not in types:
         raise KeyError(f"column {column!r} not in encoded data")
     arrow_name = types[column]
     t = parse_arrow_type(arrow_name)
-    chunks = _chunks_df(spark, out_dir, [column]).select("codec", "params", "payload")
+    chunks = _chunks_df(spark, out_dir, [column]).select(
+        "pid", "chunk_id", "codec", "params", "payload")
     out_schema = pa.schema([("value", t), ("cnt", pa.int64())])
 
     def task(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .deletes import DeleteMask
+
+        dmask = DeleteMask(out_dir) if deletes_on else None
         for batch in batches:
             tbl = pa.Table.from_batches([batch])
-            for codec, pjson, payload in zip(
+            for pid, cid, codec, pjson, payload in zip(
+                tbl.column("pid").to_pylist(),
+                tbl.column("chunk_id").to_pylist(),
                 tbl.column("codec").to_pylist(),
                 tbl.column("params").to_pylist(),
                 (s.as_py() for s in tbl.column("payload")),
             ):
-                values, counts = _chunk_value_counts(
-                    codec, json.loads(pjson), payload, t)
-                yield pa.RecordBatch.from_arrays(
-                    [values, pa.array(counts, type=pa.int64())],
-                    schema=out_schema)
+                pos = dmask.positions(pid, cid) if dmask is not None else None
+                if pos is None:
+                    # tombstone-free chunk: codec-structural counts (dict
+                    # codes bincount / RLE run pairs), no row expansion
+                    values, counts = _chunk_value_counts(
+                        codec, json.loads(pjson), payload, t)
+                    yield pa.RecordBatch.from_arrays(
+                        [values, pa.array(counts, type=pa.int64())],
+                        schema=out_schema)
+                else:
+                    # tombstoned chunk: per-position mask needed — group
+                    # on the (dict-fast-path) code array minus tombstones
+                    yield _group_partial(
+                        {"codec": codec, "params": json.loads(pjson),
+                         "payload": payload}, t, None, drop_pos=pos)
 
     partial = chunks.mapInArrow(task, f"value {_spark_type(arrow_name)}, cnt bigint")
     return partial.groupBy("value").agg(F.sum("cnt").alias("cnt"))
@@ -357,10 +392,13 @@ def encoded_group_sum(spark, out_dir: str, key_col: str, val_col: str,
     every encode job, so each scan task sees complete chunks; partial
     aggregation happens chunk-locally and the shuffle is NDV-scale. A
     dict-coded key column uses its code array directly — the expanded
-    key strings are never materialized."""
-    _require_no_deletes(out_dir, 'encoded_group_sum')
+    key strings are never materialized. Delete-aware: tombstoned
+    positions drop out of both cnt and sum_val chunk-locally."""
     if filters:
         return _filtered_group_agg(spark, out_dir, key_col, val_col, filters)
+    from .deletes import has_deletes
+
+    deletes_on = has_deletes(out_dir)
     types = column_arrow_types(spark, out_dir, [key_col, val_col])
     for c in (key_col, val_col):
         if c not in types:
@@ -371,8 +409,10 @@ def encoded_group_sum(spark, out_dir: str, key_col: str, val_col: str,
     int_sum = vt_name in _INT_LIKE
     kt = parse_arrow_type(types[key_col])
 
-    def emit(kenc: dict, venc: dict) -> pa.RecordBatch:
-        return _group_partial(kenc, kt, None, venc=venc, int_sum=int_sum)
+    def emit(kenc: dict, venc: dict,
+             drop_pos: "np.ndarray | None" = None) -> pa.RecordBatch:
+        return _group_partial(kenc, kt, None, venc=venc, int_sum=int_sum,
+                              drop_pos=drop_pos)
 
     # file-granular scan: every encode job writes ALL column rows of a
     # chunk into one chunk file, but a relational parquet scan may split
@@ -393,6 +433,9 @@ def encoded_group_sum(spark, out_dir: str, key_col: str, val_col: str,
     def task(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.parquet as _pq
 
+        from .deletes import DeleteMask
+
+        dmask = DeleteMask(out_dir) if deletes_on else None
         for batch in batches:
             for row in batch.to_pylist():
                 tbl = _pq.read_table(
@@ -408,7 +451,9 @@ def encoded_group_sum(spark, out_dir: str, key_col: str, val_col: str,
                     cols = pending.setdefault(key, {})
                     cols[tbl.column("column")[i].as_py()] = enc
                     if len(cols) == 2:
-                        yield emit(cols[key_col], cols[val_col])
+                        pos = (dmask.positions(*key)
+                               if dmask is not None else None)
+                        yield emit(cols[key_col], cols[val_col], pos)
                         del pending[key]
                 if pending:
                     raise RuntimeError(

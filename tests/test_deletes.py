@@ -100,19 +100,52 @@ def test_fsst_source_read_applies_tombstones(spark, docs, store):
 
 
 def test_metadata_fast_paths_refuse(spark, docs, store):
-    from fsst_spark.jobs.agg import encoded_group_count
     from fsst_spark.jobs.compact import compact_store
     from fsst_spark.jobs.stats import encoded_column_stats, encoded_topk
 
     delete_where(spark, store, "lang", "==", "de")
     for call in [
-        lambda: encoded_group_count(spark, store, "lang"),
         lambda: encoded_column_stats(spark, store, ["doc_id"]),
         lambda: encoded_topk(spark, store, "n_chars", 3),
         lambda: compact_store(spark, store, store + "_c"),
     ]:
         with pytest.raises(ValueError, match="tombstones"):
             call()
+
+
+def test_group_by_pushdowns_are_delete_aware(spark, docs, store):
+    """GROUP BY count/sum stay exact under tombstones: tombstone-free
+    chunks keep the codec-structural fast path, tombstoned chunks drop
+    the deleted positions chunk-locally (all three paths: unfiltered
+    count, unfiltered sum, filtered)."""
+    from fsst_spark.jobs.agg import encoded_group_count, encoded_group_sum
+
+    delete_where(spark, store, "lang", "==", "de")
+    live = docs.where("lang <> 'de'")
+
+    got = {r["value"]: r["cnt"]
+           for r in encoded_group_count(spark, store, "lang").collect()}
+    exp = {r["lang"]: r["cnt"]
+           for r in live.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert got == exp
+
+    got = {r["value"]: (r["cnt"], r["sum_val"])
+           for r in encoded_group_sum(spark, store, "source", "n_chars").collect()}
+    exp = {r["source"]: (r["cnt"], r["s"])
+           for r in live.groupBy("source")
+           .agg(F.count("*").alias("cnt"), F.sum("n_chars").alias("s"))
+           .collect()}
+    assert got == exp
+
+    flt = [("n_chars", ">=", 400)]
+    got = {r["value"]: (r["cnt"], r["sum_val"])
+           for r in encoded_group_sum(spark, store, "lang", "doc_id",
+                                      filters=flt).collect()}
+    exp = {r["lang"]: (r["cnt"], r["s"])
+           for r in live.where("n_chars >= 400").groupBy("lang")
+           .agg(F.count("*").alias("cnt"), F.sum("doc_id").alias("s"))
+           .collect()}
+    assert got == exp
 
 
 def test_count_filtered_is_delete_aware(spark, docs, store):
