@@ -166,6 +166,11 @@ def main(argv: list[str] | None = None) -> int:
                      help="disjunctive predicates (at least ONE must hold); "
                           "same grammar as --where; combines with --where "
                           "as AND(--where) AND OR(--where-any)")
+    dec.add_argument("--as-of", type=int, default=None, metavar="N",
+                     help="time travel: decode the store as of commit log "
+                          "entry N (entries 0..N; the store needs a commit "
+                          "log — datasource writes log automatically, job "
+                          "stores via log_commit_snapshot)")
 
     ver = sub.add_parser("verify", help="chunk checksum round-trip verification")
     ver.add_argument("--data", required=True)
@@ -415,12 +420,14 @@ def main(argv: list[str] | None = None) -> int:
                 any_flt = (_parse_where(spark, args.data, args.where_any)
                            if args.where_any else None)
                 df = decode_filtered(spark, args.data, columns=cols,
-                                     filters=filters, any_filters=any_flt)
+                                     filters=filters, any_filters=any_flt,
+                                     as_of=args.as_of)
             else:
-                df = decode_job(spark, args.data, cols)
+                df = decode_job(spark, args.data, cols, as_of=args.as_of)
             df.drop("pid", "chunk_id").write.mode("overwrite").parquet(args.out)
             print(json.dumps({"decoded_to": args.out, "where": args.where,
-                              "where_any": args.where_any}))
+                              "where_any": args.where_any,
+                              "as_of": args.as_of}))
         elif args.cmd == "delete":
             from fsst_spark.jobs.deletes import delete_where
 

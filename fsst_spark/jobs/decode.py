@@ -476,11 +476,33 @@ def chunk_repartition(spark, chunks: DataFrame, out_dir: str) -> DataFrame:
     return chunks.repartition(F.col("pid"), F.col("chunk_id"))
 
 
+def _as_of_pids(store: str, as_of: int) -> list[int]:
+    """pids visible as of commit entry ``as_of`` (entries 0..as_of of the
+    store's append-only commit log) — the same snapshot rule the fsst
+    DataSource's ``.option('as_of', N)`` applies."""
+    from ..sources.fsst_source import _read_commit, commit_count
+
+    n = commit_count(store)
+    if n == 0:
+        raise ValueError(
+            f"store {store!r} has no commit log; as_of needs one (write "
+            "via df.write.format('fsst') or call log_commit_snapshot "
+            "after an encode job)")
+    if not (0 <= as_of < n):
+        raise ValueError(
+            f"as_of={as_of} out of range: store has commit entries 0..{n - 1}")
+    pids: set[int] = set()
+    for i in range(as_of + 1):
+        pids.update(_read_commit(store, i)["pids"])
+    return sorted(pids)
+
+
 def decode_job(spark, out_dir: str, columns: list[str] | None = None,
                zone_filter: tuple[str, str, int | str] | None = None,
                zone_filters: list[tuple[str, str, int | str]] | None = None,
                zone_filters_any: list[tuple[str, str, int | str]] | None = None,
-               dict_prune: bool = True) -> DataFrame:
+               dict_prune: bool = True,
+               as_of: int | None = None) -> DataFrame:
     """DataFrame of the decoded table (plus pid/chunk_id provenance cols).
 
     ``zone_filter=(col, op, value)`` — or a conjunction via
@@ -493,12 +515,23 @@ def decode_job(spark, out_dir: str, columns: list[str] | None = None,
     conjunctive filters — both prunings apply). String equality filters
     additionally prune via the dict codec's dictionary (``dict_prune``):
     chunks whose dictionary lacks the value are skipped without decoding
-    any payload beyond the dictionary itself."""
+    any payload beyond the dictionary itself.
+
+    ``as_of=N`` time-travels: only chunks committed by log entries 0..N
+    decode (a pid filter pushed into the metadata scan — commit entries
+    are immutable, so the same N always yields the same rows)."""
     ddl, ordered = decoded_schema_ddl(spark, out_dir, columns)
     filters = list(zone_filters or [])
     if zone_filter is not None:
         filters.append(zone_filter)
     chunks = pruned_chunks(spark, out_dir, columns, filters, dict_prune)
+    if as_of is not None:
+        pids = _as_of_pids(out_dir, as_of)
+        if len(pids) <= 100_000:
+            chunks = chunks.where(F.col("pid").isin(pids))
+        else:  # snapshot spans many writes: semi join beats a giant IN plan
+            pdf = spark.createDataFrame([(p,) for p in pids], "pid int")
+            chunks = chunks.join(F.broadcast(pdf), "pid", "left_semi")
     if zone_filters_any:
         any_keep = pruned_chunks_any(spark, out_dir, columns,
                                      list(zone_filters_any), dict_prune) \
@@ -571,7 +604,8 @@ def decode_filtered(spark, out_dir: str, col: str | None = None, op: str | None 
                     value: int | str | float | None = None,
                     columns: list[str] | None = None,
                     filters: list[tuple] | None = None,
-                    any_filters: list[tuple] | None = None) -> DataFrame:
+                    any_filters: list[tuple] | None = None,
+                    as_of: int | None = None) -> DataFrame:
     """Selective decode: zone-map chunk pruning + the exact row predicates.
 
     Pass one predicate positionally (``col, op, value``), a conjunction
@@ -597,7 +631,7 @@ def decode_filtered(spark, out_dir: str, col: str | None = None, op: str | None 
         cols = cols + [c for c in fcols if c not in cols]
     types = column_arrow_types(spark, out_dir)
     df = decode_job(spark, out_dir, cols, zone_filters=flt,
-                    zone_filters_any=any_flt or None)
+                    zone_filters_any=any_flt or None, as_of=as_of)
     for fc, fop, fval in flt:
         df = df.where(_row_predicate(fc, fop, fval, types[fc]))
     if any_flt:

@@ -366,3 +366,27 @@ def test_as_of_composes_with_snapshot_log(spark, docs, tmp_path):
     register(spark)
     at0 = spark.read.format("fsst").option("as_of", 0).load(out)
     assert at0.count() == first.count()
+
+
+def test_decode_job_as_of(spark, docs, tmp_path):
+    """Time travel through the job API too: decode_job(as_of=N) reads
+    the pids of commit entries 0..N, matching the DataSource read."""
+    from fsst_spark.jobs.decode import decode_filtered, decode_job
+
+    out = str(tmp_path / "travel_job")
+    register(spark)
+    evens = docs.where("doc_id % 2 = 0")
+    odds = docs.where("doc_id % 2 = 1")
+    evens.write.format("fsst").mode("append").save(out)
+    odds.write.format("fsst").mode("append").save(out)
+
+    at0 = decode_job(spark, out, as_of=0)
+    assert at0.agg(F.count("*"), F.sum("doc_id")).collect() \
+        == evens.agg(F.count("*"), F.sum("doc_id")).collect()
+    at1 = decode_job(spark, out, as_of=1)
+    assert at1.count() == docs.count()
+    # composes with selective decode
+    f0 = decode_filtered(spark, out, "n_chars", ">=", 300, as_of=0)
+    assert f0.count() == evens.where("n_chars >= 300").count()
+    with pytest.raises(ValueError, match="out of range"):
+        decode_job(spark, out, as_of=5).count()
