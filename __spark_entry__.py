@@ -1859,6 +1859,38 @@ def q_deleted_group_sum(spark, sf_dir):
         "value string, cnt bigint, sum_val bigint")
 
 
+def q_dropped_column_decode(spark, sf_dir):
+    """Metadata-only schema evolution: drop_column('source') hides the
+    column from every reader in O(1) (payloads untouched); a full decode
+    returns the remaining columns bit-identical, and the visible column
+    count shrinks (fsst_spark/jobs/schema.py)."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.decode import decode_job
+    from fsst_spark.jobs.encode import encode_job
+    from fsst_spark.jobs.schema import drop_column
+
+    out = tempfile.mkdtemp(prefix="dropped_col_q_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+        encode_job(spark, docs, out, chunk_bytes=64 << 10, resume=False,
+                   pre_partitioned=True, unique_col="doc_id").collect()
+        drop_column(out, "source")
+        dec = decode_job(spark, out).drop("pid", "chunk_id")
+        n_cols = len(dec.columns)
+        r = dec.agg(
+            F.count("*").alias("n_rows"),
+            F.sum("doc_id").alias("sum_ids"),
+            F.count_distinct("lang").alias("n_langs"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["n_rows"], r["sum_ids"], r["n_langs"], n_cols)],
+        "n_rows bigint, sum_ids bigint, n_langs bigint, n_cols bigint")
+
+
 def q_materialized_deletes(spark, sf_dir):
     """Delete lifecycle end-to-end: tombstone lang='de', fold the
     tombstones into a new store (materialize_deletes — the Iceberg
@@ -1930,6 +1962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deleted_filtered_decode": q_deleted_filtered_decode,
         "deleted_count_where": q_deleted_count_where,
         "deleted_group_sum": q_deleted_group_sum,
+        "dropped_column_decode": q_dropped_column_decode,
         "materialized_deletes": q_materialized_deletes,
         "dedup_incremental": q_dedup_incremental,
         "pack_chunks": q_pack_chunks,
@@ -2358,6 +2391,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(n_chars) AS BIGINT) AS sum_val "
             "FROM documents WHERE lang <> 'de' "
             "GROUP BY lang ORDER BY value"
+        ),
+        "dropped_column_decode": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_ids, "
+            "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs, "
+            "CAST(3 AS BIGINT) AS n_cols "
+            "FROM documents"
         ),
         "or_filter_decode": (
             "SELECT CAST(count(*) AS BIGINT) AS n_rows, "

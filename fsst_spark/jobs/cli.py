@@ -202,6 +202,18 @@ def main(argv: list[str] | None = None) -> int:
     mat.add_argument("--num-partitions", type=int, default=None)
     mat.add_argument("--chunk-bytes", type=int, default=16 << 20)
 
+    drp = sub.add_parser(
+        "drop-column",
+        help="hide a column from every reader in O(1) (metadata-only "
+             "schema evolution; payloads untouched, undo with "
+             "undrop-column, physical purge on any recluster)")
+    drp.add_argument("--data", required=True)
+    drp.add_argument("--column", required=True)
+    udr = sub.add_parser("undrop-column",
+                         help="restore a dropped column")
+    udr.add_argument("--data", required=True)
+    udr.add_argument("--column", required=True)
+
     sta = sub.add_parser("stats",
                          help="column stats from an encoded store: count/min/max "
                               "from chunk metadata (zero payload reads for "
@@ -451,6 +463,20 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"store": args.out,
                               "partitions": len(rows),
                               "rows": sum(r["n_rows"] for r in rows)}))
+        elif args.cmd in ("drop-column", "undrop-column"):
+            from fsst_spark.jobs.schema import (
+                drop_column,
+                dropped_columns,
+                undrop_column,
+            )
+
+            if args.cmd == "drop-column":
+                drop_column(args.data, args.column)
+            else:
+                undrop_column(args.data, args.column)
+            print(json.dumps({"store": args.data, "column": args.column,
+                              "action": args.cmd,
+                              "dropped": sorted(dropped_columns(args.data))}))
         elif args.cmd == "verify":
             from pyspark.sql import functions as F
 

@@ -62,6 +62,11 @@ def compact_store(spark, in_dir: str, out_dir: str,
             "recluster_store) first.")
     os.makedirs(os.path.join(out_dir, "chunks"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
+    # payloads are copied verbatim, so metadata-only column drops must
+    # travel too — otherwise compaction would resurrect dropped columns
+    from .schema import copy_schema_log
+
+    copy_schema_log(in_dir, out_dir)
     lineage_json = json.dumps(
         {**(lineage or {}), "mode": "compacted", "source_store": in_dir,
          "source_files": n_in, "target_files": target_files})

@@ -37,6 +37,13 @@ def _chunks_df(spark, out_dir: str, columns: list[str] | None) -> DataFrame:
     df = spark.read.parquet(f"{out_dir}/chunks")
     if columns:
         df = df.filter(F.col("column").isin(columns))  # pushed to parquet scan
+    else:
+        from .schema import dropped_columns
+
+        dropped = dropped_columns(out_dir)
+        if dropped:  # schema-evolved store: dropped columns' rows are
+            # invisible (and their payload bytes never read)
+            df = df.filter(~F.col("column").isin(sorted(dropped)))
     return df
 
 
@@ -67,6 +74,10 @@ def column_arrow_types(spark, out_dir: str, columns: list[str] | None = None) ->
             .collect()
         )
         cols = {r["column"]: json.loads(r["params"])["arrow_type"] for r in meta}
+    from .schema import dropped_columns
+
+    for c in dropped_columns(out_dir):
+        cols.pop(c, None)  # dropped columns are not part of the schema
     if columns:
         missing = [c for c in columns if c not in cols]
         if missing:

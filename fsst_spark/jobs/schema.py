@@ -1,0 +1,138 @@
+"""Metadata-only schema evolution: drop (and restore) columns in O(1).
+
+An encoded store's payloads are immutable chunk files; physically
+removing a column from a 100 TB store would be a full rewrite. Instead
+``drop_column`` appends one JSON entry to the store's append-only schema
+log (``<store>/schema/``, same O_EXCL-claimed-index protocol as the
+commit and delete logs) and every reader folds the log into the visible
+schema: ``column_arrow_types`` / the fsst source's ``store_column_types``
+exclude dropped columns, the metadata scan filters their chunk rows out
+parquet-side, and their payload bytes are never read again — the Iceberg
+``ALTER TABLE DROP COLUMN`` semantics (drop is a metadata operation;
+data files are untouched).
+
+``undrop_column`` restores a dropped column (its payloads were never
+deleted — the log is an ordered fold of drop/undrop actions). Physical
+purge happens for free on any decode→re-encode rewrite
+(``recluster_store``, ``materialize_deletes``): the decoder no longer
+sees the column, so the new store simply lacks it. ``compact_store``
+copies payloads verbatim, so it copies the schema log too — drops
+survive compaction.
+
+``verify_chunks`` stays schema-blind on purpose: it checks the PHYSICAL
+store, dropped payloads included.
+
+Reference tie: engine-level surface with no reference analog
+(spiraldb/fsst src/lib.rs:14-17 exports codec types only).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+SCHEMA_SUBDIR = "schema"
+
+
+def _schema_dir(store: str) -> str:
+    return os.path.join(store, SCHEMA_SUBDIR)
+
+
+def schema_log(store: str) -> list[dict]:
+    """Ordered schema-evolution entries (empty for a never-altered store)."""
+    d = _schema_dir(store)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in sorted(os.listdir(d)):
+        if f.endswith(".json"):
+            with open(os.path.join(d, f)) as fh:
+                out.append(json.load(fh))
+    return out
+
+
+def dropped_columns(store: str) -> set[str]:
+    """Currently-dropped columns: the ordered fold of drop/undrop entries."""
+    dropped: set[str] = set()
+    for e in schema_log(store):
+        if e["action"] == "drop":
+            dropped.add(e["column"])
+        elif e["action"] == "undrop":
+            dropped.discard(e["column"])
+    return dropped
+
+
+def _append_entry(store: str, entry: dict) -> int:
+    d = _schema_dir(store)
+    os.makedirs(d, exist_ok=True)
+    payload = json.dumps(entry).encode()
+    idx = sum(1 for f in os.listdir(d) if f.endswith(".json"))
+    while True:
+        path = os.path.join(d, f"{idx:08d}.json")
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        except FileExistsError:
+            idx += 1
+            continue
+        with os.fdopen(fd, "wb") as fh:
+            fh.write(payload)
+        return idx
+
+
+def physical_columns(store: str) -> dict[str, str]:
+    """{column: arrow type} actually present in the chunk files, schema
+    log IGNORED — one driver-side footer read (every encode partition
+    writes all columns, so any single file carries the full schema)."""
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(store, "chunks", "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no encoded chunks under {store!r}")
+    t = pq.read_table(files[0], columns=["column", "params"])
+    return {
+        c: json.loads(p)["arrow_type"]
+        for c, p in zip(t.column("column").to_pylist(),
+                        t.column("params").to_pylist())
+    }
+
+
+def drop_column(store: str, column: str) -> None:
+    """Hide ``column`` from every reader — O(1), payloads untouched."""
+    phys = physical_columns(store)
+    if column not in phys:
+        raise KeyError(f"column {column!r} not in encoded data "
+                       f"(has {sorted(phys)})")
+    dropped = dropped_columns(store)
+    if column in dropped:
+        raise ValueError(f"column {column!r} is already dropped")
+    if len(set(phys) - dropped) <= 1:
+        raise ValueError("cannot drop the last visible column "
+                         f"({column!r}); a store needs at least one")
+    _append_entry(store, {"action": "drop", "column": column})
+
+
+def undrop_column(store: str, column: str) -> None:
+    """Restore a dropped column (its payloads were never deleted)."""
+    if column not in dropped_columns(store):
+        raise ValueError(f"column {column!r} is not currently dropped")
+    _append_entry(store, {"action": "undrop", "column": column})
+
+
+def copy_schema_log(src_store: str, dst_store: str) -> int:
+    """Verbatim-copy the schema log (used by compact_store, whose
+    payload copy would otherwise resurrect dropped columns). Returns the
+    number of entries copied."""
+    import shutil
+
+    entries = 0
+    d = _schema_dir(src_store)
+    if not os.path.isdir(d):
+        return 0
+    os.makedirs(_schema_dir(dst_store), exist_ok=True)
+    for f in sorted(os.listdir(d)):
+        if f.endswith(".json"):
+            shutil.copyfile(os.path.join(d, f),
+                            os.path.join(_schema_dir(dst_store), f))
+            entries += 1
+    return entries

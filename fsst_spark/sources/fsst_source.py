@@ -108,11 +108,16 @@ def store_column_types(store: str) -> dict[str, str]:
     if not files:
         raise FileNotFoundError(f"no encoded chunks under {store!r}")
     t = pq.read_table(files[0], columns=["column", "params"])
-    return {
+    cols = {
         c: json.loads(p)["arrow_type"]
         for c, p in zip(t.column("column").to_pylist(),
                         t.column("params").to_pylist())
     }
+    from ..jobs.schema import dropped_columns
+
+    for c in dropped_columns(store):
+        cols.pop(c, None)  # metadata-only drops hide the column everywhere
+    return cols
 
 
 def _store_ddl(col_types: dict[str, str]) -> str:
@@ -717,6 +722,14 @@ class FsstDataSource(DataSource):
                 pid_offset = 1 + max(
                     int(os.path.basename(p)[len("part-"):-len(".parquet")])
                     for p in existing)
+            from ..jobs.schema import dropped_columns
+
+            ghost = dropped_columns(store) & {f.name for f in schema.fields}
+            if ghost:
+                raise ValueError(
+                    f"append writes columns {sorted(ghost)} that were "
+                    f"DROPPED from store {store!r}; undrop_column first "
+                    "or drop them from the frame")
         for sub in ("chunks", "manifest"):
             os.makedirs(os.path.join(store, sub), exist_ok=True)
         return FsstWriter(store, dict(self.options), pid_offset)

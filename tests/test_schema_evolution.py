@@ -1,0 +1,141 @@
+"""Metadata-only schema evolution: drop_column hides a column from every
+reader in O(1) (payloads untouched), undrop restores it, rewrites purge
+it physically, compaction preserves the drop."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fsst_spark.jobs.decode import column_arrow_types, decode_job
+from fsst_spark.jobs.encode import encode_job
+from fsst_spark.jobs.schema import (
+    drop_column,
+    dropped_columns,
+    physical_columns,
+    undrop_column,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+@pytest.fixture()
+def store(spark, docs, tmp_path):
+    out = str(tmp_path / "store")
+    encode_job(spark, docs, out, chunk_bytes=8 << 10, resume=False,
+               pre_partitioned=False, num_partitions=2,
+               unique_col="doc_id").collect()
+    return out
+
+
+def test_drop_hides_column_everywhere(spark, docs, store):
+    drop_column(store, "source")
+    assert dropped_columns(store) == {"source"}
+    assert "source" not in column_arrow_types(spark, store)
+    dec = decode_job(spark, store)
+    assert "source" not in dec.columns
+    # remaining values bit-identical
+    a = (dec.drop("pid", "chunk_id").orderBy("doc_id").collect())
+    b = (docs.drop("source").select(*sorted(set(docs.columns) - {"source"}))
+         .orderBy("doc_id").collect())
+    assert a == b
+    # explicit request for a dropped column raises
+    with pytest.raises(KeyError, match="source"):
+        decode_job(spark, store, ["source"]).count()
+    # payloads untouched: physical schema still carries it
+    assert "source" in physical_columns(store)
+
+
+def test_fsst_source_respects_drop(spark, docs, store):
+    from fsst_spark.sources.fsst_source import register, store_column_types
+
+    register(spark)
+    drop_column(store, "source")
+    assert "source" not in store_column_types(store)
+    back = spark.read.format("fsst").load(store)
+    assert "source" not in back.columns
+    assert back.count() == docs.count()
+
+
+def test_undrop_restores(spark, docs, store):
+    drop_column(store, "source")
+    undrop_column(store, "source")
+    assert dropped_columns(store) == set()
+    dec = decode_job(spark, store)
+    assert "source" in dec.columns
+    assert (dec.agg(F.count_distinct("source")).collect()
+            == docs.agg(F.count_distinct("source")).collect())
+
+
+def test_drop_guards(store):
+    with pytest.raises(KeyError, match="nope"):
+        drop_column(store, "nope")
+    drop_column(store, "source")
+    with pytest.raises(ValueError, match="already dropped"):
+        drop_column(store, "source")
+    drop_column(store, "lang")
+    drop_column(store, "n_chars")
+    with pytest.raises(ValueError, match="last visible"):
+        drop_column(store, "doc_id")
+    with pytest.raises(ValueError, match="not currently dropped"):
+        undrop_column(store, "doc_id")
+
+
+def test_recluster_purges_physically(spark, docs, store, tmp_path):
+    from fsst_spark.jobs.compact import recluster_store
+
+    drop_column(store, "source")
+    out = str(tmp_path / "reclustered")
+    recluster_store(spark, store, out, sort_key="doc_id",
+                    chunk_bytes=8 << 10).collect()
+    assert "source" not in physical_columns(out)
+    assert decode_job(spark, out).count() == docs.count()
+
+
+def test_compact_preserves_drop(spark, docs, store, tmp_path):
+    from fsst_spark.jobs.compact import compact_store
+
+    drop_column(store, "source")
+    out = str(tmp_path / "compacted")
+    compact_store(spark, store, out, target_files=1).collect()
+    assert dropped_columns(out) == {"source"}
+    assert "source" not in column_arrow_types(spark, out)
+    assert "source" in physical_columns(out)  # verbatim copy
+    assert decode_job(spark, out).count() == docs.count()
+
+
+def test_append_with_dropped_column_refused(spark, docs, tmp_path):
+    from fsst_spark.sources.fsst_source import register
+
+    register(spark)
+    out = str(tmp_path / "ds_store")
+    docs.write.format("fsst").mode("append").save(out)
+    drop_column(out, "source")
+    with pytest.raises(Exception, match="DROPPED"):
+        docs.limit(5).write.format("fsst").mode("append").save(out)
+    # a frame without the ghost column appends fine
+    docs.drop("source").limit(5).write.format("fsst").mode("append").save(out)
+
+
+def test_fast_paths_respect_drop(spark, docs, store):
+    from fsst_spark.jobs.agg import encoded_group_count
+    from fsst_spark.jobs.stats import encoded_profile
+
+    drop_column(store, "source")
+    with pytest.raises(KeyError, match="source"):
+        encoded_group_count(spark, store, "source").count()
+    prof = encoded_profile(spark, store).collect()
+    assert "source" not in {r["column"] for r in prof}
+    got = {r["value"]: r["cnt"]
+           for r in encoded_group_count(spark, store, "lang").collect()}
+    exp = {r["lang"]: r["cnt"]
+           for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert got == exp
