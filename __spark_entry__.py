@@ -1891,6 +1891,39 @@ def q_dropped_column_decode(spark, sf_dir):
         "n_rows bigint, sum_ids bigint, n_langs bigint, n_cols bigint")
 
 
+def q_updated_decode(spark, sf_dir):
+    """Merge-on-read UPDATE: new row versions appended as fresh
+    partitions, originals tombstoned pid-restricted (so new versions
+    that still match the predicate survive) — cardinality is preserved
+    and the decoded store equals SQL's CASE WHEN update
+    (fsst_spark/jobs/updates.py)."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.decode import decode_job
+    from fsst_spark.jobs.encode import encode_job
+    from fsst_spark.jobs.updates import update_where
+
+    out = tempfile.mkdtemp(prefix="updated_decode_q_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+        encode_job(spark, docs, out, chunk_bytes=64 << 10, resume=False,
+                   pre_partitioned=True, unique_col="doc_id").collect()
+        res = update_where(spark, out, {"n_chars": "n_chars + 1000"},
+                           "lang", "==", "de", chunk_bytes=64 << 10)
+        r = decode_job(spark, out).agg(
+            F.count("*").alias("n_rows"),
+            F.sum("doc_id").alias("sum_ids"),
+            F.sum("n_chars").alias("sum_chars"),
+        ).collect()[0]
+        upd = res["updated"]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["n_rows"], r["sum_ids"], r["sum_chars"], upd)],
+        "n_rows bigint, sum_ids bigint, sum_chars bigint, n_updated bigint")
+
+
 def q_materialized_deletes(spark, sf_dir):
     """Delete lifecycle end-to-end: tombstone lang='de', fold the
     tombstones into a new store (materialize_deletes — the Iceberg
@@ -1963,6 +1996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deleted_count_where": q_deleted_count_where,
         "deleted_group_sum": q_deleted_group_sum,
         "dropped_column_decode": q_dropped_column_decode,
+        "updated_decode": q_updated_decode,
         "materialized_deletes": q_materialized_deletes,
         "dedup_incremental": q_dedup_incremental,
         "pack_chunks": q_pack_chunks,
@@ -2397,6 +2431,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(doc_id) AS BIGINT) AS sum_ids, "
             "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs, "
             "CAST(3 AS BIGINT) AS n_cols "
+            "FROM documents"
+        ),
+        "updated_decode": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_ids, "
+            "CAST(sum(CASE WHEN lang = 'de' THEN n_chars + 1000 "
+            "ELSE n_chars END) AS BIGINT) AS sum_chars, "
+            "CAST((SELECT count(*) FROM documents WHERE lang = 'de') "
+            "AS BIGINT) AS n_updated "
             "FROM documents"
         ),
         "or_filter_decode": (

@@ -190,6 +190,22 @@ def main(argv: list[str] | None = None) -> int:
                      help="disjunctive predicates (same grammar); combines "
                           "with --where as AND(--where) AND OR(--where-any)")
 
+    upd = sub.add_parser(
+        "update",
+        help="UPDATE rows matching a predicate (merge-on-read: append new "
+             "versions, tombstone originals)")
+    upd.add_argument("--data", required=True)
+    upd.add_argument("--set", action="append", required=True,
+                     metavar="COL=EXPR", dest="set_exprs",
+                     help="SET clause, repeatable; EXPR is a Spark SQL "
+                          "expression over the OLD row, e.g. "
+                          "--set 'n_chars=n_chars + 1'")
+    upd.add_argument("--where", action="append", default=None,
+                     metavar="COL:OP:VALUE")
+    upd.add_argument("--where-any", action="append", default=None,
+                     metavar="COL:OP:VALUE")
+    upd.add_argument("--chunk-bytes", type=int, default=16 << 20)
+
     mat = sub.add_parser(
         "materialize-deletes",
         help="fold tombstones into a NEW store (decode -> re-encode); "
@@ -453,6 +469,26 @@ def main(argv: list[str] | None = None) -> int:
                                any_filters=any_flt)
             print(json.dumps({"store": args.data, "where": args.where,
                               "where_any": args.where_any, **res}))
+        elif args.cmd == "update":
+            from fsst_spark.jobs.updates import update_where
+
+            if not args.where and not args.where_any:
+                raise SystemExit("update needs --where and/or --where-any")
+            set_exprs = {}
+            for s in args.set_exprs:
+                if "=" not in s:
+                    raise SystemExit(f"--set needs COL=EXPR, got {s!r}")
+                c, e = s.split("=", 1)
+                set_exprs[c.strip()] = e.strip()
+            filters = (_parse_where(spark, args.data, args.where)
+                       if args.where else None)
+            any_flt = (_parse_where(spark, args.data, args.where_any)
+                       if args.where_any else None)
+            res = update_where(spark, args.data, set_exprs, filters=filters,
+                               any_filters=any_flt,
+                               chunk_bytes=args.chunk_bytes)
+            print(json.dumps({"store": args.data, "set": args.set_exprs,
+                              "where": args.where, **res}))
         elif args.cmd == "materialize-deletes":
             from fsst_spark.jobs.deletes import materialize_deletes
 

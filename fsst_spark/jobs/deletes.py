@@ -134,7 +134,8 @@ class DeleteMask:
 def delete_where(spark, store: str, col: str | None = None,
                  op: str | None = None, value=None,
                  filters: list[tuple] | None = None,
-                 any_filters: list[tuple] | None = None) -> dict:
+                 any_filters: list[tuple] | None = None,
+                 pids: list[int] | None = None) -> dict:
     """Tombstone every row matching the predicate; returns
     ``{"deleted_now", "deleted_total"}``. Predicate forms mirror
     ``decode_filtered``: one ``(col, op, value)`` positionally, a
@@ -147,7 +148,8 @@ def delete_where(spark, store: str, col: str | None = None,
     stay exact) -> distributed append of (pid, chunk_id, pos) rows sorted
     by chunk key (read-side pid filters then prune row groups). A JSON
     entry per call under ``deletes/_log/`` records the predicate for
-    lineage."""
+    lineage. ``pids`` restricts the scan to those partitions —
+    ``update_where`` uses it to tombstone only pre-append writes."""
     from ..kernel.codecs import decode_column
     from .agg import _arrow_mask, _conj_mask
     from .decode import (
@@ -173,6 +175,14 @@ def delete_where(spark, store: str, col: str | None = None,
             fcols.append(f[0])
 
     chunks = pruned_chunks(spark, store, fcols, flt, dict_prune=True)
+    if pids is not None:
+        if len(pids) <= 100_000:
+            chunks = chunks.where(chunks["pid"].isin(sorted(pids)))
+        else:
+            from pyspark.sql import functions as F
+
+            pdf = spark.createDataFrame([(p,) for p in sorted(pids)], "pid int")
+            chunks = chunks.join(F.broadcast(pdf), "pid", "left_semi")
     if any_flt:
         any_keep = pruned_chunks_any(spark, store, fcols, list(any_flt),
                                      dict_prune=True) \
