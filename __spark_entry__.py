@@ -1924,6 +1924,39 @@ def q_updated_decode(spark, sf_dir):
         "n_rows bigint, sum_ids bigint, sum_chars bigint, n_updated bigint")
 
 
+def q_merged_decode(spark, sf_dir):
+    """MERGE INTO (upsert): rows whose doc_id appears in the source are
+    replaced, new keys insert — decoded store equals the SQL anti-join +
+    union (fsst_spark/jobs/updates.py merge_upsert)."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.decode import decode_job
+    from fsst_spark.jobs.encode import encode_job
+    from fsst_spark.jobs.updates import merge_upsert
+
+    out = tempfile.mkdtemp(prefix="merged_decode_q_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+        encode_job(spark, docs, out, chunk_bytes=64 << 10, resume=False,
+                   pre_partitioned=True, unique_col="doc_id").collect()
+        source = (docs.where("doc_id % 10 = 0")
+                  .withColumn("n_chars", F.col("n_chars") + 7))
+        res = merge_upsert(spark, out, source, "doc_id",
+                           chunk_bytes=64 << 10)
+        r = decode_job(spark, out).agg(
+            F.count("*").alias("n_rows"),
+            F.sum("doc_id").alias("sum_ids"),
+            F.sum("n_chars").alias("sum_chars"),
+        ).collect()[0]
+        tomb = res["tombstoned"]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["n_rows"], r["sum_ids"], r["sum_chars"], tomb)],
+        "n_rows bigint, sum_ids bigint, sum_chars bigint, n_replaced bigint")
+
+
 def q_materialized_deletes(spark, sf_dir):
     """Delete lifecycle end-to-end: tombstone lang='de', fold the
     tombstones into a new store (materialize_deletes — the Iceberg
@@ -1997,6 +2030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deleted_group_sum": q_deleted_group_sum,
         "dropped_column_decode": q_dropped_column_decode,
         "updated_decode": q_updated_decode,
+        "merged_decode": q_merged_decode,
         "materialized_deletes": q_materialized_deletes,
         "dedup_incremental": q_dedup_incremental,
         "pack_chunks": q_pack_chunks,
@@ -2440,6 +2474,15 @@ def oracle_sql() -> dict[str, str]:
             "ELSE n_chars END) AS BIGINT) AS sum_chars, "
             "CAST((SELECT count(*) FROM documents WHERE lang = 'de') "
             "AS BIGINT) AS n_updated "
+            "FROM documents"
+        ),
+        "merged_decode": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_ids, "
+            "CAST(sum(CASE WHEN doc_id % 10 = 0 THEN n_chars + 7 "
+            "ELSE n_chars END) AS BIGINT) AS sum_chars, "
+            "CAST((SELECT count(*) FROM documents WHERE doc_id % 10 = 0) "
+            "AS BIGINT) AS n_replaced "
             "FROM documents"
         ),
         "or_filter_decode": (

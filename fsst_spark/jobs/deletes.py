@@ -254,6 +254,138 @@ def delete_where(spark, store: str, col: str | None = None,
     return {"deleted_now": total - before, "deleted_total": total}
 
 
+def delete_matching(spark, store: str, col: str, keys_df,
+                    pids: list[int] | None = None,
+                    max_pushdown_keys: int = 100_000,
+                    max_broadcast_keys: int = 10_000_000) -> dict:
+    """Tombstone every row whose ``col`` appears in ``keys_df`` (a
+    single-column frame or a Python iterable) — the delete half of an
+    upsert. Scale tiers:
+
+    - ≤ ``max_pushdown_keys`` distinct keys: collected and routed through
+      ``delete_where(col, 'in', keys)`` — the full zone/dict/bloom chunk
+      pruning stack applies (the ``decode_semijoin`` runtime-filter shape).
+    - ≤ ``max_broadcast_keys``: keys broadcast as a set to the scan tasks;
+      every chunk's key column decodes, the mask is a vectorized
+      ``is_in``. No pruning (an arbitrary key set has no zone shape), one
+      pass over the key column only.
+    - beyond that: raises — at that cardinality a merge is a full rewrite;
+      use recluster/re-encode.
+    """
+    from pyspark.sql import DataFrame as SparkDataFrame
+
+    from .agg import _packf_np
+    from .decode import (
+        _STRINGY,
+        _zone_key,
+        chunk_repartition,
+        column_arrow_types,
+        pruned_chunks,
+    )
+
+    if isinstance(keys_df, SparkDataFrame):
+        if len(keys_df.columns) != 1:
+            raise ValueError(
+                f"keys frame must have exactly one column, got {keys_df.columns}")
+        kdf = keys_df.toDF("_k").where("_k IS NOT NULL").distinct()
+    else:
+        vals = sorted(set(k for k in keys_df if k is not None))
+        if not vals:
+            return {"deleted_now": 0, "deleted_total": deleted_count(store)}
+        import pyspark.sql.functions as F  # local: keep module numpy-only
+
+        kdf = spark.createDataFrame([(v,) for v in vals], ["_k"])
+        del F
+    head = [r["_k"] for r in kdf.limit(max_pushdown_keys + 1).collect()]
+    if not head:
+        return {"deleted_now": 0, "deleted_total": deleted_count(store)}
+    if len(head) <= max_pushdown_keys:
+        return delete_where(spark, store, col, "in", head, pids=pids)
+
+    n_keys = kdf.count()
+    if n_keys > max_broadcast_keys:
+        raise ValueError(
+            f"delete_matching got {n_keys} distinct keys (> "
+            f"{max_broadcast_keys}); at that scale a merge is a full "
+            "rewrite — recluster/re-encode instead")
+    types = column_arrow_types(spark, store)
+    if col not in types:
+        raise KeyError(f"column {col!r} not in encoded data")
+    arrow_name = types[col]
+    bkeys = spark.sparkContext.broadcast(
+        sorted(r["_k"] for r in kdf.collect()))
+    chunks = pruned_chunks(spark, store, [col], [], dict_prune=False)
+    if pids is not None:
+        chunks = chunks.where(chunks["pid"].isin(sorted(pids)))
+    chunks = chunk_repartition(
+        spark, chunks.select("pid", "chunk_id", "column", "codec",
+                             "params", "payload"), store)
+
+    def task(batches):
+        import pyarrow.compute as pc
+
+        from ..kernel.codecs import decode_column
+
+        mask_cache = DeleteMask(store)
+        keys = bkeys.value
+        # probe set built ONCE per task (never per chunk — 10^7 keys)
+        probe = None
+        for batch in batches:
+            for pid_s, cid_s, codec_s, params_s, payload_s in zip(
+                    batch.column("pid"), batch.column("chunk_id"),
+                    batch.column("codec"), batch.column("params"),
+                    batch.column("payload")):
+                key = (pid_s.as_py(), cid_s.as_py())
+                arr = decode_column({"codec": codec_s.as_py(),
+                                     "params": json.loads(params_s.as_py()),
+                                     "payload": payload_s.as_py()})
+                if arrow_name in _STRINGY:
+                    if probe is None:
+                        probe = pa.array(list(keys), type=arr.type)
+                    mask = (pc.is_in(arr, value_set=probe).fill_null(False)
+                            .to_numpy(zero_copy_only=False).astype(bool))
+                else:
+                    if probe is None:
+                        probe = np.unique(np.array(
+                            [_zone_key(arrow_name, v)[0] for v in keys],
+                            dtype=np.int64))
+                    valid = (pc.is_valid(arr)
+                             .to_numpy(zero_copy_only=False).astype(bool))
+                    if arrow_name.startswith("timestamp["):
+                        lhs = (arr.cast(pa.int64()).fill_null(0)
+                               .to_numpy(zero_copy_only=False))
+                    elif arrow_name in ("float", "double"):
+                        lhs = _packf_np(arr.cast(pa.float64()).fill_null(0.0)
+                                        .to_numpy(zero_copy_only=False))
+                    else:
+                        lhs = (arr.cast(pa.int64()).fill_null(0)
+                               .to_numpy(zero_copy_only=False))
+                    mask = np.isin(lhs, probe) & valid
+                if not mask.any():
+                    continue
+                already = mask_cache.positions(*key)
+                pos = np.flatnonzero(mask).astype(np.int64)
+                if already is not None:
+                    pos = pos[~np.isin(pos, already)]
+                if not len(pos):
+                    continue
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(np.full(len(pos), key[0], dtype=np.int32)),
+                     pa.array(np.full(len(pos), key[1], dtype=np.int32)),
+                     pa.array(pos)],
+                    names=["pid", "chunk_id", "pos"])
+
+    before = deleted_count(store)
+    tomb = chunks.mapInArrow(task, "pid int, chunk_id int, pos bigint")
+    (tomb.sortWithinPartitions("pid", "chunk_id", "pos")
+         .write.mode("append").parquet(_deletes_dir(store)))
+    total = deleted_count(store)
+    _log_delete(store, {"match_col": col, "n_keys": n_keys,
+                        "deleted_now": total - before,
+                        "deleted_total": total})
+    return {"deleted_now": total - before, "deleted_total": total}
+
+
 def _log_delete(store: str, entry: dict) -> None:
     """Append-only JSON lineage of delete calls (O_EXCL-claimed index,
     same protocol as the commit log)."""

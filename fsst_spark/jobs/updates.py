@@ -43,7 +43,7 @@ import os
 
 from pyspark.sql import functions as F
 
-from .deletes import _log_delete, delete_where
+from .deletes import _log_delete, delete_matching, delete_where
 from .encode import _manifest_mode
 
 
@@ -132,3 +132,64 @@ def update_where(spark, store: str, set_exprs: dict,
         "updated": res["deleted_now"],
     })
     return {"updated": res["deleted_now"], "appended_pids": appended}
+
+
+def merge_upsert(spark, store: str, source, key_col: str,
+                 chunk_bytes: int = 16 << 20) -> dict:
+    """MERGE INTO ``store`` USING ``source`` ON ``key_col`` — upsert:
+    every store row whose key appears in ``source`` is replaced by the
+    source row (WHEN MATCHED THEN UPDATE), every new key inserts (WHEN
+    NOT MATCHED THEN INSERT). Returns ``{"tombstoned", "appended_pids"}``.
+
+    Same append-first shape (and same crash semantics) as
+    ``update_where``: the WHOLE source appends as fresh partitions, then
+    matched keys tombstone via ``delete_matching(pids=<pre-append>)`` —
+    pruned IN-list for small key sets, broadcast ``is_in`` scan beyond,
+    refused past 10^7 keys (that merge is a rewrite). ``source``'s
+    schema must equal the store's visible schema; ``source`` must not
+    repeat a key (a multi-version upsert is ambiguous)."""
+    mode = _manifest_mode(store)
+    if mode not in ("datasource", "dataframe"):
+        raise ValueError(
+            f"merge_upsert supports datasource/dataframe-mode stores; "
+            f"{store!r} is mode {mode!r}")
+    from .decode import column_arrow_types
+
+    store_cols = sorted(column_arrow_types(spark, store))
+    if sorted(source.columns) != store_cols:
+        raise ValueError(
+            f"source schema {sorted(source.columns)} != store schema "
+            f"{store_cols}; merge replaces whole rows")
+    if key_col not in store_cols:
+        raise KeyError(f"key column {key_col!r} not in store schema")
+    dup = (source.groupBy(key_col).count().where("count > 1").limit(1)
+           .collect())
+    if dup:
+        raise ValueError(
+            f"source repeats key {dup[0][key_col]!r}; an upsert needs "
+            "one row per key (pre-aggregate the source)")
+    # keys snapshot BEFORE the append (reading source twice is fine — the
+    # duplicate check above already materialized its shuffle)
+    keys = source.select(F.col(key_col).alias("_k"))
+    pids_before = _store_pids(store)
+    if mode == "datasource":
+        from ..sources.fsst_source import register
+
+        register(spark)
+        (source.write.format("fsst").mode("append")
+         .option("chunk_bytes", chunk_bytes).save(store))
+    else:
+        from .encode import encode_job
+
+        pid_offset = (max(pids_before) + 1) if pids_before else 0
+        encode_job(spark, source, store, chunk_bytes=chunk_bytes,
+                   resume=False, pre_partitioned=True, pid_offset=pid_offset,
+                   lineage={"merge_into": store, "key": key_col}).collect()
+    appended = sorted(set(_store_pids(store)) - set(pids_before))
+    res = delete_matching(spark, store, key_col, keys, pids=pids_before)
+    _log_delete(store, {
+        "action": "merge", "key": key_col,
+        "pids_before": pids_before, "appended_pids": appended,
+        "tombstoned": res["deleted_now"],
+    })
+    return {"tombstoned": res["deleted_now"], "appended_pids": appended}

@@ -98,3 +98,70 @@ def test_update_twice_compounds(spark, docs, tmp_path):
         .otherwise(F.col("n_chars")))).collect()[0][0]
     assert got == want
     assert dec.count() == docs.count()
+
+
+def test_merge_upsert_job_store(spark, docs, tmp_path):
+    store = str(tmp_path / "merge_store")
+    encode_job(spark, docs, store, chunk_bytes=8 << 10, resume=False,
+               pre_partitioned=False, num_partitions=2,
+               unique_col="doc_id").collect()
+    from fsst_spark.jobs.updates import merge_upsert
+
+    # source: replace every doc_id % 10 == 0 row, insert 5 new keys
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    replaced = (docs.where("doc_id % 10 = 0")
+                .withColumn("n_chars", F.col("n_chars") + 7))
+    inserted = (docs.limit(5)
+                .withColumn("doc_id", F.col("doc_id") + max_id + 1))
+    source = replaced.unionByName(inserted)
+    res = merge_upsert(spark, store, source, "doc_id", chunk_bytes=8 << 10)
+    assert res["tombstoned"] == replaced.count()
+    dec = decode_job(spark, store).drop("pid", "chunk_id")
+    want = (docs.join(source, "doc_id", "left_anti").unionByName(source))
+    assert dec.count() == want.count() == docs.count() + 5
+    a = dec.select(*sorted(dec.columns)).orderBy("doc_id").collect()
+    b = want.select(*sorted(want.columns)).orderBy("doc_id").collect()
+    assert a == b
+
+
+def test_merge_guards(spark, docs, tmp_path):
+    from fsst_spark.jobs.updates import merge_upsert
+
+    store = str(tmp_path / "mg_store")
+    encode_job(spark, docs, store, chunk_bytes=8 << 10, resume=False,
+               pre_partitioned=False, num_partitions=2,
+               unique_col="doc_id").collect()
+    with pytest.raises(ValueError, match="repeats key"):
+        merge_upsert(spark, store,
+                     docs.limit(3).unionByName(docs.limit(3)), "doc_id")
+    with pytest.raises(ValueError, match="schema"):
+        merge_upsert(spark, store, docs.drop("source"), "doc_id")
+
+
+def test_delete_matching_broadcast_tier(spark, docs, tmp_path):
+    """Force the broadcast is_in tier (pushdown cap 3) and check it
+    tombstones exactly the keyed rows, idempotently."""
+    from fsst_spark.jobs.deletes import delete_matching
+
+    store = str(tmp_path / "dm_store")
+    encode_job(spark, docs, store, chunk_bytes=8 << 10, resume=False,
+               pre_partitioned=False, num_partitions=2,
+               unique_col="doc_id").collect()
+    keys = [r["doc_id"] for r in
+            docs.where("doc_id % 7 = 0").select("doc_id").collect()]
+    assert len(keys) > 3
+    res = delete_matching(spark, store, "doc_id",
+                          spark.createDataFrame([(k,) for k in keys], ["k"]),
+                          max_pushdown_keys=3)
+    assert res["deleted_now"] == len(keys)
+    again = delete_matching(spark, store, "doc_id", keys[:5] + [keys[0]],
+                            max_pushdown_keys=3)
+    assert again["deleted_now"] == 0  # already tombstoned: idempotent
+    dec = decode_job(spark, store)
+    assert dec.count() == docs.count() - len(keys)
+    # string-key broadcast tier
+    res2 = delete_matching(spark, store, "lang",
+                           spark.createDataFrame([("de",), ("fr",)], ["k"]),
+                           max_pushdown_keys=1)
+    want2 = docs.where("doc_id % 7 <> 0 AND lang IN ('de','fr')").count()
+    assert res2["deleted_now"] == want2
