@@ -230,6 +230,12 @@ def main(argv: list[str] | None = None) -> int:
     udr.add_argument("--data", required=True)
     udr.add_argument("--column", required=True)
 
+    sts = sub.add_parser(
+        "status",
+        help="one-line store status: schema, mode, files/bytes, commits, "
+             "tombstones, recent mutations (driver-side, no cluster)")
+    sts.add_argument("--data", required=True)
+
     sta = sub.add_parser("stats",
                          help="column stats from an encoded store: count/min/max "
                               "from chunk metadata (zero payload reads for "
@@ -499,6 +505,10 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"store": args.out,
                               "partitions": len(rows),
                               "rows": sum(r["n_rows"] for r in rows)}))
+        elif args.cmd == "status":
+            from fsst_spark.jobs.schema import store_status
+
+            print(json.dumps(store_status(args.data)))
         elif args.cmd in ("drop-column", "undrop-column"):
             from fsst_spark.jobs.schema import (
                 drop_column,

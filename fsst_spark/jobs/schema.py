@@ -136,3 +136,37 @@ def copy_schema_log(src_store: str, dst_store: str) -> int:
                             os.path.join(_schema_dir(dst_store), f))
             entries += 1
     return entries
+
+
+def store_status(store: str) -> dict:
+    """One driver-side dict describing a store's state — no cluster, no
+    payload reads: schema (visible + dropped), encode mode, file/byte
+    counts from the directory listing, commit-log depth, tombstone count,
+    and the mutation-log tail. The ops dashboard call."""
+    from ..sources.fsst_source import commit_count
+    from .deletes import _deletes_dir, deleted_count, has_deletes
+    from .encode import _manifest_mode
+
+    phys = physical_columns(store)
+    dropped = dropped_columns(store)
+    chunk_files = sorted(glob.glob(os.path.join(store, "chunks", "*.parquet")))
+    log_dir = os.path.join(_deletes_dir(store), "_log")
+    mutations = []
+    if os.path.isdir(log_dir):
+        for f in sorted(os.listdir(log_dir))[-5:]:
+            if f.endswith(".json"):
+                with open(os.path.join(log_dir, f)) as fh:
+                    mutations.append(json.load(fh))
+    return {
+        "store": store,
+        "mode": _manifest_mode(store),
+        "columns": {c: t for c, t in sorted(phys.items())
+                    if c not in dropped},
+        "dropped_columns": sorted(dropped),
+        "chunk_files": len(chunk_files),
+        "encoded_bytes": sum(os.path.getsize(f) for f in chunk_files),
+        "commits": commit_count(store),
+        "has_deletes": has_deletes(store),
+        "tombstoned_rows": deleted_count(store),
+        "recent_mutations": mutations,
+    }

@@ -139,3 +139,18 @@ def test_fast_paths_respect_drop(spark, docs, store):
     exp = {r["lang"]: r["cnt"]
            for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
     assert got == exp
+
+
+def test_store_status(spark, docs, store):
+    from fsst_spark.jobs.deletes import delete_where
+    from fsst_spark.jobs.schema import store_status
+
+    drop_column(store, "source")
+    delete_where(spark, store, "lang", "==", "de")
+    s = store_status(store)
+    assert s["mode"] == "dataframe"
+    assert "source" not in s["columns"] and s["dropped_columns"] == ["source"]
+    assert s["chunk_files"] == 2 and s["encoded_bytes"] > 0
+    assert s["has_deletes"] and s["tombstoned_rows"] > 0
+    assert s["recent_mutations"][-1]["deleted_now"] == s["tombstoned_rows"]
+    assert s["commits"] == 0
