@@ -1741,6 +1741,42 @@ def q_fsst_source_asof(spark, sf_dir):
         "n_rows bigint, sum_ids bigint, sum_chars bigint")
 
 
+def q_incremental_decode(spark, sf_dir):
+    """Incremental (CDC-style) batch read on the commit log: three appends
+    land as commit entries 0..2; ``decode_changes(since=0, until=1)`` must
+    return exactly the rows appended by entry 1, with a zone/row filter
+    composing inside the range, and ``since=0`` (open-ended) exactly the
+    rows of entries 1..2 — the batch sibling of the streaming source
+    (fsst_spark/jobs/decode.py decode_changes over
+    fsst_spark/sources/fsst_source.py commit_range_pids)."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.decode import decode_changes
+    from fsst_spark.sources.fsst_source import register
+
+    register(spark)
+    out = tempfile.mkdtemp(prefix="fsst_incremental_q_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+        for r3 in range(3):
+            (docs.where(f"doc_id % 3 = {r3}").write.format("fsst")
+                 .mode("append").option("chunk_bytes", 256 << 10).save(out))
+        mid = decode_changes(spark, out, since=0, until=1,
+                             filters=[("n_chars", ">=", 300)]).agg(
+            F.count("*").alias("mid_rows"),
+            F.sum("doc_id").alias("mid_ids")).collect()[0]
+        tail = decode_changes(spark, out, since=0).agg(
+            F.count("*").alias("tail_rows"),
+            F.sum("doc_id").alias("tail_ids")).collect()[0]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(mid["mid_rows"], mid["mid_ids"],
+          tail["tail_rows"], tail["tail_ids"])],
+        "mid_rows bigint, mid_ids bigint, tail_rows bigint, tail_ids bigint")
+
+
 def q_deleted_decode(spark, sf_dir):
     """Merge-on-read row deletes: tombstone lang='de' (position deletes,
     no chunk rewrite), then a full decode must return exactly the
@@ -2024,6 +2060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fsst_stream_write": q_fsst_stream_write,
         "fsst_source_columns": q_fsst_source_columns,
         "fsst_source_asof": q_fsst_source_asof,
+        "incremental_decode": q_incremental_decode,
         "deleted_decode": q_deleted_decode,
         "deleted_filtered_decode": q_deleted_filtered_decode,
         "deleted_count_where": q_deleted_count_where,
@@ -2429,6 +2466,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(doc_id) AS BIGINT) AS sum_ids, "
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
             "FROM documents WHERE doc_id % 2 = 0"
+        ),
+        "incremental_decode": (
+            "SELECT "
+            "CAST((SELECT count(*) FROM documents "
+            "      WHERE doc_id % 3 = 1 AND n_chars >= 300) AS BIGINT) "
+            "AS mid_rows, "
+            "CAST((SELECT sum(doc_id) FROM documents "
+            "      WHERE doc_id % 3 = 1 AND n_chars >= 300) AS BIGINT) "
+            "AS mid_ids, "
+            "CAST((SELECT count(*) FROM documents WHERE doc_id % 3 != 0) "
+            "AS BIGINT) AS tail_rows, "
+            "CAST((SELECT sum(doc_id) FROM documents WHERE doc_id % 3 != 0) "
+            "AS BIGINT) AS tail_ids"
         ),
         "deleted_decode": (
             "SELECT CAST(count(*) AS BIGINT) AS n_rows, "

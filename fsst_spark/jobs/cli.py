@@ -171,6 +171,13 @@ def main(argv: list[str] | None = None) -> int:
                           "entry N (entries 0..N; the store needs a commit "
                           "log — datasource writes log automatically, job "
                           "stores via log_commit_snapshot)")
+    dec.add_argument("--since", type=int, default=None, metavar="N",
+                     help="incremental read: decode only rows appended by "
+                          "commit entries N+1..--until (CDC-style; -1 reads "
+                          "from the first entry). Composes with --where; "
+                          "mutually exclusive with --as-of")
+    dec.add_argument("--until", type=int, default=None, metavar="M",
+                     help="upper commit entry for --since (default: latest)")
 
     ver = sub.add_parser("verify", help="chunk checksum round-trip verification")
     ver.add_argument("--data", required=True)
@@ -445,14 +452,23 @@ def main(argv: list[str] | None = None) -> int:
             }))
         elif args.cmd == "decode":
             from fsst_spark.jobs.decode import (column_arrow_types,
+                                                decode_changes,
                                                 decode_filtered, decode_job)
 
             cols = args.columns.split(",") if args.columns else None
-            if args.where or args.where_any:
-                filters = (_parse_where(spark, args.data, args.where)
-                           if args.where else None)
-                any_flt = (_parse_where(spark, args.data, args.where_any)
-                           if args.where_any else None)
+            if args.since is not None and args.as_of is not None:
+                raise SystemExit("pass --since OR --as-of, not both")
+            if args.until is not None and args.since is None:
+                raise SystemExit("--until needs --since")
+            filters = (_parse_where(spark, args.data, args.where)
+                       if args.where else None)
+            any_flt = (_parse_where(spark, args.data, args.where_any)
+                       if args.where_any else None)
+            if args.since is not None:
+                df = decode_changes(spark, args.data, args.since, args.until,
+                                    columns=cols, filters=filters,
+                                    any_filters=any_flt)
+            elif filters or any_flt:
                 df = decode_filtered(spark, args.data, columns=cols,
                                      filters=filters, any_filters=any_flt,
                                      as_of=args.as_of)
@@ -461,7 +477,8 @@ def main(argv: list[str] | None = None) -> int:
             df.drop("pid", "chunk_id").write.mode("overwrite").parquet(args.out)
             print(json.dumps({"decoded_to": args.out, "where": args.where,
                               "where_any": args.where_any,
-                              "as_of": args.as_of}))
+                              "as_of": args.as_of, "since": args.since,
+                              "until": args.until}))
         elif args.cmd == "delete":
             from fsst_spark.jobs.deletes import delete_where
 

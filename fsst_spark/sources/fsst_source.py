@@ -153,6 +153,34 @@ def _read_commit(store: str, idx: int) -> dict:
         return json.load(fh)
 
 
+def commit_range_pids(store: str, since: int, until: int | None = None) -> list[int]:
+    """pids named by commit entries ``since+1 .. until`` inclusive — the
+    snapshot algebra of the append-only commit log. ``since=-1`` means
+    "from the first entry" (so a time-travel read as of N is
+    ``commit_range_pids(store, -1, N)``); ``until=None`` means the latest
+    entry at call time. An INCREMENTAL read between two observed
+    watermarks is ``(since=N0, until=N1)`` — exactly the rows appended by
+    the writes a consumer has not yet seen. Entries are immutable, so the
+    same (since, until) pair always yields the same pids even while the
+    store keeps growing. ``since == until`` is a valid empty range."""
+    n = commit_count(store)
+    if n == 0:
+        raise ValueError(
+            f"store {store!r} has no commit log; commit-range reads need "
+            "one (write via df.write.format('fsst') or call "
+            "log_commit_snapshot after an encode job)")
+    if until is None:
+        until = n - 1
+    if not (-1 <= since <= until < n):
+        raise ValueError(
+            f"commit range ({since}, {until}] out of range: store has "
+            f"commit entries 0..{n - 1} and needs -1 <= since <= until")
+    pids: set[int] = set()
+    for i in range(since + 1, until + 1):
+        pids.update(_read_commit(store, i)["pids"])
+    return sorted(pids)
+
+
 def log_commit(store: str, pids: list[int], mode: str,
                batch_id: int | None = None) -> int:
     """Append one commit entry naming this write's chunk-file pids; returns
@@ -341,10 +369,11 @@ def _dict_survivors(path: str, meta: "pa.Table", col: str, op: str, value,
 
 class FsstReader(DataSourceReader):
     def __init__(self, store: str, col_types: dict[str, str],
-                 as_of: int | None = None):
+                 as_of: int | None = None, since: int | None = None):
         self.store = store
         self.col_types = col_types
         self.as_of = as_of
+        self.since = since
         self.pruning: list[tuple] = []
 
     def pushFilters(self, filters: List[Filter]) -> Iterable[Filter]:
@@ -357,27 +386,22 @@ class FsstReader(DataSourceReader):
         return filters
 
     def partitions(self) -> list[InputPartition]:
-        # time travel: .option("as_of", N) reads the store as of commit
-        # entry N — exactly the pids named by entries 0..N (the Iceberg
-        # snapshot-id read, on the same append-only log the stream
-        # follows). Requires a commit log; entries are immutable, so the
-        # same as_of always returns the same rows even while the store
-        # keeps growing. Row tombstones (jobs.deletes) are store-global
-        # physical state, not versioned — deletes still apply.
-        if self.as_of is not None:
-            n = commit_count(self.store)
-            if n == 0:
-                raise ValueError(
-                    f"store {self.store!r} has no commit log; as_of needs "
-                    "one (write via df.write.format('fsst') or call "
-                    "log_commit_snapshot after an encode job)")
-            if not (0 <= self.as_of < n):
-                raise ValueError(
-                    f"as_of={self.as_of} out of range: store has commit "
-                    f"entries 0..{n - 1}")
-            pids: set[int] = set()
-            for i in range(self.as_of + 1):
-                pids.update(_read_commit(self.store, i)["pids"])
+        # commit-range reads, both sugar over commit_range_pids:
+        #   .option("as_of", N)        → entries 0..N  (time travel — the
+        #     Iceberg snapshot-id read, on the same append-only log the
+        #     stream follows)
+        #   .option("since_commit", N) → entries N+1..latest (incremental /
+        #     CDC-style batch read: only rows appended by writes a consumer
+        #     has not yet seen; compose with as_of for a closed range
+        #     (since, as_of]). Entries are immutable, so the same options
+        #     always return the same rows even while the store keeps
+        #     growing. Row tombstones (jobs.deletes) are store-global
+        #     physical state, not versioned — deletes still apply.
+        if self.as_of is not None or self.since is not None:
+            pids = commit_range_pids(
+                self.store,
+                -1 if self.since is None else self.since,
+                self.as_of)
             return [
                 _ChunkFilePartition(os.path.join(self.store, "chunks",
                                                  f"part-{pid:05d}.parquet"))
@@ -662,8 +686,10 @@ class FsstDataSource(DataSource):
 
     def reader(self, schema) -> FsstReader:
         as_of = self.options.get("as_of")
+        since = self.options.get("since_commit")
         return FsstReader(self._path(), self._types(),
-                          as_of=None if as_of is None else int(as_of))
+                          as_of=None if as_of is None else int(as_of),
+                          since=None if since is None else int(since))
 
     def streamReader(self, schema) -> FsstStreamReader:
         store = self._path()
