@@ -1777,6 +1777,42 @@ def q_incremental_decode(spark, sf_dir):
         "mid_rows bigint, mid_ids bigint, tail_rows bigint, tail_ids bigint")
 
 
+def q_rollback_decode(spark, sf_dir):
+    """Snapshot rollback + vacuum: three appends land as commit entries
+    0..2; ``rollback_store(to_commit=1)`` retires entry 2's files (trash,
+    not unlink), an injected torn-write orphan is then vacuumed, and the
+    full decode must equal exactly the first two appends' rows
+    (fsst_spark/jobs/admin.py rollback_store/vacuum_store)."""
+    import os
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.admin import rollback_store, vacuum_store
+    from fsst_spark.jobs.decode import decode_job
+    from fsst_spark.sources.fsst_source import register
+
+    register(spark)
+    out = tempfile.mkdtemp(prefix="fsst_rollback_q_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+        for r3 in range(3):
+            (docs.where(f"doc_id % 3 = {r3}").write.format("fsst")
+                 .mode("append").option("chunk_bytes", 256 << 10).save(out))
+        rollback_store(out, to_commit=1)
+        with open(os.path.join(out, "chunks", "part-99999.parquet"), "wb") as fh:
+            fh.write(b"torn write leftover")
+        vacuum_store(out, hard=True)
+        r = decode_job(spark, out).agg(
+            F.count("*").alias("n_rows"),
+            F.sum("doc_id").alias("sum_ids"),
+            F.sum("n_chars").alias("sum_chars")).collect()[0]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["n_rows"], r["sum_ids"], r["sum_chars"])],
+        "n_rows bigint, sum_ids bigint, sum_chars bigint")
+
+
 def q_deleted_decode(spark, sf_dir):
     """Merge-on-read row deletes: tombstone lang='de' (position deletes,
     no chunk rewrite), then a full decode must return exactly the
@@ -2061,6 +2097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fsst_source_columns": q_fsst_source_columns,
         "fsst_source_asof": q_fsst_source_asof,
         "incremental_decode": q_incremental_decode,
+        "rollback_decode": q_rollback_decode,
         "deleted_decode": q_deleted_decode,
         "deleted_filtered_decode": q_deleted_filtered_decode,
         "deleted_count_where": q_deleted_count_where,
@@ -2479,6 +2516,12 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS tail_rows, "
             "CAST((SELECT sum(doc_id) FROM documents WHERE doc_id % 3 != 0) "
             "AS BIGINT) AS tail_ids"
+        ),
+        "rollback_decode": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_ids, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents WHERE doc_id % 3 != 2"
         ),
         "deleted_decode": (
             "SELECT CAST(count(*) AS BIGINT) AS n_rows, "

@@ -237,6 +237,26 @@ def main(argv: list[str] | None = None) -> int:
     udr.add_argument("--data", required=True)
     udr.add_argument("--column", required=True)
 
+    rbk = sub.add_parser(
+        "rollback",
+        help="undo every append after commit entry N: retired chunk/"
+             "manifest files move to <store>/trash (--hard unlinks), "
+             "their tombstone rows drop, the commit log truncates")
+    rbk.add_argument("--data", required=True)
+    rbk.add_argument("--to", type=int, required=True, metavar="N",
+                     help="last commit entry to KEEP (-1 empties the store)")
+    rbk.add_argument("--hard", action="store_true",
+                     help="unlink retired files instead of trashing them")
+
+    vac = sub.add_parser(
+        "vacuum",
+        help="garbage-collect chunk/manifest files no commit entry names "
+             "(aborted-write leftovers; datasource/stream stores only)")
+    vac.add_argument("--data", required=True)
+    vac.add_argument("--hard", action="store_true")
+    vac.add_argument("--empty-trash", action="store_true",
+                     help="also permanently delete <store>/trash")
+
     sts = sub.add_parser(
         "status",
         help="one-line store status: schema, mode, files/bytes, commits, "
@@ -393,6 +413,27 @@ def main(argv: list[str] | None = None) -> int:
 
     args = p.parse_args(argv)
 
+    # pure-metadata admin commands: no Spark session (sub-second on a
+    # laptop against a store of any size — they never read payload)
+    if args.cmd == "status":
+        from fsst_spark.jobs.schema import store_status
+
+        print(json.dumps(store_status(args.data)))
+        return 0
+    if args.cmd == "rollback":
+        from fsst_spark.jobs.admin import rollback_store
+
+        print(json.dumps(rollback_store(args.data, args.to, hard=args.hard)))
+        return 0
+    if args.cmd == "vacuum":
+        from fsst_spark.jobs.admin import empty_trash, vacuum_store
+
+        res = vacuum_store(args.data, hard=args.hard)
+        if args.empty_trash:
+            res["emptied"] = empty_trash(args.data)
+        print(json.dumps(res))
+        return 0
+
     from fsst_spark.jobs.session import get_spark
 
     spark = get_spark(app_name=f"fsst_spark_{args.cmd}")
@@ -522,10 +563,6 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"store": args.out,
                               "partitions": len(rows),
                               "rows": sum(r["n_rows"] for r in rows)}))
-        elif args.cmd == "status":
-            from fsst_spark.jobs.schema import store_status
-
-            print(json.dumps(store_status(args.data)))
         elif args.cmd in ("drop-column", "undrop-column"):
             from fsst_spark.jobs.schema import (
                 drop_column,
