@@ -134,16 +134,20 @@ def pack_greedy(df: DataFrame, token_col: str, order_col: str,
     def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(order_col, kind="stable", ignore_index=True)
         toks = pdf[token_col].fillna(0).astype("int64")
-        bins, fill, cur = [], 0, 0
+        # rollover keys on MEMBER COUNT, not fill: zero-token docs leave
+        # fill at 0, and keying on fill would let an oversize doc join
+        # their bin — breaking the "oversize docs sit alone" contract
+        bins, fill, members, cur = [], 0, 0, 0
         for t in toks:
-            if fill > 0 and fill + t > budget:
+            if members > 0 and fill + t > budget:
                 cur += 1
-                fill = 0
+                fill = members = 0
             bins.append(cur)
             fill += int(t)
+            members += 1
             if fill >= budget:  # full (or oversize doc): next doc opens fresh
                 cur += 1
-                fill = 0
+                fill = members = 0
         pdf["bin"] = pd.Series(bins, dtype="int64")
         pdf["oversize"] = toks > budget
         return pdf

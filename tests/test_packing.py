@@ -5,7 +5,7 @@ reference."""
 import os
 
 import pytest
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -55,14 +55,16 @@ def test_pack_chunks_bad_budget(spark, docs):
 
 
 def _greedy_ref(tokens, budget):
-    bins, fill, cur = [], 0, 0
+    # member-count rollover (not fill): zero-token docs must not let an
+    # oversize doc share their bin — mirrors pack_greedy's pack()
+    bins, fill, members, cur = [], 0, 0, 0
     for t in tokens:
-        if fill > 0 and fill + t > budget:
-            cur, fill = cur + 1, 0
+        if members > 0 and fill + t > budget:
+            cur, fill, members = cur + 1, 0, 0
         bins.append(cur)
-        fill += t
+        fill, members = fill + t, members + 1
         if fill >= budget:
-            cur, fill = cur + 1, 0
+            cur, fill, members = cur + 1, 0, 0
     return bins
 
 
@@ -98,6 +100,10 @@ def test_pack_greedy_sharded_respects_budget(spark, docs):
 @given(st.lists(st.integers(min_value=0, max_value=300), min_size=1,
                 max_size=60),
        st.integers(min_value=1, max_value=500))
+@example(
+    tokens=[0, 2],
+    budget=1,
+).via('discovered failure')
 def test_greedy_reference_properties(tokens, budget):
     """The reference itself: bins consecutive from 0; no bin over budget
     unless its (single) doc is oversize; no doc splits."""
