@@ -1777,6 +1777,39 @@ def q_incremental_decode(spark, sf_dir):
         "mid_rows bigint, mid_ids bigint, tail_rows bigint, tail_ids bigint")
 
 
+def q_limit_decode(spark, sf_dir):
+    """LIMIT pushdown: ``decode_head`` returns exactly n rows (capped at
+    the match count under a filter) while decoding only the chunk prefix
+    the limit needs — SELECT * LIMIT n against 100 TB reads one chunk
+    file, not the store (fsst_spark/jobs/decode.py decode_head). The
+    values oracle pins the row counts and the filter's exactness; the
+    chunks-read bound is pinned structurally in tests/test_head.py."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.decode import decode_head
+    from fsst_spark.jobs.encode import encode_job
+
+    out = tempfile.mkdtemp(prefix="fsst_head_q_")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+        encode_job(spark, docs, out, chunk_bytes=4 << 10, resume=False,
+                   pre_partitioned=True, unique_col="doc_id").collect()
+        plain = decode_head(spark, out, 137).count()
+        de = decode_head(spark, out, 10**9, filters=[("lang", "==", "de")])
+        n_de = de.count()
+        only_de = de.where(F.col("lang") == "de").count()
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(plain, n_de, only_de)],
+        "n_head bigint, n_de bigint, n_de_exact bigint")
+
+
 def q_rollback_decode(spark, sf_dir):
     """Snapshot rollback + vacuum: three appends land as commit entries
     0..2; ``rollback_store(to_commit=1)`` retires entry 2's files (trash,
@@ -2098,6 +2131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fsst_source_asof": q_fsst_source_asof,
         "incremental_decode": q_incremental_decode,
         "rollback_decode": q_rollback_decode,
+        "limit_decode": q_limit_decode,
         "deleted_decode": q_deleted_decode,
         "deleted_filtered_decode": q_deleted_filtered_decode,
         "deleted_count_where": q_deleted_count_where,
@@ -2522,6 +2556,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(doc_id) AS BIGINT) AS sum_ids, "
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
             "FROM documents WHERE doc_id % 3 != 2"
+        ),
+        "limit_decode": (
+            "SELECT CAST(least(137, count(*)) AS BIGINT) AS n_head, "
+            "CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_de, "
+            "CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_de_exact "
+            "FROM documents"
         ),
         "deleted_decode": (
             "SELECT CAST(count(*) AS BIGINT) AS n_rows, "

@@ -178,6 +178,9 @@ def main(argv: list[str] | None = None) -> int:
                           "mutually exclusive with --as-of")
     dec.add_argument("--until", type=int, default=None, metavar="M",
                      help="upper commit entry for --since (default: latest)")
+    dec.add_argument("--limit", type=int, default=None, metavar="N",
+                     help="LIMIT pushdown: return N rows decoding only the "
+                          "chunks the limit needs (composes with --where)")
 
     ver = sub.add_parser("verify", help="chunk checksum round-trip verification")
     ver.add_argument("--data", required=True)
@@ -505,7 +508,15 @@ def main(argv: list[str] | None = None) -> int:
                        if args.where else None)
             any_flt = (_parse_where(spark, args.data, args.where_any)
                        if args.where_any else None)
-            if args.since is not None:
+            if args.limit is not None:
+                from fsst_spark.jobs.decode import decode_head
+
+                if args.since is not None or args.as_of is not None \
+                        or any_flt:
+                    raise SystemExit("--limit composes with --where only")
+                df = decode_head(spark, args.data, args.limit,
+                                 columns=cols, filters=filters)
+            elif args.since is not None:
                 df = decode_changes(spark, args.data, args.since, args.until,
                                     columns=cols, filters=filters,
                                     any_filters=any_flt)

@@ -502,7 +502,8 @@ def decode_job(spark, out_dir: str, columns: list[str] | None = None,
                zone_filters_any: list[tuple[str, str, int | str]] | None = None,
                dict_prune: bool = True,
                as_of: int | None = None,
-               _pids: list[int] | None = None) -> DataFrame:
+               _pids: list[int] | None = None,
+               _chunk_keys: list[tuple[int, int]] | None = None) -> DataFrame:
     """DataFrame of the decoded table (plus pid/chunk_id provenance cols).
 
     ``zone_filter=(col, op, value)`` — or a conjunction via
@@ -536,6 +537,10 @@ def decode_job(spark, out_dir: str, columns: list[str] | None = None,
         else:  # snapshot spans many writes: semi join beats a giant IN plan
             pdf = spark.createDataFrame([(p,) for p in pids], "pid int")
             chunks = chunks.join(F.broadcast(pdf), "pid", "left_semi")
+    if _chunk_keys is not None:  # LIMIT pushdown: exactly these chunks
+        kdf = spark.createDataFrame(_chunk_keys, "pid int, chunk_id int")
+        chunks = chunks.join(F.broadcast(kdf), ["pid", "chunk_id"],
+                             "left_semi")
     if zone_filters_any:
         any_keep = pruned_chunks_any(spark, out_dir, columns,
                                      list(zone_filters_any), dict_prune) \
@@ -694,6 +699,74 @@ def decode_changes(spark, out_dir: str, since: int, until: int | None = None,
                                filters=filters, any_filters=any_filters,
                                _pids=pids)
     return decode_job(spark, out_dir, columns, _pids=pids)
+
+
+def decode_head(spark, out_dir: str, n: int,
+                columns: list[str] | None = None,
+                filters: list[tuple] | None = None) -> DataFrame:
+    """LIMIT pushdown: return ``n`` rows while decoding only as many
+    chunks as the limit needs — ``SELECT * LIMIT 100`` against a 100 TB
+    store reads one chunk file, not the store.
+
+    Chunk selection is metadata-only and deterministic: surviving chunks
+    (zone/dict/bloom-pruned when ``filters`` are given) in (pid, chunk_id)
+    order, taking the shortest prefix whose summed ``n_rows`` covers the
+    limit. Without filters or tombstones the metadata counts are exact and
+    ONE selection suffices. With row predicates (or tombstones) surviving
+    chunks may yield fewer rows than their counts, so the prefix doubles
+    until the limit is met or every surviving chunk is read — each retry
+    costs one count() over a chunk set that is still bounded by ~2× what
+    the limit ultimately needed. ``filters`` rows are exact (zone pruning
+    is conservative; the row predicates re-apply), so the returned rows
+    always satisfy them.
+
+    At 10^12 docs: the selection reads only the narrow
+    (pid, chunk_id, n_rows) metadata projection with a sort-limit (never
+    payload, never a full collect), and the decode plan is the normal
+    selective-decode plan over the selected chunk whitelist."""
+    if n <= 0:
+        raise ValueError(f"decode_head needs n > 0 (got {n})")
+    flt = list(filters or [])
+    fcols = [f[0] for f in flt]
+    cols = columns
+    if cols is not None:
+        cols = cols + [c for c in fcols if c not in cols]
+    ddl, ordered = decoded_schema_ddl(spark, out_dir, cols)
+    src = (pruned_chunks(spark, out_dir, cols, flt) if flt
+           else _chunks_df(spark, out_dir, cols))
+    meta = (src.where(F.col("column") == ordered[0])
+            .select("pid", "chunk_id", "n_rows")
+            .orderBy("pid", "chunk_id"))
+    from .deletes import has_deletes
+
+    exact = not flt and not has_deletes(out_dir)
+    types = column_arrow_types(spark, out_dir)
+
+    def build(keys):
+        df = decode_job(spark, out_dir, cols, _chunk_keys=keys)
+        for fc, fop, fval in flt:
+            df = df.where(_row_predicate(fc, fop, fval, types[fc]))
+        if columns is not None:
+            df = df.drop(*[c for c in fcols if c not in columns])
+        return df
+
+    k = 1
+    while True:
+        rows = meta.limit(k).collect()
+        got = 0
+        keys = []
+        for r in rows:
+            keys.append((r["pid"], r["chunk_id"]))
+            got += r["n_rows"]
+            if exact and got >= n:
+                break
+        df = build(keys)
+        if exact and got >= n:
+            return df.limit(n)
+        exhausted = len(rows) < k
+        if exhausted or df.limit(n).count() >= n:
+            return df.limit(n)
+        k *= 2
 
 
 def _emit(key: tuple[int, int], cols: dict[str, pa.Array], ordered: list[str],
