@@ -1777,6 +1777,46 @@ def q_incremental_decode(spark, sf_dir):
         "mid_rows bigint, mid_ids bigint, tail_rows bigint, tail_ids bigint")
 
 
+def q_advise_layout(spark, sf_dir):
+    """Layout advisor: the same table encoded in doc_id order vs
+    clustered by n_chars; the advisor's most-zone-selective column
+    (lowest mean-span fraction, metadata-only) must be the actual
+    clustering key of each store, and the clustered key's estimated
+    point-lookup chunk count must beat the scattered one
+    (fsst_spark/jobs/stats.py advise_layout)."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.encode import encode_job
+    from fsst_spark.jobs.stats import advise_layout
+
+    a = tempfile.mkdtemp(prefix="fsst_advise_a_")
+    b = tempfile.mkdtemp(prefix="fsst_advise_b_")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+        encode_job(spark, docs, a, chunk_bytes=4 << 10, resume=False,
+                   pre_partitioned=True, unique_col="doc_id").collect()
+        encode_job(spark, docs, b, chunk_bytes=4 << 10, resume=False,
+                   pre_partitioned=True, unique_col="doc_id",
+                   sort_key="n_chars").collect()
+        pa_ = advise_layout(spark, a).collect()
+        pb = advise_layout(spark, b).collect()
+        best_plain, best_clus = pa_[0]["column"], pb[0]["column"]
+        by = {r["column"]: r for r in pb}
+        beats = int(by["n_chars"]["est_chunks_scanned_per_point"]
+                    < by["doc_id"]["est_chunks_scanned_per_point"])
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+        shutil.rmtree(a, ignore_errors=True)
+        shutil.rmtree(b, ignore_errors=True)
+    return spark.createDataFrame(
+        [(best_plain, best_clus, beats)],
+        "plain_best string, clustered_best string, clustered_beats bigint")
+
+
 def q_limit_decode(spark, sf_dir):
     """LIMIT pushdown: ``decode_head`` returns exactly n rows (capped at
     the match count under a filter) while decoding only the chunk prefix
@@ -2132,6 +2172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_decode": q_incremental_decode,
         "rollback_decode": q_rollback_decode,
         "limit_decode": q_limit_decode,
+        "advise_layout": q_advise_layout,
         "deleted_decode": q_deleted_decode,
         "deleted_filtered_decode": q_deleted_filtered_decode,
         "deleted_count_where": q_deleted_count_where,
@@ -2556,6 +2597,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(doc_id) AS BIGINT) AS sum_ids, "
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
             "FROM documents WHERE doc_id % 3 != 2"
+        ),
+        "advise_layout": (
+            "SELECT 'doc_id' AS plain_best, 'n_chars' AS clustered_best, "
+            "CAST(1 AS BIGINT) AS clustered_beats"
         ),
         "limit_decode": (
             "SELECT CAST(least(137, count(*)) AS BIGINT) AS n_head, "

@@ -266,6 +266,14 @@ def main(argv: list[str] | None = None) -> int:
              "tombstones, recent mutations (driver-side, no cluster)")
     sts.add_argument("--data", required=True)
 
+    adv = sub.add_parser(
+        "advise",
+        help="layout advisor: per-column zone selectivity from metadata "
+             "(span fraction = expected share of chunks a point lookup "
+             "scans); pick --cluster-by keys from the scattered columns")
+    adv.add_argument("--data", required=True)
+    adv.add_argument("--columns", default=None, help="comma-separated subset")
+
     sta = sub.add_parser("stats",
                          help="column stats from an encoded store: count/min/max "
                               "from chunk metadata (zero payload reads for "
@@ -601,6 +609,13 @@ def main(argv: list[str] | None = None) -> int:
                                           "ok": r["n_ok"]} for r in rows},
             }))
             return 0 if ok else 2
+        elif args.cmd == "advise":
+            from fsst_spark.jobs.stats import advise_layout
+
+            cols = args.columns.split(",") if args.columns else None
+            out = [r.asDict() for r in
+                   advise_layout(spark, args.data, cols).collect()]
+            print(json.dumps(out))
         elif args.cmd == "stats":
             from fsst_spark.jobs.stats import (encoded_column_minmax,
                                                encoded_column_stats)

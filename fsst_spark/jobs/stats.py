@@ -569,3 +569,56 @@ def encoded_profile(spark, out_dir: str,
         agg += [F.min("zmin_long").alias("zmin_long"),
                 F.max("zmax_long").alias("zmax_long")]
     return meta.groupBy("column").agg(*agg).orderBy("column")
+
+
+def advise_layout(spark, out_dir: str,
+                  columns: list[str] | None = None) -> DataFrame:
+    """Layout advisor: per-column ZONE SELECTIVITY from metadata alone —
+    the number a user needs before choosing ``--cluster-by``.
+
+    For each column the chunk zone keys give ``span_frac_x1000`` = mean
+    chunk zone width / global zone range (×1000, integer for stable
+    comparison). That single number is also the expected fraction of
+    chunks a uniform point lookup on the column must scan: P(v ∈
+    [zmin_i, zmax_i]) summed over chunks / n_chunks = mean width / range.
+    So ``span_frac_x1000 ≈ 1000`` means zones are useless (every chunk
+    spans everything — the column is scattered; cluster by it to fix),
+    and ``≈ 1000 / n_chunks`` means the layout is already near-perfect
+    for that column. ``clustered`` flags columns whose span fraction is
+    within 4× of that ideal. String zones are 8-byte-prefix keys and
+    float zones total-order keys, so the fraction is a faithful proxy for
+    exactly the pruning ``decode_filtered`` would achieve.
+
+    One payload-free metadata aggregation (same scan shape as
+    ``encoded_profile``): seconds against a 100 TB store. Constant
+    columns (zero global range) prune perfectly by equality already and
+    report span 0 / clustered true."""
+    _require_no_deletes(out_dir, 'advise_layout')
+    types = column_arrow_types(spark, out_dir)
+    for c in columns or []:
+        if c not in types:
+            raise KeyError(f"column {c!r} not in encoded data")
+    meta = _chunks_df(spark, out_dir, list(columns) if columns else None)
+    if "zmin_long" not in meta.columns:
+        raise ValueError("store has no zone maps (pre-zone encode); "
+                         "advise_layout reads zone keys")
+    # columns whose chunks carry no zone keys can't be advised — drop
+    # their rows rather than reporting a fake perfect score
+    meta = meta.where(F.col("zmin_long").isNotNull()
+                      & F.col("zmax_long").isNotNull())
+    rng = F.greatest(F.max("zmax_long") - F.min("zmin_long"), F.lit(0))
+    span = (F.avg(F.col("zmax_long") - F.col("zmin_long")) * 1000
+            / F.greatest(rng, F.lit(1))).cast("bigint")
+    per = meta.groupBy("column").agg(
+        F.count("*").alias("n_chunks"),
+        F.when(rng == 0, F.lit(0)).otherwise(span).alias("span_frac_x1000"),
+    )
+    ideal = F.lit(1000) / F.col("n_chunks")
+    return (per
+            .withColumn("est_chunks_scanned_per_point",
+                        F.greatest(
+                            (F.col("span_frac_x1000") * F.col("n_chunks")
+                             / 1000).cast("bigint"), F.lit(1)))
+            .withColumn("clustered",
+                        F.col("span_frac_x1000") <= 4 * ideal)
+            .orderBy("span_frac_x1000", "column"))
