@@ -526,6 +526,12 @@ def _encode_one_partition(pid: int, batches: Iterator[pa.RecordBatch], out_dir: 
     chunk_id = 0
     col_metrics: dict[str, dict] = {}
     n_rows_total = 0
+    # one shared FSST table per column per partition (trained on the first
+    # fsst-coded chunk, reused by the rest — the reference's own shape:
+    # src/builder.rs:604-628 trains one static table per corpus, not per
+    # block). Per-chunk min-gain fallback still applies, so a chunk the
+    # shared table fits poorly degrades to plain, never worse-than-raw.
+    fsst_caches: dict[str, dict] = {}
 
     def flush() -> None:
         nonlocal chunk_id, buf, buf_bytes, n_rows_total
@@ -535,7 +541,8 @@ def _encode_one_partition(pid: int, batches: Iterator[pa.RecordBatch], out_dir: 
         for name in tbl.column_names:
             arr = tbl.column(name).combine_chunks()
             stats = chunk_stats(arr)
-            enc = encode_column(arr, stats)
+            enc = encode_column(arr, stats,
+                                fsst_cache=fsst_caches.setdefault(name, {}))
             raw = raw_size_of(arr)
             m = col_metrics.setdefault(name, {"raw": 0, "enc": 0, "codecs": {}})
             m["raw"] += raw

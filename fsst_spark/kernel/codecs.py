@@ -219,16 +219,30 @@ def decode_str_plain(enc: Encoded) -> tuple[np.ndarray, np.ndarray]:
 
 
 def encode_str_fsst(buf: np.ndarray, offsets: np.ndarray, tables: EncoderTables | None = None,
-                    table_blob: bytes | None = None) -> Encoded:
+                    table_blob: bytes | None = None,
+                    cache: dict | None = None) -> Encoded:
     """FSST-encode a string chunk. If no pre-trained table is supplied, one
     is trained on a <=16KiB sample of the first FSST_TRAIN_ROWS values
-    (training cost is O(1) per chunk — reference src/builder.rs:524)."""
+    (training cost is O(1) per chunk — reference src/builder.rs:524).
+
+    ``cache`` shares one trained table across chunks: an empty dict trains
+    on THIS chunk and stashes (tables, blob); a populated one reuses them.
+    This is the reference's own usage shape — a static symbol table built
+    once serves a whole column (src/builder.rs:604-628 trains one
+    Compressor per corpus, not per block) — and drops per-chunk training
+    from the hot loop. Callers keep the per-chunk min-gain fallback, so a
+    chunk the shared table fits poorly degrades to plain, never to a
+    worse-than-raw encode."""
+    if cache is not None and tables is None and "tables" in cache:
+        tables, table_blob = cache["tables"], cache["blob"]
     if tables is None:
         head = min(len(offsets) - 1, FSST_TRAIN_ROWS)
         vals = [buf[offsets[i] : offsets[i + 1]].tobytes() for i in range(head)]
         comp = train(vals)
         tables = EncoderTables.from_compressor(comp)
         table_blob = comp.table_bytes()
+        if cache is not None:
+            cache["tables"], cache["blob"] = tables, table_blob
     assert table_blob is not None
     enc_buf, enc_off = encode_chunk(buf, offsets, tables)
     el = encode_int_for(_lens_from_offsets(enc_off))
@@ -534,7 +548,8 @@ def _validity_mask(arr: pa.Array) -> np.ndarray:
     return np.asarray(arr.is_valid())
 
 
-def encode_column(arr: pa.Array, stats: dict | None = None) -> Encoded:
+def encode_column(arr: pa.Array, stats: dict | None = None,
+                  fsst_cache: dict | None = None) -> Encoded:
     """Encode one Arrow column chunk with stats-driven codec selection.
 
     Selection rules (north rule: NDV, run-length, value-range per chunk):
@@ -543,6 +558,10 @@ def encode_column(arr: pa.Array, stats: dict | None = None) -> Encoded:
                        else FSST; FSST falls back to plain when the trained
                        table gains < FSST_MIN_GAIN on the chunk
       floats/other:    plain
+
+    ``fsst_cache`` (one dict per column per partition) shares a single
+    trained FSST table across the partition's chunks — see
+    :func:`encode_str_fsst`; the min-gain fallback still applies per chunk.
     """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
@@ -569,7 +588,7 @@ def encode_column(arr: pa.Array, stats: dict | None = None) -> Encoded:
                 if int(plens.sum()) >= FRONT_MIN_SHARE * raw:
                     enc = encode_str_front(buf, offsets, plens=plens)
             if enc is None:
-                enc = encode_str_fsst(buf, offsets)
+                enc = encode_str_fsst(buf, offsets, cache=fsst_cache)
             if raw and raw / max(len(enc["payload"]), 1) < FSST_MIN_GAIN:
                 enc = encode_str_plain(buf, offsets)
     elif pa.types.is_floating(t):

@@ -295,3 +295,33 @@ def test_alp_selected_for_testdata_doubles():
 ), max_size=60))
 def test_hypothesis_double_column(vals):
     _roundtrip_column(pa.array(vals, type=pa.float64()))
+
+
+def test_fsst_shared_table_cache():
+    """A shared cache trains once and reuses the table: identical table
+    blobs across chunks, bit-identical round-trip, and the cached encode
+    of the TRAINING chunk equals the uncached one byte-for-byte."""
+    import pyarrow.parquet as pq
+
+    from fsst_spark.kernel.codecs import (_arrow_bytes_buffers,
+                                          _split_sections, decode_str_fsst,
+                                          encode_str_fsst)
+
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                         columns=["text"]).column("text").combine_chunks()
+    chunks = [docs.slice(i, 100) for i in range(0, 400, 100)]
+    cache = {}
+    encs = []
+    for c in chunks:
+        buf, off = _arrow_bytes_buffers(c)
+        encs.append((encode_str_fsst(buf, off, cache=cache), buf, off))
+    blobs = {_split_sections(e["params"], e["payload"])[0]
+             for e, _, _ in encs}
+    assert len(blobs) == 1  # one table served every chunk
+    for e, buf, off in encs:
+        db, do = decode_str_fsst(e)
+        assert db[do[0]:do[-1]].tobytes() == buf[off[0]:off[-1]].tobytes()
+    # chunk 0 trained the cache, so cached == uncached for it
+    buf0, off0 = _arrow_bytes_buffers(chunks[0])
+    solo = encode_str_fsst(buf0, off0)
+    assert solo["payload"] == encs[0][0]["payload"]
