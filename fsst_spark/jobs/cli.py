@@ -216,6 +216,14 @@ def main(argv: list[str] | None = None) -> int:
                      metavar="COL:OP:VALUE")
     upd.add_argument("--chunk-bytes", type=int, default=16 << 20)
 
+    cdl = sub.add_parser(
+        "compact-deletes",
+        help="merge the tombstone dataset into few (pid,chunk_id,pos)-"
+             "sorted files — restores read-side delete overhead after "
+             "many delete/update calls, no payload touched")
+    cdl.add_argument("--data", required=True)
+    cdl.add_argument("--rows-per-file", type=int, default=50_000_000)
+
     mat = sub.add_parser(
         "materialize-deletes",
         help="fold tombstones into a NEW store (decode -> re-encode); "
@@ -572,6 +580,11 @@ def main(argv: list[str] | None = None) -> int:
                                chunk_bytes=args.chunk_bytes)
             print(json.dumps({"store": args.data, "set": args.set_exprs,
                               "where": args.where, **res}))
+        elif args.cmd == "compact-deletes":
+            from fsst_spark.jobs.deletes import compact_deletes
+
+            print(json.dumps(compact_deletes(
+                spark, args.data, rows_per_file=args.rows_per_file)))
         elif args.cmd == "materialize-deletes":
             from fsst_spark.jobs.deletes import materialize_deletes
 

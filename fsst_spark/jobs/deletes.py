@@ -43,6 +43,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import shutil
 from typing import Iterator
 
 import numpy as np
@@ -403,6 +404,62 @@ def _log_delete(store: str, entry: dict) -> None:
         with os.fdopen(fd, "wb") as fh:
             fh.write(payload)
         return
+
+
+def compact_deletes(spark, store: str,
+                    rows_per_file: int = 50_000_000) -> dict:
+    """Merge the tombstone dataset into few (pid, chunk_id, pos)-sorted
+    files. Every decode task runs one pushed-filter read over ALL delete
+    files for each pid it touches, so after many ``delete_where`` /
+    ``update_where`` calls the per-task overhead is gated by delete-file
+    count and row-group ordering — this is the OPTIMIZE pass that
+    restores both without touching payloads.
+
+    Swap protocol (safe against concurrent readers AND writers): snapshot
+    the current file list, write the deduped/sorted replacement files
+    into the deletes dir under fresh names, THEN unlink the snapshot
+    files. A reader racing the swap sees old+new together — a harmless
+    superset, because tombstones are a set union and mask application
+    dedupes positions (``load_delete_positions`` -> ``np.unique``). A
+    delete call racing the compaction lands a new file outside the
+    snapshot and survives untouched.
+
+    At 10^9 tombstones: the sort is a normal range shuffle of narrow
+    int rows split into ``rows_per_file`` slices; nothing lands whole on
+    one reducer or the driver."""
+    import math
+    import uuid
+
+    files = _delete_files(store)
+    if len(files) <= 1:
+        return {"action": "compact_deletes", "files_before": len(files),
+                "files_after": len(files), "rows": deleted_count(store),
+                "skipped": True}
+    df = spark.read.parquet(*files)
+    n = df.count()
+    nfiles = max(1, math.ceil(n / rows_per_file))
+    tmp = os.path.join(_deletes_dir(store), "_compact_tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    dd = df.dropDuplicates(["pid", "chunk_id", "pos"])
+    dd = (dd.repartitionByRange(nfiles, "pid", "chunk_id", "pos")
+          if nfiles > 1 else dd.coalesce(1))
+    (dd.sortWithinPartitions("pid", "chunk_id", "pos")
+       .write.mode("overwrite").parquet(tmp))
+    tag = uuid.uuid4().hex[:8]
+    moved = 0
+    for i, f in enumerate(sorted(glob.glob(os.path.join(tmp, "part-*.parquet")))):
+        os.replace(f, os.path.join(_deletes_dir(store),
+                                   f"compact-{tag}-{i:05d}.parquet"))
+        moved += 1
+    for f in files:
+        os.unlink(f)
+    shutil.rmtree(tmp, ignore_errors=True)
+    rows_after = deleted_count(store)
+    entry = {"action": "compact_deletes", "files_before": len(files),
+             "files_after": moved, "rows_before": n, "rows": rows_after,
+             "skipped": False}
+    _log_delete(store, entry)
+    return entry
 
 
 def materialize_deletes(spark, in_dir: str, out_dir: str,

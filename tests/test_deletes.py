@@ -191,3 +191,50 @@ def test_verify_stays_physical(spark, docs, store):
     delete_where(spark, store, "lang", "==", "de")
     bad = verify_chunks(spark, store).where("ok = false")
     assert bad.count() == 0
+
+
+def test_compact_deletes_preserves_the_mask(spark, docs, store):
+    """Three delete calls leave many tombstone files; compaction merges
+    them into one sorted file with the SAME deleted set — decode,
+    deleted_count, and later deletes are unaffected."""
+    import glob as _glob
+    import os as _os
+
+    from fsst_spark.jobs.deletes import (_deletes_dir, compact_deletes,
+                                         delete_where, deleted_count)
+
+    delete_where(spark, store, "lang", "==", "de")
+    delete_where(spark, store, "lang", "==", "fr")
+    delete_where(spark, store, "n_chars", ">=", 900)
+    files_before = len(_glob.glob(_os.path.join(_deletes_dir(store),
+                                                "*.parquet")))
+    assert files_before > 1
+    count_before = deleted_count(store)
+    dec_before = sorted(r["doc_id"] for r in
+                        decode_job(spark, store).select("doc_id").collect())
+
+    res = compact_deletes(spark, store)
+    assert not res["skipped"] and res["files_after"] == 1
+    files_after = _glob.glob(_os.path.join(_deletes_dir(store), "*.parquet"))
+    assert len(files_after) == 1
+    # dedup can only shrink or keep the physical rows; the MASK is equal
+    assert deleted_count(store) <= count_before
+    dec_after = sorted(r["doc_id"] for r in
+                       decode_job(spark, store).select("doc_id").collect())
+    assert dec_after == dec_before
+    # the compacted file is sorted for row-group pruning
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(files_after[0], columns=["pid", "chunk_id", "pos"])
+    keys = list(zip(t.column("pid").to_pylist(),
+                    t.column("chunk_id").to_pylist(),
+                    t.column("pos").to_pylist()))
+    assert keys == sorted(keys)
+    # the store keeps mutating normally afterwards
+    delete_where(spark, store, "lang", "==", "en")
+    exp = docs.where("lang NOT IN ('de','fr','en') AND n_chars < 900").count()
+    assert decode_job(spark, store).count() == exp
+    # single-file store: a second compact is a no-op... unless the new
+    # delete added files — run it and re-check equivalence either way
+    compact_deletes(spark, store)
+    assert decode_job(spark, store).count() == exp
