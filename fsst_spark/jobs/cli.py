@@ -181,6 +181,9 @@ def main(argv: list[str] | None = None) -> int:
     dec.add_argument("--limit", type=int, default=None, metavar="N",
                      help="LIMIT pushdown: return N rows decoding only the "
                           "chunks the limit needs (composes with --where)")
+    dec.add_argument("--partition-by", default=None, metavar="COL[,COL]",
+                     help="write the decoded parquet partitioned by these "
+                          "columns (hive layout: <out>/col=value/...)")
 
     ver = sub.add_parser("verify", help="chunk checksum round-trip verification")
     ver.add_argument("--data", required=True)
@@ -267,6 +270,13 @@ def main(argv: list[str] | None = None) -> int:
     vac.add_argument("--hard", action="store_true")
     vac.add_argument("--empty-trash", action="store_true",
                      help="also permanently delete <store>/trash")
+
+    hst = sub.add_parser(
+        "history",
+        help="full audit timeline: every commit, mutation (delete/update/"
+             "merge/rollback/vacuum/compaction) and schema entry "
+             "(driver-side, no cluster)")
+    hst.add_argument("--data", required=True)
 
     sts = sub.add_parser(
         "status",
@@ -439,6 +449,11 @@ def main(argv: list[str] | None = None) -> int:
 
         print(json.dumps(store_status(args.data)))
         return 0
+    if args.cmd == "history":
+        from fsst_spark.jobs.schema import store_history
+
+        print(json.dumps(store_history(args.data)))
+        return 0
     if args.cmd == "rollback":
         from fsst_spark.jobs.admin import rollback_store
 
@@ -542,11 +557,15 @@ def main(argv: list[str] | None = None) -> int:
                                      as_of=args.as_of)
             else:
                 df = decode_job(spark, args.data, cols, as_of=args.as_of)
-            df.drop("pid", "chunk_id").write.mode("overwrite").parquet(args.out)
+            w = df.drop("pid", "chunk_id").write.mode("overwrite")
+            if args.partition_by:
+                w = w.partitionBy(*args.partition_by.split(","))
+            w.parquet(args.out)
             print(json.dumps({"decoded_to": args.out, "where": args.where,
                               "where_any": args.where_any,
                               "as_of": args.as_of, "since": args.since,
-                              "until": args.until}))
+                              "until": args.until,
+                              "partition_by": args.partition_by}))
         elif args.cmd == "delete":
             from fsst_spark.jobs.deletes import delete_where
 

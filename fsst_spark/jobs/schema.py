@@ -138,6 +138,29 @@ def copy_schema_log(src_store: str, dst_store: str) -> int:
     return entries
 
 
+def store_history(store: str) -> dict:
+    """Full driver-side timeline of a store: every commit-log entry (with
+    its pids and write mode), every mutation-log entry (deletes, updates,
+    merges, rollbacks, vacuums, compactions) and every schema-log entry
+    (drops/undrops), each stream in its own append order. The audit call
+    behind ``status`` (which shows only the tail) — still metadata-only,
+    no cluster, no payload reads."""
+    from ..sources.fsst_source import _read_commit, commit_count
+    from .deletes import _deletes_dir
+
+    commits = [{"index": i, **_read_commit(store, i)}
+               for i in range(commit_count(store))]
+    mutations = []
+    log_dir = os.path.join(_deletes_dir(store), "_log")
+    if os.path.isdir(log_dir):
+        for f in sorted(os.listdir(log_dir)):
+            if f.endswith(".json"):
+                with open(os.path.join(log_dir, f)) as fh:
+                    mutations.append({"index": int(f[:-5]), **json.load(fh)})
+    return {"store": store, "commits": commits, "mutations": mutations,
+            "schema": schema_log(store)}
+
+
 def store_status(store: str) -> dict:
     """One driver-side dict describing a store's state — no cluster, no
     payload reads: schema (visible + dropped), encode mode, file/byte

@@ -154,3 +154,17 @@ def test_store_status(spark, docs, store):
     assert s["has_deletes"] and s["tombstoned_rows"] > 0
     assert s["recent_mutations"][-1]["deleted_now"] == s["tombstoned_rows"]
     assert s["commits"] == 0
+
+
+def test_store_history(spark, docs, store):
+    from fsst_spark.jobs.deletes import delete_where
+    from fsst_spark.jobs.schema import store_history
+
+    drop_column(store, "source")
+    delete_where(spark, store, "lang", "==", "fr")
+    h = store_history(store)
+    assert h["schema"][-1]["action"] == "drop"
+    assert h["mutations"][-1]["deleted_now"] > 0
+    assert [m["index"] for m in h["mutations"]] == \
+        sorted(m["index"] for m in h["mutations"])
+    assert isinstance(h["commits"], list)
