@@ -878,6 +878,55 @@ def q_url_sort_key(spark, sf_dir):
     )
 
 
+def q_extract_roundtrip(spark, sf_dir):
+    """input_hint per-row invariant (byte-identical extracted text per
+    url): escape each document's text, embed it in full page boilerplate
+    (title + style + a decoy <script> carrying fake tags + footer),
+    extract main text engine-side (pipeline/textextract.py, pure JVM
+    regexp cascade), count byte-identical matches. The oracle pins
+    n_match == count(*) — any extraction defect is a hash mismatch."""
+    from fsst_spark.pipeline.textextract import escape_html_text, html_to_text
+
+    docs = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit('<html><head><title>d</title><style>p{color:red}</style>'
+              '</head><body><script>var x = "<p>decoy</p>";</script>'
+              '<main><article><p>'),
+        escape_html_text(F.col("text")),
+        F.lit('</p></article></main><footer>&copy; 2024 example'
+              '</footer></body></html>'),
+    )
+    ok = (html_to_text(html) == F.col("text")).cast("long")
+    return docs.select(ok.alias("ok")).agg(
+        F.count("*").alias("n_rows"), F.sum("ok").alias("n_match"))
+
+
+def q_extract_links(spark, sf_dir):
+    """<a href> extraction (crawl-frontier building): Spark and DuckDB
+    each run the SAME RE2-compatible patterns over identically
+    constructed pages with one double-quoted and one single-quoted link;
+    counts, distinct first targets, and lexicographic extremes must
+    agree exactly."""
+    from fsst_spark.pipeline.textextract import extract_links
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<body><p>see <a href="https://'), F.col("source"),
+        F.lit('.example.org/d'), did,
+        F.lit('">doc</a> and <a href=\'/rel/'), did,
+        F.lit("'>rel</a></p></body>"),
+    )
+    links = docs.select(extract_links(html).alias("links"))
+    return links.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.size("links")).alias("n_links"),
+        F.countDistinct(F.element_at("links", 1)).alias("n_first"),
+        F.min(F.element_at("links", 1)).alias("min_link"),
+        F.max(F.element_at("links", 2)).alias("max_link"),
+    )
+
+
 def q_quota_filter(spark, sf_dir):
     """Per-host byte-quota admission (batch arm of the stateful streaming
     operator): each source admits its doc_id-order prefix until 2000 text
@@ -2197,6 +2246,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_semijoin": q_decode_semijoin,
         "encoded_ndv": q_encoded_ndv,
         "url_sort_key": q_url_sort_key,
+        "extract_roundtrip": q_extract_roundtrip,
+        "extract_links": q_extract_links,
         "quota_filter": q_quota_filter,
         "clustered_decode": q_clustered_decode,
         "encoded_stats": q_encoded_stats,
@@ -2952,6 +3003,26 @@ GROUP BY lang ORDER BY lang"""
             "CAST(count(DISTINCT key) AS BIGINT) AS n_keys, "
             "min(key) AS min_key, max(key) AS max_key, "
             "CAST(sum(length(key)) AS BIGINT) AS sum_len FROM k"
+        ),
+        "extract_roundtrip": (
+            # the Spark side REALLY extracts (escape -> embed -> regexp
+            # cascade); the oracle pins the invariant: every row matches
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(count(*) AS BIGINT) AS n_match FROM documents"
+        ),
+        "extract_links": (
+            "WITH h AS (SELECT '<body><p>see <a href=\"https://' || source "
+            "|| '.example.org/d' || doc_id || '\">doc</a> and "
+            "<a href=''/rel/' || doc_id || '''>rel</a></p></body>' AS html "
+            "FROM documents), "
+            "l AS (SELECT list_concat("
+            "regexp_extract_all(html, '(?i)<a\\s[^>]*href\\s*=\\s*\"([^\"]*)\"', 1), "
+            "regexp_extract_all(html, '(?i)<a\\s[^>]*href\\s*=\\s*''([^'']*)''', 1)"
+            ") AS links FROM h) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(len(links)) AS BIGINT) AS n_links, "
+            "CAST(count(DISTINCT links[1]) AS BIGINT) AS n_first, "
+            "min(links[1]) AS min_link, max(links[2]) AS max_link FROM l"
         ),
         "curation_pipeline": (
             f"WITH f AS ({_GOPHER_F_SQL}), "
