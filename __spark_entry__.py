@@ -1043,6 +1043,35 @@ def q_encoded_minmax(spark, sf_dir):
     )
 
 
+def q_strlen_stats(spark, sf_dir):
+    """Decode-free octet_length aggregates over an encoded store: every
+    string codec stores (or implies) decoded lengths more cheaply than
+    values, so count/sum/avg/min/max of byte lengths is answered by
+    parsing only the length structure (codecs.decoded_strlens) — no byte
+    scatter, no Arrow string build. Must equal SQL aggregates of
+    octet_length over the source table."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.encode import encode_job
+    from fsst_spark.jobs.stats import encoded_strlen_stats
+
+    out = tempfile.mkdtemp(prefix="fsst_strlen_q_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+        encode_job(spark, docs, out, chunk_bytes=256 << 10, resume=False,
+                   pre_partitioned=True, unique_col="doc_id").collect()
+        rows = encoded_strlen_stats(spark, out, ["text", "lang"]).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["column"], r["n_values"], r["sum_bytes"], r["avg_bytes"],
+          r["min_bytes"], r["max_bytes"]) for r in rows],
+        "column string, n_values bigint, sum_bytes bigint, "
+        "avg_bytes double, min_bytes bigint, max_bytes bigint",
+    )
+
+
 def q_compacted_decode(spark, sf_dir):
     """Small-file compaction: encode into MANY small chunk files, compact
     them into 3 WITHOUT decoding any payload (chunk rows copied verbatim,
@@ -2252,6 +2281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustered_decode": q_clustered_decode,
         "encoded_stats": q_encoded_stats,
         "encoded_minmax": q_encoded_minmax,
+        "strlen_stats": q_strlen_stats,
         "compacted_decode": q_compacted_decode,
         "encoded_group_count": q_encoded_group_count,
         "encoded_group_sum": q_encoded_group_sum,
@@ -2808,6 +2838,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'n_chars', CAST(count(*) AS BIGINT), "
             "CAST(min(n_chars) AS BIGINT), CAST(max(n_chars) AS BIGINT) "
             "FROM documents) ORDER BY \"column\""
+        ),
+        "strlen_stats": (
+            # strlen() is DuckDB's BYTE length (= Spark octet_length)
+            "SELECT * FROM ("
+            "SELECT 'lang' AS \"column\", CAST(count(lang) AS BIGINT) AS n_values, "
+            "CAST(sum(strlen(lang)) AS BIGINT) AS sum_bytes, "
+            "CAST(sum(strlen(lang)) AS DOUBLE) / count(lang) AS avg_bytes, "
+            "CAST(min(strlen(lang)) AS BIGINT) AS min_bytes, "
+            "CAST(max(strlen(lang)) AS BIGINT) AS max_bytes FROM documents "
+            "UNION ALL "
+            "SELECT 'text', CAST(count(text) AS BIGINT), "
+            "CAST(sum(strlen(text)) AS BIGINT), "
+            "CAST(sum(strlen(text)) AS DOUBLE) / count(text), "
+            "CAST(min(strlen(text)) AS BIGINT), "
+            "CAST(max(strlen(text)) AS BIGINT) FROM documents"
+            ") ORDER BY \"column\""
         ),
         "compacted_decode": (
             "SELECT CAST(count(*) AS BIGINT) AS n_rows, "

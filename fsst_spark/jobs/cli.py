@@ -301,6 +301,10 @@ def main(argv: list[str] | None = None) -> int:
     sta.add_argument("--data", required=True)
     sta.add_argument("--columns", required=True, help="comma-separated")
     sta.add_argument("--exact-minmax", action="store_true")
+    sta.add_argument("--strlen", action="store_true",
+                     help="octet_length aggregates for string/binary columns "
+                          "(count/sum/avg/min/max of decoded byte lengths) "
+                          "parsed from the encoded form without decoding")
 
     prf = sub.add_parser("profile",
                          help="column profile from metadata alone: rows, "
@@ -650,10 +654,19 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(out))
         elif args.cmd == "stats":
             from fsst_spark.jobs.stats import (encoded_column_minmax,
-                                               encoded_column_stats)
+                                               encoded_column_stats,
+                                               encoded_strlen_stats)
 
             cols = args.columns.split(",")
-            if args.exact_minmax:
+            if args.strlen:
+                out = {r["column"]: {"n_values": r["n_values"],
+                                     "sum_bytes": r["sum_bytes"],
+                                     "avg_bytes": r["avg_bytes"],
+                                     "min_bytes": r["min_bytes"],
+                                     "max_bytes": r["max_bytes"]}
+                       for r in encoded_strlen_stats(spark, args.data,
+                                                     cols).collect()}
+            elif args.exact_minmax:
                 out = {c: encoded_column_minmax(spark, args.data, c)
                        for c in cols}
             else:

@@ -159,6 +159,74 @@ def encoded_column_minmax(spark, out_dir: str, column: str) -> dict:
     return out
 
 
+_STRLEN_TYPES = ("string", "large_string", "binary", "large_binary")
+
+
+def encoded_strlen_stats(spark, out_dir: str, columns: list[str]) -> DataFrame:
+    """Exact ``octet_length`` aggregates (count / sum / avg / min / max of
+    the DECODED byte length) for string/binary columns, WITHOUT decoding.
+
+    Every string codec stores (or implies) value lengths more cheaply than
+    values — str_plain outright, str_fsst via the parse phase only (roles +
+    symbol-length gather + cumsum, no byte scatter), str_dict via the tiny
+    dictionary's lengths gathered by code, str_front as stored prefix lens
+    plus suffix recursion (``codecs.decoded_strlens``). So a
+    ``sum(octet_length(text))`` over a 100 TB store reads the same chunk
+    payloads a decode would but skips the two scatter passes AND the Arrow
+    string build — the dominant costs — and ships back four ints per chunk
+    instead of the chunk's text. Per-chunk partials aggregate JVM-side.
+
+    Returns one row per column: ``(column, n_values, sum_bytes, avg_bytes,
+    min_bytes, max_bytes)`` with SQL semantics (nulls excluded; min/max
+    null on an all-null column; avg a double)."""
+    _require_no_deletes(out_dir, "encoded_strlen_stats")
+    types = column_arrow_types(spark, out_dir)
+    for c in columns:
+        if c not in types:
+            raise KeyError(f"column {c!r} not in encoded data")
+        if types[c] not in _STRLEN_TYPES:
+            raise ValueError(
+                f"octet_length stats are for string/binary columns; "
+                f"column {c!r} is {types[c]}")
+    chunks = _chunks_df(spark, out_dir, list(columns)).select(
+        "column", "codec", "params", "payload")
+    out_schema = pa.schema([("column", pa.string()), ("n", pa.int64()),
+                            ("s", pa.int64()), ("mn", pa.int64()),
+                            ("mx", pa.int64())])
+
+    def task(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..kernel.codecs import decoded_strlens
+
+        for batch in batches:
+            names = batch.column("column").to_pylist()
+            codecs_ = batch.column("codec").to_pylist()
+            params_ = batch.column("params").to_pylist()
+            payloads = batch.column("payload")
+            rows = []
+            for i in range(batch.num_rows):
+                lens, _ = decoded_strlens(
+                    {"codec": codecs_[i], "params": json.loads(params_[i]),
+                     "payload": payloads[i].as_py()})
+                n = int(len(lens))
+                rows.append({"column": names[i], "n": n,
+                             "s": int(lens.sum()) if n else 0,
+                             "mn": int(lens.min()) if n else None,
+                             "mx": int(lens.max()) if n else None})
+            yield pa.RecordBatch.from_pylist(rows, schema=out_schema)
+
+    per_chunk = chunks.mapInArrow(
+        task, "column string, n bigint, s bigint, mn bigint, mx bigint")
+    return (
+        per_chunk.groupBy("column")
+        .agg(F.sum("n").alias("n_values"),
+             F.sum("s").alias("sum_bytes"),
+             (F.sum("s") / F.sum("n")).alias("avg_bytes"),
+             F.min("mn").alias("min_bytes"),
+             F.max("mx").alias("max_bytes"))
+        .orderBy("column")
+    )
+
+
 # mapInArrow batches must match the declared DDL exactly (a large_string
 # against DDL 'string' crashes the JVM ArrowColumnVector)
 _PA_BY_SPARK = {

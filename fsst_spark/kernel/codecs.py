@@ -28,7 +28,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .fsst import deserialize_table, table_to_numpy, train
-from .fsst_vec import EncoderTables, decode_chunk, encode_chunk
+from .fsst_vec import EncoderTables, decode_chunk, decoded_lengths, encode_chunk
 
 Encoded = dict[str, Any]
 
@@ -399,6 +399,61 @@ _INT_DECODERS = {"int_for": decode_int_for, "int_rle": decode_int_rle,
                  "int_plain": decode_int_plain, "int_delta": decode_int_delta}
 _STR_DECODERS = {"str_plain": decode_str_plain, "str_fsst": decode_str_fsst,
                  "str_dict": decode_str_dict, "str_front": decode_str_front}
+
+
+def _strlens_of(enc: Encoded) -> np.ndarray:
+    """Per-row DECODED byte length of a bytes-like encoded section, without
+    materializing any decoded bytes. Every string codec stores (or implies)
+    lengths more cheaply than values:
+
+      str_plain  — the lengths stream is stored outright
+      str_fsst   — parse phase of the decoder only (fsst_vec.decoded_lengths):
+                   roles + symbol-length gather + cumsum, no byte scatter
+      str_dict   — dictionary VALUE lengths (tiny, recursive) gathered by code
+      str_front  — stored prefix lens + recursive suffix lens
+
+    Recursion mirrors the nested-codec layout (`_pack_sections`)."""
+    codec, p = enc["codec"], enc["params"]
+    if codec == "str_plain":
+        _, lp = _split_sections(p, enc["payload"])
+        return decode_int_for({**p["lengths"], "payload": lp})
+    if codec == "str_fsst":
+        table_blob, data, lp = _split_sections(p, enc["payload"])
+        enc_off = _offsets_from_lens(
+            decode_int_for({**p["lengths"], "payload": lp}))
+        symbols, lengths, _ = deserialize_table(table_blob)
+        _, sym_lens = table_to_numpy(symbols, lengths)
+        return decoded_lengths(np.frombuffer(data, dtype=np.uint8), enc_off,
+                               sym_lens)
+    if codec == "str_dict":
+        cp, up = _split_sections(p, enc["payload"])
+        codes = decode_bytes_like({**p["codes"], "payload": cp}, kind="int")
+        return _strlens_of({**p["values"], "payload": up})[codes]
+    if codec == "str_front":
+        pp, sp = _split_sections(p, enc["payload"])
+        plens = decode_bytes_like({**p["plens"], "payload": pp}, kind="int")
+        return plens + _strlens_of({**p["suffix"], "payload": sp})
+    raise NotImplementedError(f"decoded_strlens: not a string codec: {codec}")
+
+
+def decoded_strlens(enc: Encoded) -> tuple[np.ndarray, np.ndarray | None]:
+    """Decode-free ``octet_length`` of a string/binary column chunk.
+
+    Returns ``(lens, mask)``: ``lens`` is int64 per NON-NULL row in order;
+    ``mask`` is the validity bool array over all rows (None when the chunk
+    has no nulls). Aggregates over an encoded store (sum/avg/min/max of
+    value sizes, token-budget accounting) use this instead of
+    :func:`decode_column` — same chunk payload read, but the decoder's
+    byte-scatter passes and the Arrow string build are skipped entirely."""
+    params = enc["params"]
+    payload = enc["payload"]
+    mask = None
+    if "n_total" in params:
+        vlen = params["validity_len"]
+        payload, vbits = payload[:vlen], payload[vlen:]
+        mask = np.unpackbits(np.frombuffer(vbits, dtype=np.uint8),
+                             bitorder="little")[: params["n_total"]].astype(bool)
+    return _strlens_of({**enc, "payload": payload}), mask
 
 
 # ---------------------------------------------------------------------------

@@ -319,3 +319,58 @@ def decode_chunk(
 
     row_out = cum[offsets[1:]] - cum[offsets[:-1]]
     return out, _exclusive_cumsum(row_out)
+
+
+def decoded_lengths(
+    codes: np.ndarray, offsets: np.ndarray, sym_lens: np.ndarray,
+) -> np.ndarray:
+    """Per-row DECODED byte length of ``n`` FSST streams — the parse phase
+    of :func:`decode_chunk` (escape-run parity -> roles, gather symbol
+    lengths, cumsum) with the byte-scatter passes skipped entirely.
+
+    This is what length/size aggregates over an encoded store need: a
+    ``sum(octet_length(text))`` over 100 TB never has to materialize a
+    single decoded string — it reads the code streams and does five numpy
+    passes. Returns ``int64[n]``; raises on corrupt streams exactly like
+    ``decode_chunk`` (mirrors the decode loop of reference
+    src/lib.rs:255-303, minus the output writes)."""
+    offsets = np.asarray(offsets, dtype=np.int64)
+    n = len(offsets) - 1
+    nbytes = int(offsets[-1])
+    if nbytes == 0:
+        return np.zeros(n, dtype=np.int64)
+    b = np.asarray(codes[:nbytes], dtype=np.uint8)
+
+    e = b == 255
+    row_starts = offsets[:-1][offsets[:-1] < nbytes]
+    out_len = np.empty(nbytes, dtype=np.int64)
+    if e.any():
+        prev_e = np.empty_like(e)
+        prev_e[0] = False
+        prev_e[1:] = e[:-1]
+        prev_e[row_starts] = False  # runs never span row boundaries
+        run_start = e & ~prev_e
+        run_start_pos = np.flatnonzero(run_start)
+        run_id = np.cumsum(run_start) - 1
+        off_in_run = np.arange(nbytes, dtype=np.int64) - run_start_pos[run_id]
+        is_escape = e & ((off_in_run & 1) == 0)
+        is_literal = np.zeros(nbytes, dtype=bool)
+        is_literal[1:] = is_escape[:-1]
+        is_literal[row_starts] = False
+        is_code = ~(is_escape | is_literal)
+        row_last = offsets[1:] - 1
+        row_last = row_last[row_last >= offsets[:-1]]
+        if is_escape[row_last].any():
+            raise ValueError("corrupt FSST stream: escape byte at end of input")
+        out_len[:] = 0
+        out_len[is_literal] = 1
+        code_lens = sym_lens[b[is_code]].astype(np.int64)
+        if not code_lens.all():
+            raise ValueError("corrupt FSST stream: code outside the symbol table")
+        out_len[is_code] = code_lens
+    else:
+        out_len[:] = sym_lens[b]
+        if not out_len.all():
+            raise ValueError("corrupt FSST stream: code outside the symbol table")
+    cum = _exclusive_cumsum(out_len)
+    return cum[offsets[1:]] - cum[offsets[:-1]]

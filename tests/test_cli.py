@@ -158,6 +158,15 @@ def test_cli_stats_and_cluster_by(tmp_path):
     ).fetchone()
     assert e["url"]["min"] == mn and e["url"]["max"] == mx
     assert e["lang"]["n_chunks_decoded"] >= 1
+    sl = _run("stats", "--data", enc, "--columns", "url,text", "--strlen")
+    n, sm, mnb, mxb = duckdb.sql(
+        f"SELECT count(url), sum(strlen(url)), min(strlen(url)), "
+        f"max(strlen(url)) FROM read_parquet('{src}/*.parquet')").fetchone()
+    assert sl["url"] == {"n_values": n, "sum_bytes": sm,
+                         "avg_bytes": sl["url"]["avg_bytes"],
+                         "min_bytes": mnb, "max_bytes": mxb}
+    assert abs(sl["url"]["avg_bytes"] - sm / n) < 1e-9
+    assert sl["text"]["sum_bytes"] >= sl["text"]["n_values"]
 
 
 def test_cli_topk_and_distinct(tmp_path):
