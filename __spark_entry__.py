@@ -1154,6 +1154,60 @@ def q_encoded_group_sum(spark, sf_dir):
         "value string, cnt bigint, sum_val bigint")
 
 
+def q_strlen_group(spark, sf_dir):
+    """GROUP BY key over byte lengths of a string column, the string
+    column never decoded: per-key count/sum/avg/min/max octet_length from
+    codec length structure (agg.encoded_group_strlen) — per-language text
+    byte accounting, the first crawl/token-budget question. Must equal
+    SQL aggregates of octet_length over the source table."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.agg import encoded_group_strlen
+    from fsst_spark.jobs.encode import encode_job
+
+    out = tempfile.mkdtemp(prefix="fsst_gsl_q_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+        encode_job(spark, docs, out, num_partitions=4, chunk_bytes=64 << 10,
+                   resume=False, unique_col="doc_id").collect()
+        rows = (encoded_group_strlen(spark, out, "lang", "text")
+                .orderBy("value").collect())
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["value"], r["n_rows"], r["n_values"], r["sum_bytes"],
+          r["avg_bytes"], r["min_bytes"], r["max_bytes"]) for r in rows],
+        "value string, n_rows bigint, n_values bigint, sum_bytes bigint, "
+        "avg_bytes double, min_bytes bigint, max_bytes bigint")
+
+
+def q_group_ndv(spark, sf_dir):
+    """Exact count(DISTINCT val) per key over the encoded store: each
+    chunk reduces to its distinct (key, value) pairs before the shuffle
+    (dict-code fast path on both columns — agg.encoded_group_ndv), so the
+    shuffle is pair-NDV-scale, not row-scale. Must equal SQL
+    count(DISTINCT source) GROUP BY lang."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.agg import encoded_group_ndv
+    from fsst_spark.jobs.encode import encode_job
+
+    out = tempfile.mkdtemp(prefix="fsst_gndv_q_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+        encode_job(spark, docs, out, num_partitions=4, chunk_bytes=64 << 10,
+                   resume=False, unique_col="doc_id").collect()
+        rows = (encoded_group_ndv(spark, out, "lang", "source")
+                .orderBy("value").collect())
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["value"], r["ndv"]) for r in rows],
+        "value string, ndv bigint")
+
+
 def q_filtered_group_sum(spark, sf_dir):
     """WHERE + GROUP BY pushdown over the encoded store: zone maps and
     dict dictionaries prune non-matching chunks before any payload read,
@@ -2285,6 +2339,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compacted_decode": q_compacted_decode,
         "encoded_group_count": q_encoded_group_count,
         "encoded_group_sum": q_encoded_group_sum,
+        "strlen_group": q_strlen_group,
+        "group_ndv": q_group_ndv,
         "filtered_group_sum": q_filtered_group_sum,
         "count_where": q_count_where,
         "zorder_count": q_zorder_count,
@@ -2868,6 +2924,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang AS value, CAST(count(*) AS BIGINT) AS cnt, "
             "CAST(sum(n_chars) AS BIGINT) AS sum_val "
             "FROM documents GROUP BY lang ORDER BY value"
+        ),
+        "strlen_group": (
+            # strlen() is DuckDB's BYTE length (= Spark octet_length)
+            "SELECT lang AS value, CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(count(text) AS BIGINT) AS n_values, "
+            "CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes, "
+            "CAST(sum(strlen(text)) AS DOUBLE) / count(text) AS avg_bytes, "
+            "CAST(min(strlen(text)) AS BIGINT) AS min_bytes, "
+            "CAST(max(strlen(text)) AS BIGINT) AS max_bytes "
+            "FROM documents GROUP BY lang ORDER BY value"
+        ),
+        "group_ndv": (
+            "SELECT lang AS value, CAST(count(DISTINCT source) AS BIGINT) "
+            "AS ndv FROM documents GROUP BY lang ORDER BY value"
         ),
         "filtered_group_sum": (
             "SELECT lang AS value, CAST(count(*) AS BIGINT) AS cnt, "

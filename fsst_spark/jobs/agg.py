@@ -205,6 +205,21 @@ def _conj_mask(cols: dict[str, dict], filters: list[tuple],
     return mask
 
 
+def _chunk_key_codes(kenc: dict, kt: pa.DataType,
+                     karr: pa.Array | None) -> tuple[np.ndarray, pa.Array, int]:
+    """Per-row int64 group codes for one chunk's key column -> (codes with
+    K meaning null, dictionary values, K). Dict-coded null-free key chunks
+    use their stored CODE array directly — the expanded key strings are
+    never materialized; everything else decodes then dictionary-encodes."""
+    if karr is None and kenc["codec"] == "str_dict" and "n_total" not in kenc["params"]:
+        p = kenc["params"]
+        cp, up = _split_sections(p, kenc["payload"])
+        codes = decode_bytes_like({**p["codes"], "payload": cp}, kind="int").astype(np.int64)
+        ubuf, uoff = decode_bytes_like({**p["values"], "payload": up}, kind="str")
+        return codes, _bytes_to_arrow(ubuf, uoff, kt, None), len(uoff) - 1
+    return _group_codes(karr if karr is not None else decode_column(kenc))
+
+
 def _group_partial(kenc: dict, kt: pa.DataType, mask: np.ndarray | None,
                    karr: pa.Array | None = None,
                    venc: dict | None = None, varr: pa.Array | None = None,
@@ -215,15 +230,7 @@ def _group_partial(kenc: dict, kt: pa.DataType, mask: np.ndarray | None,
     array — the expanded key strings are never materialized.
     ``drop_pos`` (row positions to exclude — delete tombstones) folds
     into the mask once the chunk length is known."""
-    if karr is None and kenc["codec"] == "str_dict" and "n_total" not in kenc["params"]:
-        p = kenc["params"]
-        cp, up = _split_sections(p, kenc["payload"])
-        codes = decode_bytes_like({**p["codes"], "payload": cp}, kind="int").astype(np.int64)
-        ubuf, uoff = decode_bytes_like({**p["values"], "payload": up}, kind="str")
-        dictv, k = _bytes_to_arrow(ubuf, uoff, kt, None), len(uoff) - 1
-    else:
-        codes, dictv, k = _group_codes(karr if karr is not None
-                                       else decode_column(kenc))
+    codes, dictv, k = _chunk_key_codes(kenc, kt, karr)
     if drop_pos is not None and len(drop_pos):
         keep = np.ones(len(codes), dtype=bool)
         keep[drop_pos[drop_pos < len(codes)]] = False
@@ -633,3 +640,213 @@ def encoded_count_filtered(spark, out_dir: str,
         F.sum(F.when(F.col("can") & ~F.col("all_rows"), 1).otherwise(0))
         .alias("chunks_decoded"))
     return total.crossJoin(obs)
+
+
+def encoded_group_strlen(spark, out_dir: str, key_col: str, str_col: str,
+                         filters: list[tuple] | None = None) -> DataFrame:
+    """``SELECT key, count(*) AS n_rows, count(str) AS n_values,
+    sum(octet_length(str)) AS sum_bytes, avg/min/max(octet_length(str))
+    GROUP BY key`` over an encoded store — the string column is NEVER
+    decoded.
+
+    Per-group size accounting is the first thing a crawl-budget or
+    token-budget pipeline asks of a web corpus ("bytes of text per
+    language / per host"), and it needs only the DECODED LENGTH of each
+    value: ``kernel.codecs.decoded_strlens`` recovers per-row byte lengths
+    from codec structure alone (str_fsst runs the decoder's parse phase
+    and skips the byte-scatter passes and the Arrow string build; dict /
+    front / plain read their stored length streams). The key column keeps
+    the dict-code fast path of :func:`encoded_group_count`. Each chunk
+    reduces to NDV-scale partial rows in the scan task, so the one shuffle
+    is NDV-scale — at 10^12 documents a ``GROUP BY lang`` over text bytes
+    ships a few dozen ints per chunk.
+
+    SQL semantics throughout: null keys form their own group; null string
+    values count toward ``n_rows`` but not ``n_values``; ``sum/avg/min/max``
+    are NULL for a group with no non-null values. ``filters`` adds a
+    conjunctive WHERE with the shared zone/dict/bloom chunk pruning.
+    Delete-aware: tombstoned positions drop out of every aggregate
+    chunk-locally."""
+    types = column_arrow_types(spark, out_dir)
+    for c in (key_col, str_col):
+        if c not in types:
+            raise KeyError(f"column {c!r} not in encoded data")
+    if types[str_col] not in _STRINGY:
+        raise ValueError(
+            f"octet_length stats are for string/binary columns; "
+            f"column {str_col!r} is {types[str_col]}")
+    kt = parse_arrow_type(types[key_col])
+    flt = list(filters or [])
+    needed = [key_col]
+    if str_col != key_col:
+        needed.append(str_col)
+    for f in flt:
+        if f[0] not in types:
+            raise KeyError(f"column {f[0]!r} not in encoded data")
+        if f[0] not in needed:
+            needed.append(f[0])
+    chunks = pruned_chunks(spark, out_dir, needed, flt)
+    chunks = chunk_repartition(
+        spark, chunks.select("pid", "chunk_id", "column", "codec",
+                             "params", "payload"), out_dir)
+    from ..kernel.codecs import decoded_strlens
+    from .deletes import has_deletes
+
+    deletes_on = has_deletes(out_dir)
+
+    def task(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .deletes import DeleteMask
+
+        dmask = DeleteMask(out_dir) if deletes_on else None
+        for key, cols in _assembled_chunks(batches, needed, with_keys=True):
+            decoded: dict[str, pa.Array] = {}
+            mask = _conj_mask(cols, flt, types, decoded)
+            if mask is not None and not mask.any():
+                continue
+            codes, dictv, k = _chunk_key_codes(
+                cols[key_col], kt, decoded.get(key_col))
+            n = len(codes)
+            lens, vmask = decoded_strlens(cols[str_col])
+            valid = np.ones(n, dtype=bool) if vmask is None else vmask
+            full = np.zeros(n, dtype=np.int64)
+            full[valid] = lens
+            keep = np.ones(n, dtype=bool) if mask is None else mask.copy()
+            if dmask is not None:
+                pos = dmask.positions(*key)
+                if pos is not None and len(pos):
+                    keep[pos[pos < n]] = False
+            if not keep.any():
+                continue
+            sel = keep & valid
+            n_rows = np.bincount(codes[keep], minlength=k + 1).astype(np.int64)
+            n_vals = np.bincount(codes[sel], minlength=k + 1).astype(np.int64)
+            s = np.zeros(k + 1, dtype=np.int64)
+            np.add.at(s, codes[sel], full[sel])
+            mn = np.full(k + 1, np.iinfo(np.int64).max, dtype=np.int64)
+            mx = np.full(k + 1, np.iinfo(np.int64).min, dtype=np.int64)
+            np.minimum.at(mn, codes[sel], full[sel])
+            np.maximum.at(mx, codes[sel], full[sel])
+            present = n_rows > 0
+            has_v = n_vals > 0
+            values = pa.concat_arrays([dictv.cast(kt), pa.nulls(1, kt)])
+            yield pa.RecordBatch.from_arrays(
+                [values.filter(pa.array(present)),
+                 pa.array(n_rows[present], type=pa.int64()),
+                 pa.array(n_vals[present], type=pa.int64()),
+                 pa.array(s[present], type=pa.int64()),
+                 pa.array([int(v) if h else None
+                           for v, h in zip(mn[present], has_v[present])],
+                          type=pa.int64()),
+                 pa.array([int(v) if h else None
+                           for v, h in zip(mx[present], has_v[present])],
+                          type=pa.int64())],
+                names=["value", "n_rows", "n_values", "s", "mn", "mx"])
+
+    ddl = (f"value {_spark_type(types[key_col])}, n_rows bigint, "
+           "n_values bigint, s bigint, mn bigint, mx bigint")
+    part = chunks.mapInArrow(task, ddl)
+    agg = part.groupBy("value").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_values").alias("n_values"),
+        F.sum("s").alias("_s"),
+        F.min("mn").alias("min_bytes"),
+        F.max("mx").alias("max_bytes"))
+    nv = F.col("n_values")
+    return agg.select(
+        "value", "n_rows", "n_values",
+        F.when(nv > 0, F.col("_s")).alias("sum_bytes"),
+        F.when(nv > 0, F.col("_s") / nv).alias("avg_bytes"),
+        "min_bytes", "max_bytes")
+
+
+def encoded_group_ndv(spark, out_dir: str, key_col: str, val_col: str,
+                      filters: list[tuple] | None = None) -> DataFrame:
+    """Exact ``SELECT key, count(DISTINCT val) AS ndv GROUP BY key`` over
+    an encoded store.
+
+    Each scan task reduces a chunk to its DISTINCT (key, value) pairs
+    before anything shuffles: both columns go through the dict-code fast
+    path when available (a dict-coded chunk contributes at most
+    |key dict| x |val dict| pairs and usually far fewer), others decode
+    chunk-locally then unique. The shuffle therefore carries per-chunk
+    distinct pairs — for a ``GROUP BY lang, count(DISTINCT source)`` over
+    10^12 rows that is a few dozen pairs per chunk; for a genuinely
+    high-NDV value column (urls) it honestly degrades toward row scale,
+    which is what EXACT distinct costs on any engine. The final
+    ``countDistinct`` is Spark's built-in two-phase distinct aggregate.
+
+    SQL semantics: null keys form their own group; null values never
+    count toward ndv (a group with only null values reports 0).
+    ``filters`` adds a conjunctive WHERE with zone/dict/bloom chunk
+    pruning; delete tombstones drop chunk-locally."""
+    types = column_arrow_types(spark, out_dir)
+    for c in (key_col, val_col):
+        if c not in types:
+            raise KeyError(f"column {c!r} not in encoded data")
+    kt = parse_arrow_type(types[key_col])
+    vt = parse_arrow_type(types[val_col])
+    flt = list(filters or [])
+    needed = [key_col]
+    if val_col != key_col:
+        needed.append(val_col)
+    for f in flt:
+        if f[0] not in types:
+            raise KeyError(f"column {f[0]!r} not in encoded data")
+        if f[0] not in needed:
+            needed.append(f[0])
+    chunks = pruned_chunks(spark, out_dir, needed, flt)
+    chunks = chunk_repartition(
+        spark, chunks.select("pid", "chunk_id", "column", "codec",
+                             "params", "payload"), out_dir)
+    from .deletes import has_deletes
+
+    deletes_on = has_deletes(out_dir)
+
+    def task(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .deletes import DeleteMask
+
+        dmask = DeleteMask(out_dir) if deletes_on else None
+        for key, cols in _assembled_chunks(batches, needed, with_keys=True):
+            decoded: dict[str, pa.Array] = {}
+            mask = _conj_mask(cols, flt, types, decoded)
+            if mask is not None and not mask.any():
+                continue
+            kcodes, kdict, k = _chunk_key_codes(
+                cols[key_col], kt, decoded.get(key_col))
+            if val_col == key_col:
+                vcodes, vdict, kv = kcodes, kdict, k
+            else:
+                vcodes, vdict, kv = _chunk_key_codes(
+                    cols[val_col], vt, decoded.get(val_col))
+            n = len(kcodes)
+            keep = np.ones(n, dtype=bool) if mask is None else mask.copy()
+            if dmask is not None:
+                pos = dmask.positions(*key)
+                if pos is not None and len(pos):
+                    keep[pos[pos < n]] = False
+            if not keep.any():
+                continue
+            kvals = pa.concat_arrays([kdict.cast(kt), pa.nulls(1, kt)])
+            # distinct (key, value) code pairs of this chunk, then expand
+            # codes back to values — pairs only, never the row stream;
+            # null values never count toward ndv
+            sel = keep & (vcodes < kv)
+            pair = kcodes[sel] * np.int64(kv) + vcodes[sel]
+            upair = np.unique(pair)
+            uk = (upair // kv).astype(np.int64)
+            uv = (upair % kv).astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [kvals.take(pa.array(uk, type=pa.int64())),
+                 vdict.cast(vt).take(pa.array(uv, type=pa.int64()))],
+                names=["value", "val"])
+            # key-presence rows: a group whose values are all null must
+            # still appear (with ndv = 0) — countDistinct ignores null val
+            yield pa.RecordBatch.from_arrays(
+                [kvals.take(pa.array(np.unique(kcodes[keep]), type=pa.int64())),
+                 pa.nulls(int(len(np.unique(kcodes[keep]))), vt)],
+                names=["value", "val"])
+
+    ddl = (f"value {_spark_type(types[key_col])}, "
+           f"val {_spark_type(types[val_col])}")
+    pairs = chunks.mapInArrow(task, ddl)
+    return pairs.groupBy("value").agg(F.count_distinct("val").alias("ndv"))

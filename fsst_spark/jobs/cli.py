@@ -399,6 +399,16 @@ def main(argv: list[str] | None = None) -> int:
     grp.add_argument("--data", required=True)
     grp.add_argument("--key", required=True, help="group-by column")
     grp.add_argument("--sum", default=None, help="int/float column to sum")
+    grp.add_argument("--strlen", default=None, metavar="COL",
+                     help="string/binary column: per-key count/sum/avg/"
+                          "min/max of decoded byte lengths (octet_length) "
+                          "parsed from the encoded form — the column is "
+                          "never decoded")
+    grp.add_argument("--ndv", default=None, metavar="COL",
+                     help="exact count(DISTINCT COL) per key: chunks "
+                          "reduce to their distinct (key, value) pairs "
+                          "before the shuffle (dict codes on both sides "
+                          "where available)")
     grp.add_argument("--limit", type=int, default=50)
     grp.add_argument("--where", action="append", default=None,
                      metavar="COL:OP:VALUE",
@@ -799,11 +809,19 @@ def main(argv: list[str] | None = None) -> int:
                               "rows": sum(r["n_rows"] for r in rows)}))
         elif args.cmd == "group-stats":
             from fsst_spark.jobs.agg import (encoded_group_count,
+                                             encoded_group_ndv,
+                                             encoded_group_strlen,
                                              encoded_group_sum)
 
             filters = (_parse_where(spark, args.data, args.where)
                        if args.where else None)
-            if args.sum:
+            if args.ndv:
+                df = encoded_group_ndv(spark, args.data, args.key,
+                                       args.ndv, filters=filters)
+            elif args.strlen:
+                df = encoded_group_strlen(spark, args.data, args.key,
+                                          args.strlen, filters=filters)
+            elif args.sum:
                 df = encoded_group_sum(spark, args.data, args.key, args.sum,
                                        filters=filters)
             else:

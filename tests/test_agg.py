@@ -5,7 +5,9 @@ equal plain DataFrame aggregation over the source."""
 import pytest
 from pyspark.sql import functions as F
 
-from fsst_spark.jobs.agg import encoded_group_count, encoded_group_sum
+from fsst_spark.jobs.agg import (encoded_group_count, encoded_group_ndv,
+                                 encoded_group_strlen,
+                                 encoded_group_sum)
 from fsst_spark.jobs.encode import encode_job
 
 
@@ -166,3 +168,154 @@ def test_arrow_mask_float_sql_semantics():
         False, True, False, False, False, False]
     assert _arrow_mask(arr, "<", float("nan"), "double").tolist() == [
         True, False, True, True, True, False]
+
+
+@pytest.fixture(scope="module")
+def strlen_store(spark, tmp_path_factory):
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "lang", "text")
+        .withColumn("lang", F.when(F.col("doc_id") % 97 == 0, None)
+                    .otherwise(F.col("lang")))
+        .withColumn("text", F.when(F.col("doc_id") % 11 == 0, None)
+                    .otherwise(F.col("text")))
+    )
+    docs.persist().count()
+    out = str(tmp_path_factory.mktemp("strlen_store"))
+    encode_job(spark, docs, out, num_partitions=4, chunk_bytes=64 << 10,
+               resume=False, unique_col="doc_id").collect()
+    yield docs, out
+    docs.unpersist()
+
+
+def _strlen_expected(docs):
+    return {
+        r["value"]: r
+        for r in docs.groupBy(F.col("lang").alias("value")).agg(
+            F.count("*").alias("n_rows"),
+            F.count("text").alias("n_values"),
+            F.sum(F.octet_length("text")).alias("sum_bytes"),
+            F.avg(F.octet_length("text")).alias("avg_bytes"),
+            F.min(F.octet_length("text")).alias("min_bytes"),
+            F.max(F.octet_length("text")).alias("max_bytes")).collect()}
+
+
+def _strlen_assert_equal(got, exp):
+    assert set(got) == set(exp)
+    for k in exp:
+        for c in ("n_rows", "n_values", "sum_bytes", "min_bytes", "max_bytes"):
+            assert got[k][c] == exp[k][c], (k, c)
+        if exp[k]["avg_bytes"] is None:
+            assert got[k]["avg_bytes"] is None, k
+        else:
+            assert got[k]["avg_bytes"] == pytest.approx(exp[k]["avg_bytes"])
+
+
+def test_group_strlen_matches_dataframe_agg(spark, strlen_store):
+    docs, out = strlen_store
+    got = {r["value"]: r
+           for r in encoded_group_strlen(spark, out, "lang", "text").collect()}
+    _strlen_assert_equal(got, _strlen_expected(docs))
+    assert None in got  # null keys form their own group
+
+
+def test_group_strlen_filtered(spark, strlen_store):
+    docs, out = strlen_store
+    got = {r["value"]: r
+           for r in encoded_group_strlen(
+               spark, out, "lang", "text",
+               filters=[("doc_id", ">=", 100), ("doc_id", "<", 400)]).collect()}
+    _strlen_assert_equal(
+        got, _strlen_expected(docs.filter("doc_id >= 100 AND doc_id < 400")))
+
+
+def test_group_strlen_delete_aware(spark, tmp_path):
+    from fsst_spark.jobs.deletes import delete_where
+
+    docs = (spark.range(0, 900)
+            .select(F.col("id").alias("doc_id"),
+                    F.element_at(F.array(F.lit("de"), F.lit("en"), F.lit("fr")),
+                                 ((F.col("id") % 3) + 1).cast("int")).alias("lang"),
+                    F.concat(F.lit("päge 😀 "),
+                             (F.col("id") % 53).cast("string")).alias("text")))
+    out = str(tmp_path / "store")
+    encode_job(spark, docs, out, num_partitions=3, chunk_bytes=8 << 10,
+               resume=False, unique_col="doc_id").collect()
+    delete_where(spark, out, "doc_id", "<", 300)
+    got = {r["value"]: r
+           for r in encoded_group_strlen(spark, out, "lang", "text").collect()}
+    _strlen_assert_equal(got, _strlen_expected(docs.filter("doc_id >= 300")))
+
+
+def test_group_strlen_all_null_group_and_guards(spark, tmp_path):
+    docs = (spark.range(0, 200)
+            .select(F.col("id").alias("doc_id"),
+                    F.when(F.col("id") % 2 == 0, F.lit("evens"))
+                    .otherwise(F.lit("odds")).alias("lang"),
+                    # the whole "odds" group has NULL text -> sum/avg/min/max NULL
+                    F.when(F.col("id") % 2 == 0, F.lit("some text"))
+                    .alias("text")))
+    out = str(tmp_path / "store")
+    encode_job(spark, docs, out, chunk_bytes=1 << 20, resume=False,
+               pre_partitioned=True, unique_col="doc_id").collect()
+    got = {r["value"]: r
+           for r in encoded_group_strlen(spark, out, "lang", "text").collect()}
+    assert got["odds"]["n_rows"] == 100 and got["odds"]["n_values"] == 0
+    for c in ("sum_bytes", "avg_bytes", "min_bytes", "max_bytes"):
+        assert got["odds"][c] is None
+    assert got["evens"]["sum_bytes"] == 100 * len("some text")
+    with pytest.raises(ValueError, match="string/binary"):
+        encoded_group_strlen(spark, out, "lang", "doc_id")
+    with pytest.raises(KeyError):
+        encoded_group_strlen(spark, out, "lang", "nope")
+
+
+def test_group_ndv_matches_dataframe_agg(spark, strlen_store):
+    docs, out = strlen_store
+    got = sorted(((r["value"], r["ndv"])
+                  for r in encoded_group_ndv(spark, out, "lang", "text").collect()),
+                 key=lambda t: (t[0] is None, t[0]))
+    want = sorted(((r["lang"], r["ndv"]) for r in docs.groupBy("lang").agg(
+        F.count_distinct("text").alias("ndv")).collect()),
+                  key=lambda t: (t[0] is None, t[0]))
+    assert got == want
+    assert any(v is None for v, _ in got)  # null keys form their own group
+
+
+def test_group_ndv_filtered_int_value(spark, docs_with_nulls, enc_store):
+    flt = [("doc_id", ">=", 100), ("doc_id", "<", 420)]
+    got = sorted(((r["value"], r["ndv"]) for r in encoded_group_ndv(
+        spark, enc_store, "lang", "n_chars", filters=flt).collect()),
+        key=lambda t: (t[0] is None, t[0]))
+    want = sorted(((r["lang"], r["ndv"])
+                   for r in docs_with_nulls
+                   .filter("doc_id >= 100 AND doc_id < 420")
+                   .groupBy("lang")
+                   .agg(F.count_distinct("n_chars").alias("ndv")).collect()),
+                  key=lambda t: (t[0] is None, t[0]))
+    assert got == want
+
+
+def test_group_ndv_all_null_group_and_deletes(spark, tmp_path):
+    from fsst_spark.jobs.deletes import delete_where
+
+    docs = (spark.range(0, 600)
+            .select(F.col("id").alias("doc_id"),
+                    F.when(F.col("id") % 2 == 0, F.lit("evens"))
+                    .otherwise(F.lit("odds")).alias("lang"),
+                    # "odds" group: every value NULL -> must appear with ndv 0
+                    F.when(F.col("id") % 2 == 0,
+                           (F.col("id") % 7).cast("string")).alias("src")))
+    out = str(tmp_path / "store")
+    encode_job(spark, docs, out, chunk_bytes=4 << 10, resume=False,
+               pre_partitioned=True, unique_col="doc_id").collect()
+    got = {r["value"]: r["ndv"]
+           for r in encoded_group_ndv(spark, out, "lang", "src").collect()}
+    assert got == {"evens": 7, "odds": 0}
+    delete_where(spark, out, "doc_id", ">=", 300)
+    got2 = {r["value"]: r["ndv"]
+            for r in encoded_group_ndv(spark, out, "lang", "src").collect()}
+    want2 = {r["lang"]: r["ndv"]
+             for r in docs.filter("doc_id < 300").groupBy("lang").agg(
+                 F.count_distinct("src").alias("ndv")).collect()}
+    assert got2 == want2

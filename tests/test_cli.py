@@ -80,6 +80,15 @@ def test_cli_compact_and_group_stats(tmp_path):
         f"SELECT lang, count(*) FROM read_parquet('{src}/*.parquet') "
         "GROUP BY lang ORDER BY lang").fetchall()
     assert [(row["value"], row["cnt"]) for row in g] == want
+    gs = _run("group-stats", "--data", cmp_, "--key", "lang",
+              "--strlen", "text")
+    want_sl = duckdb.sql(
+        f"SELECT lang, count(*), count(text), sum(strlen(text)), "
+        f"min(strlen(text)), max(strlen(text)) "
+        f"FROM read_parquet('{src}/*.parquet') GROUP BY lang ORDER BY lang"
+    ).fetchall()
+    assert [(row["value"], row["n_rows"], row["n_values"], row["sum_bytes"],
+             row["min_bytes"], row["max_bytes"]) for row in gs] == want_sl
     c = _run("count", "--data", cmp_, "--where", "lang:==:en")
     want_n = duckdb.sql(
         f"SELECT count(*) FROM read_parquet('{src}/*.parquet') "
