@@ -1208,6 +1208,32 @@ def q_group_ndv(spark, sf_dir):
         "value string, ndv bigint")
 
 
+def q_histogram(spark, sf_dir):
+    """Exact equi-width histogram over the encoded store, answered
+    tri-state from zone metadata: on a store clustered by the column,
+    null-free single-bucket chunks count from n_rows with no payload
+    read; only bucket-straddling chunks decode (agg.encoded_histogram).
+    Must equal SQL floor(n_chars/200) GROUP BY."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.agg import encoded_histogram
+    from fsst_spark.jobs.encode import encode_job
+
+    out = tempfile.mkdtemp(prefix="fsst_hist_q_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+        encode_job(spark, docs, out, num_partitions=4, chunk_bytes=16 << 10,
+                   resume=False, unique_col="doc_id",
+                   sort_key="n_chars").collect()
+        rows = (encoded_histogram(spark, out, "n_chars", 200)
+                .orderBy(F.col("bucket").asc_nulls_last()).collect())
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["bucket"], r["cnt"]) for r in rows], "bucket bigint, cnt bigint")
+
+
 def q_filtered_group_sum(spark, sf_dir):
     """WHERE + GROUP BY pushdown over the encoded store: zone maps and
     dict dictionaries prune non-matching chunks before any payload read,
@@ -2341,6 +2367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoded_group_sum": q_encoded_group_sum,
         "strlen_group": q_strlen_group,
         "group_ndv": q_group_ndv,
+        "histogram": q_histogram,
         "filtered_group_sum": q_filtered_group_sum,
         "count_where": q_count_where,
         "zorder_count": q_zorder_count,
@@ -2938,6 +2965,11 @@ def oracle_sql() -> dict[str, str]:
         "group_ndv": (
             "SELECT lang AS value, CAST(count(DISTINCT source) AS BIGINT) "
             "AS ndv FROM documents GROUP BY lang ORDER BY value"
+        ),
+        "histogram": (
+            "SELECT CAST(floor(n_chars / 200) AS BIGINT) AS bucket, "
+            "CAST(count(*) AS BIGINT) AS cnt FROM documents "
+            "GROUP BY bucket ORDER BY bucket NULLS LAST"
         ),
         "filtered_group_sum": (
             "SELECT lang AS value, CAST(count(*) AS BIGINT) AS cnt, "

@@ -850,3 +850,123 @@ def encoded_group_ndv(spark, out_dir: str, key_col: str, val_col: str,
            f"val {_spark_type(types[val_col])}")
     pairs = chunks.mapInArrow(task, ddl)
     return pairs.groupBy("value").agg(F.count_distinct("val").alias("ndv"))
+
+
+def encoded_histogram(spark, out_dir: str, column: str, bucket_width: int,
+                      filters: list[tuple] | None = None) -> DataFrame:
+    """Exact equi-width histogram ``SELECT floor(col / w) AS bucket,
+    count(*) AS cnt GROUP BY bucket`` over an int column of an encoded
+    store, answered tri-state from zone metadata wherever possible.
+
+    A null-free chunk whose exact zone bounds satisfy
+    ``zmin // w == zmax // w`` lies ENTIRELY inside one bucket — it
+    contributes ``(bucket, n_rows)`` from metadata with no payload read.
+    Only bucket-straddling (or null-carrying) chunks decode, and then only
+    this column. On a store clustered by ``column`` almost every chunk is
+    single-bucket, so a 100 TB histogram reads a handful of boundary
+    payloads — the same shape as ``encoded_count_filtered`` but for the
+    whole distribution at once.
+
+    SQL semantics: the null bucket appears as a NULL row (GROUP BY groups
+    nulls); floor division rounds toward -inf (matches SQL
+    ``floor(x / w)`` for positive ``w``). Delete-aware: a full-bucket
+    chunk subtracts its tombstone count from metadata (every tombstoned
+    row was in that same bucket); decoded chunks mask positions. With
+    ``filters`` the metadata arm is skipped (every surviving chunk
+    decodes — the conjunction needs exact row masks anyway)."""
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be a positive int")
+    types = column_arrow_types(spark, out_dir)
+    if column not in types:
+        raise KeyError(f"column {column!r} not in encoded data")
+    if types[column] not in _INT_LIKE:
+        raise ValueError(
+            f"encoded_histogram needs an int column; {column!r} is "
+            f"{types[column]} (use encoded_group_count for categoricals)")
+    flt = list(filters or [])
+    needed = [column]
+    for f in flt:
+        if f[0] not in types:
+            raise KeyError(f"column {f[0]!r} not in encoded data")
+        if f[0] not in needed:
+            needed.append(f[0])
+    chunks = pruned_chunks(spark, out_dir, needed, flt)
+    from .deletes import _deletes_dir, has_deletes
+
+    deletes_on = has_deletes(out_dir)
+    w = int(bucket_width)
+
+    if not flt and "zmin_long" in chunks.columns:
+        z = chunks.filter(F.col("column") == column).select(
+            "pid", "chunk_id", "n_rows", "zmin_long", "zmax_long",
+            F.col("params").contains('"n_total"').alias("has_nulls"))
+        # exact int64 floor division (x - pmod(x, w)) div w — Spark's `/`
+        # is double division and loses integers past 2^53
+        def _fdiv(col: str):
+            return F.expr(f"({col} - pmod({col}, {w})) div {w}")
+
+        full = (F.col("zmin_long").isNotNull() & ~F.col("has_nulls")
+                & (_fdiv("zmin_long") == _fdiv("zmax_long")))
+        cls = z.select("pid", "chunk_id", "n_rows", "zmin_long",
+                       full.alias("full"))
+        if deletes_on:
+            tomb = (spark.read.parquet(_deletes_dir(out_dir))
+                    .groupBy("pid", "chunk_id")
+                    .agg(F.count("*").alias("n_del")))
+            cls = (cls.join(F.broadcast(tomb), ["pid", "chunk_id"], "left")
+                   .na.fill({"n_del": 0}))
+        else:
+            cls = cls.withColumn("n_del", F.lit(0))
+        meta = (cls.filter("full")
+                .select(F.expr(f"(zmin_long - pmod(zmin_long, {w})) div {w}")
+                        .cast("long").alias("bucket"),
+                        (F.col("n_rows") - F.col("n_del")).cast("long")
+                        .alias("cnt")))
+        boundary_keys = cls.filter(~F.col("full")).select("pid", "chunk_id")
+        sub = (chunks.select("pid", "chunk_id", "column", "codec",
+                             "params", "payload")
+               .join(boundary_keys, ["pid", "chunk_id"], "left_semi"))
+    else:
+        meta = None
+        sub = chunks.select("pid", "chunk_id", "column", "codec",
+                            "params", "payload")
+    sub = chunk_repartition(spark, sub, out_dir)
+
+    def task(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .deletes import DeleteMask
+
+        dmask = DeleteMask(out_dir) if deletes_on else None
+        for key, cols in _assembled_chunks(batches, needed, with_keys=True):
+            decoded: dict[str, pa.Array] = {}
+            mask = _conj_mask(cols, flt, types, decoded)
+            arr = decoded.get(column)
+            if arr is None:
+                arr = decode_column(cols[column])
+            n = len(arr)
+            keep = np.ones(n, dtype=bool) if mask is None else mask.copy()
+            if dmask is not None:
+                pos = dmask.positions(*key)
+                if pos is not None and len(pos):
+                    keep[pos[pos < n]] = False
+            if not keep.any():
+                continue
+            valid = pc.is_valid(arr).to_numpy(zero_copy_only=False).astype(bool)
+            vals = arr.cast(pa.int64()).fill_null(0).to_numpy(zero_copy_only=False)
+            sel = keep & valid
+            buckets = np.floor_divide(vals[sel], np.int64(w))
+            ub, cnts = np.unique(buckets, return_counts=True)
+            out_b = [int(b) for b in ub]
+            out_c = [int(c) for c in cnts]
+            n_null = int((keep & ~valid).sum())
+            if n_null:
+                out_b.append(None)
+                out_c.append(n_null)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_b, type=pa.int64()),
+                 pa.array(out_c, type=pa.int64())],
+                names=["bucket", "cnt"])
+
+    part = sub.mapInArrow(task, "bucket bigint, cnt bigint")
+    if meta is not None:
+        part = part.unionByName(meta)
+    return part.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))

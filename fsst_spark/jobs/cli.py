@@ -425,6 +425,21 @@ def main(argv: list[str] | None = None) -> int:
     cnt.add_argument("--where", action="append", required=True,
                      metavar="COL:OP:VALUE")
 
+    hst = sub.add_parser("histogram",
+                         help="exact equi-width histogram of an int column "
+                              "answered tri-state from zone metadata: "
+                              "null-free chunks inside one bucket count "
+                              "from n_rows without decoding; only bucket-"
+                              "straddling chunks decode")
+    hst.add_argument("--data", required=True)
+    hst.add_argument("--column", required=True)
+    hst.add_argument("--width", type=int, required=True,
+                     help="bucket width (bucket = floor(value / width))")
+    hst.add_argument("--where", action="append", default=None,
+                     metavar="COL:OP:VALUE",
+                     help="conjunctive WHERE (disables the metadata arm; "
+                          "every surviving chunk decodes)")
+
     stm = sub.add_parser("stream-encode",
                          help="Structured-Streaming encode: drain new files into chunks+manifest")
     stm.add_argument("--input", required=True, help="table location watched for new files")
@@ -829,6 +844,17 @@ def main(argv: list[str] | None = None) -> int:
                                          filters=filters)
             rows = df.orderBy("value").limit(args.limit).collect()
             print(json.dumps([r.asDict() for r in rows], default=str))
+        elif args.cmd == "histogram":
+            from pyspark.sql import functions as F
+
+            from fsst_spark.jobs.agg import encoded_histogram
+
+            filters = (_parse_where(spark, args.data, args.where)
+                       if args.where else None)
+            rows = (encoded_histogram(spark, args.data, args.column,
+                                      args.width, filters=filters)
+                    .orderBy(F.col("bucket").asc_nulls_last()).collect())
+            print(json.dumps([r.asDict() for r in rows]))
         elif args.cmd == "count":
             from fsst_spark.jobs.agg import encoded_count_filtered
 

@@ -6,8 +6,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from fsst_spark.jobs.agg import (encoded_group_count, encoded_group_ndv,
-                                 encoded_group_strlen,
-                                 encoded_group_sum)
+                                 encoded_group_strlen, encoded_group_sum,
+                                 encoded_histogram)
 from fsst_spark.jobs.encode import encode_job
 
 
@@ -319,3 +319,93 @@ def test_group_ndv_all_null_group_and_deletes(spark, tmp_path):
              for r in docs.filter("doc_id < 300").groupBy("lang").agg(
                  F.count_distinct("src").alias("ndv")).collect()}
     assert got2 == want2
+
+
+def _hist_key(t):
+    return (t[0] is None, t[0])
+
+
+def _hist_want(docs, col, w):
+    return sorted(((r["bucket"], r["cnt"]) for r in docs.groupBy(
+        F.floor(F.col(col) / w).cast("long").alias("bucket"))
+        .agg(F.count("*").alias("cnt")).collect()), key=_hist_key)
+
+
+@pytest.fixture(scope="module")
+def hist_store(spark, tmp_path_factory):
+    # clustered by n (sort_key) with negatives and nulls; tiny chunks so
+    # most chunks sit inside one bucket -> the metadata arm dominates
+    docs = spark.range(0, 20000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 19 == 0, F.lit(None))
+        .otherwise((F.col("id") - 10000).cast("long")).alias("n"))
+    docs.persist().count()
+    out = str(tmp_path_factory.mktemp("hist_store"))
+    # range-repartition on n (global clustering): 32 pids, each a tight
+    # contiguous n-range of ~625 values -> most chunks single-bucket at
+    # width >= a few thousand
+    encode_job(spark, docs, out, num_partitions=32, chunk_bytes=2 << 10,
+               resume=False, unique_col="doc_id", sort_key="n").collect()
+    yield docs, out
+    docs.unpersist()
+
+
+def test_histogram_matches_sql_semantics(spark, hist_store):
+    docs, out = hist_store
+    got = sorted(((r["bucket"], r["cnt"])
+                  for r in encoded_histogram(spark, out, "n", 100).collect()),
+                 key=_hist_key)
+    assert got == _hist_want(docs, "n", 100)
+    assert any(b is None for b, _ in got)  # null bucket present
+    assert any(b is not None and b < 0 for b, _ in got)  # floor on negatives
+
+
+def test_histogram_metadata_arm_dominates(spark, hist_store):
+    docs, out = hist_store
+    from fsst_spark.jobs.decode import _chunks_df
+
+    z = (_chunks_df(spark, out, ["n"])
+         .select("n_rows", "zmin_long", "zmax_long",
+                 F.col("params").contains('"n_total"').alias("has_nulls"))
+         .collect())
+    full = sum(1 for r in z
+               if r["zmin_long"] is not None and not r["has_nulls"]
+               and r["zmin_long"] // 5000 == r["zmax_long"] // 5000)
+    # the clustered layout must make most chunks provably single-bucket,
+    # i.e. answered from n_rows metadata with no payload read
+    assert len(z) > 10 and full / len(z) > 0.5
+    # and the mostly-metadata answer is still exact
+    got = sorted(((r["bucket"], r["cnt"])
+                  for r in encoded_histogram(
+                      spark, out, "n", 5000).collect()), key=_hist_key)
+    assert got == _hist_want(docs, "n", 5000)
+
+
+def test_histogram_filtered_and_delete_aware(spark, tmp_path):
+    from fsst_spark.jobs.deletes import delete_where
+
+    docs = spark.range(0, 1200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 37).cast("long").alias("n"))
+    out = str(tmp_path / "store")
+    encode_job(spark, docs, out, chunk_bytes=2 << 10, resume=False,
+               pre_partitioned=True, unique_col="doc_id").collect()
+    got = sorted(((r["bucket"], r["cnt"]) for r in encoded_histogram(
+        spark, out, "n", 10, filters=[("doc_id", ">=", 600)]).collect()),
+        key=_hist_key)
+    assert got == _hist_want(docs.filter("doc_id >= 600"), "n", 10)
+    delete_where(spark, out, "doc_id", "<", 300)
+    gotd = sorted(((r["bucket"], r["cnt"])
+                   for r in encoded_histogram(spark, out, "n", 10).collect()),
+                  key=_hist_key)
+    assert gotd == _hist_want(docs.filter("doc_id >= 300"), "n", 10)
+
+
+def test_histogram_guards(spark, strlen_store):
+    _, out = strlen_store
+    with pytest.raises(ValueError, match="int column"):
+        encoded_histogram(spark, out, "lang", 10)
+    with pytest.raises(ValueError, match="positive"):
+        encoded_histogram(spark, out, "doc_id", 0)
+    with pytest.raises(KeyError):
+        encoded_histogram(spark, out, "nope", 10)
