@@ -1234,6 +1234,30 @@ def q_histogram(spark, sf_dir):
         [(r["bucket"], r["cnt"]) for r in rows], "bucket bigint, cnt bigint")
 
 
+def q_encoded_sum(spark, sf_dir):
+    """Exact sum/count/avg of an int column answered from per-chunk stored
+    sums (stats.encoded_column_sum): payload-free metadata aggregation for
+    null-free chunks, individual decode only for null-bearing ones. Must
+    equal SQL sum/count/avg over the source."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.encode import encode_job
+    from fsst_spark.jobs.stats import encoded_column_sum
+
+    out = tempfile.mkdtemp(prefix="fsst_sum_q_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+        encode_job(spark, docs, out, num_partitions=4, chunk_bytes=32 << 10,
+                   resume=False, unique_col="doc_id").collect()
+        r = encoded_column_sum(spark, out, "n_chars")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["sum"], r["n_values"], r["avg"])],
+        "sum_val bigint, n_values bigint, avg_val double")
+
+
 def q_filtered_group_sum(spark, sf_dir):
     """WHERE + GROUP BY pushdown over the encoded store: zone maps and
     dict dictionaries prune non-matching chunks before any payload read,
@@ -2368,6 +2392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strlen_group": q_strlen_group,
         "group_ndv": q_group_ndv,
         "histogram": q_histogram,
+        "encoded_sum": q_encoded_sum,
         "filtered_group_sum": q_filtered_group_sum,
         "count_where": q_count_where,
         "zorder_count": q_zorder_count,
@@ -2970,6 +2995,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(floor(n_chars / 200) AS BIGINT) AS bucket, "
             "CAST(count(*) AS BIGINT) AS cnt FROM documents "
             "GROUP BY bucket ORDER BY bucket NULLS LAST"
+        ),
+        "encoded_sum": (
+            "SELECT CAST(sum(n_chars) AS BIGINT) AS sum_val, "
+            "CAST(count(n_chars) AS BIGINT) AS n_values, "
+            "CAST(sum(n_chars) AS DOUBLE) / count(n_chars) AS avg_val "
+            "FROM documents"
         ),
         "filtered_group_sum": (
             "SELECT lang AS value, CAST(count(*) AS BIGINT) AS cnt, "

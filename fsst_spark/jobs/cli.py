@@ -301,6 +301,11 @@ def main(argv: list[str] | None = None) -> int:
     sta.add_argument("--data", required=True)
     sta.add_argument("--columns", required=True, help="comma-separated")
     sta.add_argument("--exact-minmax", action="store_true")
+    sta.add_argument("--sum", action="store_true",
+                     help="exact sum/count/avg for int columns from per-"
+                          "chunk stored sums — payload-free except chunks "
+                          "with nulls or tombstones, which decode "
+                          "individually")
     sta.add_argument("--strlen", action="store_true",
                      help="octet_length aggregates for string/binary columns "
                           "(count/sum/avg/min/max of decoded byte lengths) "
@@ -680,10 +685,14 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "stats":
             from fsst_spark.jobs.stats import (encoded_column_minmax,
                                                encoded_column_stats,
+                                               encoded_column_sum,
                                                encoded_strlen_stats)
 
             cols = args.columns.split(",")
-            if args.strlen:
+            if args.sum:
+                out = {c: encoded_column_sum(spark, args.data, c)
+                       for c in cols}
+            elif args.strlen:
                 out = {r["column"]: {"n_values": r["n_values"],
                                      "sum_bytes": r["sum_bytes"],
                                      "avg_bytes": r["avg_bytes"],

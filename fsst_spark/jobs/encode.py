@@ -61,6 +61,13 @@ CHUNK_SCHEMA = pa.schema(
         # parquet scan, so a selective decode never reads pruned payloads.
         ("zmin_long", pa.int64()),
         ("zmax_long", pa.int64()),
+        # exact per-chunk SUM of non-null values for null-free int chunks
+        # (null when the chunk has nulls, is non-int, or the sum could
+        # overflow int64): together with n_rows this makes whole-store
+        # sum/avg a pure metadata aggregation (jobs/stats.encoded_column_sum)
+        # — chunks without it (nulls, tombstones, pre-zsum stores) decode
+        # individually, everything else is payload-free.
+        ("zsum_long", pa.int64()),
         # point-predicate bloom filter (kernel.bloom blob) for ==/IN chunk
         # pruning on high-NDV columns where range zones can't help; null
         # for dict-coded chunks (the dictionary already prunes exactly),
@@ -258,6 +265,22 @@ def _zone_bounds(arr: pa.Array, stats: dict) -> tuple[int | None, int | None]:
             else zone_packf(float(finite.max()))
         return zone_packf(float(finite.min())), zmax
     return None, None
+
+
+def _zone_sum(arr: pa.Array, stats: dict) -> int | None:
+    """Exact sum of a NULL-FREE int chunk as int64, or None. Chunks with
+    nulls are excluded on purpose: the metadata consumer needs the
+    non-null value COUNT too (for avg / SQL count), and null counts are
+    not in chunk metadata — a null-bearing chunk decodes instead, keeping
+    every metadata answer exact rather than approximately sourced. The
+    sum is computed in Python int (no wraparound) and dropped when it
+    falls outside int64."""
+    if stats.get("nulls", 0) or "min" not in stats or not stats.get("n", 0):
+        return None  # nulls present, non-int column, or empty
+    if not pa.types.is_integer(arr.type):
+        return None  # "min" also appears for timestamp stats
+    s = int(np.sum(arr.to_numpy(zero_copy_only=False), dtype=object))
+    return s if -(1 << 63) <= s < (1 << 63) else None
 
 
 def completed_pids(out_dir: str) -> set[int]:
@@ -561,6 +584,7 @@ def _encode_one_partition(pid: int, batches: Iterator[pa.RecordBatch], out_dir: 
                     "raw_bytes": raw, "enc_bytes": len(enc["payload"]),
                     "checksum": canonical_bytes(arr),
                     "zmin_long": zmin, "zmax_long": zmax,
+                    "zsum_long": _zone_sum(arr, stats),
                     "bloom": bloom, "hll": hll, "qsketch": qsketch,
                 }
             )

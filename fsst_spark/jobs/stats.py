@@ -159,6 +159,108 @@ def encoded_column_minmax(spark, out_dir: str, column: str) -> dict:
     return out
 
 
+def encoded_column_sum(spark, out_dir: str, column: str) -> dict:
+    """EXACT ``sum`` / ``count(col)`` / ``avg`` of an int column, answered
+    from chunk metadata wherever possible.
+
+    The encode job stores a per-chunk ``zsum_long`` (exact int64 sum) for
+    every NULL-FREE int chunk, so on a typical store the whole answer is
+    one payload-free metadata aggregation — ``sum(n_chars)`` over 100 TB
+    reads parquet footers and two narrow columns. Chunks that cannot
+    answer from metadata decode individually and exactly: chunks with
+    nulls (their non-null count is not in metadata), chunks carrying
+    delete tombstones (the deleted rows' values must be subtracted), and
+    chunks from pre-``zsum`` stores or whose sum overflowed int64. The
+    store-wide sum accumulates in Python int on the driver from per-arm
+    partials, so it is exact even past int64.
+
+    Returns ``{"sum", "n_values", "avg", "n_chunks_total",
+    "n_chunks_decoded"}`` (sum/avg None when the column is all null)."""
+    types = column_arrow_types(spark, out_dir)
+    if column not in types:
+        raise KeyError(f"column {column!r} not in encoded data")
+    if types[column] not in _EXACT_ZONE_TYPES:
+        raise ValueError(
+            f"encoded_column_sum needs an int column; {column!r} is "
+            f"{types[column]}")
+    meta = _chunks_df(spark, out_dir, [column])
+    if "zsum_long" not in meta.columns:
+        raise ValueError("store has no chunk sums (pre-zsum encode); "
+                         "re-encode or use a full decode")
+    from .deletes import _deletes_dir, has_deletes
+
+    if has_deletes(out_dir):
+        tomb = (spark.read.parquet(_deletes_dir(out_dir))
+                .select("pid", "chunk_id").distinct()
+                .withColumn("_tomb", F.lit(True)))
+        meta = (meta.join(F.broadcast(tomb), ["pid", "chunk_id"], "left")
+                .na.fill({"_tomb": False}))
+    else:
+        meta = meta.withColumn("_tomb", F.lit(False))
+    # all-null chunks (zmin null AND zsum null) contribute nothing; chunks
+    # with a stored sum and no tombstones answer from metadata; the rest
+    # decode. The metadata arm projects NO payload bytes.
+    can_meta = F.col("zsum_long").isNotNull() & ~F.col("_tomb")
+    is_allnull = (F.col("zsum_long").isNull() & F.col("zmin_long").isNull()
+                  & ~F.col("_tomb"))
+    agg = meta.agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(can_meta, F.col("zsum_long"))).alias("meta_sum"),
+        F.sum(F.when(can_meta, F.col("n_rows"))).alias("meta_n"),
+        F.sum(F.when(~can_meta & ~is_allnull, 1).otherwise(0)).alias("n_dec"),
+    ).collect()[0]
+    total = int(agg["meta_sum"]) if agg["meta_sum"] is not None else 0
+    n_values = int(agg["meta_n"]) if agg["meta_n"] is not None else 0
+    out = {"n_chunks_total": agg["n_chunks"],
+           "n_chunks_decoded": int(agg["n_dec"] or 0)}
+    if agg["n_dec"]:
+        sub = (meta.filter(~can_meta & ~is_allnull)
+               .select("pid", "chunk_id", "codec", "params", "payload"))
+        deletes_on = has_deletes(out_dir)
+
+        def task(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            import numpy as np
+
+            from ..kernel.codecs import decode_column
+            from .deletes import DeleteMask
+
+            dmask = DeleteMask(out_dir) if deletes_on else None
+            for batch in batches:
+                rows = []
+                for row in batch.to_pylist():
+                    arr = decode_column(
+                        {"codec": row["codec"],
+                         "params": json.loads(row["params"]),
+                         "payload": row["payload"]})
+                    valid = arr.is_valid().to_numpy(zero_copy_only=False).astype(bool)
+                    if dmask is not None:
+                        pos = dmask.positions(row["pid"], row["chunk_id"])
+                        if pos is not None and len(pos):
+                            valid[pos[pos < len(valid)]] = False
+                    v = arr.fill_null(0).to_numpy(zero_copy_only=False)
+                    s = int(np.sum(v[valid], dtype=object)) if valid.any() else 0
+                    if not -(1 << 63) <= s < (1 << 63):
+                        # same contract as the stored zsum: refuse loudly
+                        # rather than wrap (Spark's non-ANSI sum would)
+                        raise OverflowError(
+                            f"chunk ({row['pid']},{row['chunk_id']}) sum "
+                            "exceeds int64")
+                    rows.append({"s": s, "n": int(valid.sum())})
+                yield pa.RecordBatch.from_pylist(
+                    rows, schema=pa.schema([("s", pa.int64()),
+                                            ("n", pa.int64())]))
+
+        part = (sub.mapInArrow(task, "s bigint, n bigint")
+                .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+                .collect()[0])
+        total += int(part["s"] or 0)
+        n_values += int(part["n"] or 0)
+    out["n_values"] = n_values
+    out["sum"] = total if n_values else None
+    out["avg"] = (total / n_values) if n_values else None
+    return out
+
+
 _STRLEN_TYPES = ("string", "large_string", "binary", "large_binary")
 
 
