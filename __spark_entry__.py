@@ -1258,6 +1258,33 @@ def q_encoded_sum(spark, sf_dir):
         "sum_val bigint, n_values bigint, avg_val double")
 
 
+def q_group_stats(spark, sf_dir):
+    """The complete per-key aggregate set over an encoded store in one
+    chunk-local pass: count(*)/count(val)/sum/avg/min/max per key
+    (agg.encoded_group_stats), NDV-scale shuffle, exact int64 sums. Must
+    equal the SQL aggregates over the source table."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.agg import encoded_group_stats
+    from fsst_spark.jobs.encode import encode_job
+
+    out = tempfile.mkdtemp(prefix="fsst_gst_q_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+        encode_job(spark, docs, out, num_partitions=4, chunk_bytes=64 << 10,
+                   resume=False, unique_col="doc_id").collect()
+        rows = (encoded_group_stats(spark, out, "lang", "n_chars")
+                .orderBy("value").collect())
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["value"], r["n_rows"], r["n_values"], r["sum_val"],
+          r["avg_val"], r["min_val"], r["max_val"]) for r in rows],
+        "value string, n_rows bigint, n_values bigint, sum_val bigint, "
+        "avg_val double, min_val bigint, max_val bigint")
+
+
 def q_filtered_group_sum(spark, sf_dir):
     """WHERE + GROUP BY pushdown over the encoded store: zone maps and
     dict dictionaries prune non-matching chunks before any payload read,
@@ -2393,6 +2420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_ndv": q_group_ndv,
         "histogram": q_histogram,
         "encoded_sum": q_encoded_sum,
+        "group_stats": q_group_stats,
         "filtered_group_sum": q_filtered_group_sum,
         "count_where": q_count_where,
         "zorder_count": q_zorder_count,
@@ -3001,6 +3029,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(n_chars) AS BIGINT) AS n_values, "
             "CAST(sum(n_chars) AS DOUBLE) / count(n_chars) AS avg_val "
             "FROM documents"
+        ),
+        "group_stats": (
+            "SELECT lang AS value, CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(count(n_chars) AS BIGINT) AS n_values, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_val, "
+            "CAST(sum(n_chars) AS DOUBLE) / count(n_chars) AS avg_val, "
+            "CAST(min(n_chars) AS BIGINT) AS min_val, "
+            "CAST(max(n_chars) AS BIGINT) AS max_val "
+            "FROM documents GROUP BY lang ORDER BY value"
         ),
         "filtered_group_sum": (
             "SELECT lang AS value, CAST(count(*) AS BIGINT) AS cnt, "

@@ -675,11 +675,32 @@ def encoded_group_strlen(spark, out_dir: str, key_col: str, str_col: str,
         raise ValueError(
             f"octet_length stats are for string/binary columns; "
             f"column {str_col!r} is {types[str_col]}")
+    from ..kernel.codecs import decoded_strlens
+
+    def strlen_values(cols, decoded, n):
+        lens, vmask = decoded_strlens(cols[str_col])
+        valid = np.ones(n, dtype=bool) if vmask is None else vmask
+        full = np.zeros(n, dtype=np.int64)
+        full[valid] = lens
+        return full, valid
+
+    return _group_value_stats(spark, out_dir, key_col, str_col,
+                              list(filters or []), types, strlen_values,
+                              suffix="bytes")
+
+
+def _group_value_stats(spark, out_dir: str, key_col: str, val_col: str,
+                       flt: list[tuple], types: dict, value_fn,
+                       suffix: str) -> DataFrame:
+    """Shared engine of ``encoded_group_strlen``/``encoded_group_stats``:
+    per-chunk (key-code × int64 value) reduction to NDV-scale partial rows
+    ``(value, n_rows, n_values, sum, min, max)``, then one NDV-scale
+    shuffle. ``value_fn(cols, decoded, n) -> (int64[n], valid bool[n])``
+    supplies the per-row values (decoded lengths, decoded ints, ...)."""
     kt = parse_arrow_type(types[key_col])
-    flt = list(filters or [])
     needed = [key_col]
-    if str_col != key_col:
-        needed.append(str_col)
+    if val_col != key_col:
+        needed.append(val_col)
     for f in flt:
         if f[0] not in types:
             raise KeyError(f"column {f[0]!r} not in encoded data")
@@ -689,7 +710,6 @@ def encoded_group_strlen(spark, out_dir: str, key_col: str, str_col: str,
     chunks = chunk_repartition(
         spark, chunks.select("pid", "chunk_id", "column", "codec",
                              "params", "payload"), out_dir)
-    from ..kernel.codecs import decoded_strlens
     from .deletes import has_deletes
 
     deletes_on = has_deletes(out_dir)
@@ -706,10 +726,7 @@ def encoded_group_strlen(spark, out_dir: str, key_col: str, str_col: str,
             codes, dictv, k = _chunk_key_codes(
                 cols[key_col], kt, decoded.get(key_col))
             n = len(codes)
-            lens, vmask = decoded_strlens(cols[str_col])
-            valid = np.ones(n, dtype=bool) if vmask is None else vmask
-            full = np.zeros(n, dtype=np.int64)
-            full[valid] = lens
+            full, valid = value_fn(cols, decoded, n)
             keep = np.ones(n, dtype=bool) if mask is None else mask.copy()
             if dmask is not None:
                 pos = dmask.positions(*key)
@@ -749,14 +766,51 @@ def encoded_group_strlen(spark, out_dir: str, key_col: str, str_col: str,
         F.sum("n_rows").alias("n_rows"),
         F.sum("n_values").alias("n_values"),
         F.sum("s").alias("_s"),
-        F.min("mn").alias("min_bytes"),
-        F.max("mx").alias("max_bytes"))
+        F.min("mn").alias(f"min_{suffix}"),
+        F.max("mx").alias(f"max_{suffix}"))
     nv = F.col("n_values")
     return agg.select(
         "value", "n_rows", "n_values",
-        F.when(nv > 0, F.col("_s")).alias("sum_bytes"),
-        F.when(nv > 0, F.col("_s") / nv).alias("avg_bytes"),
-        "min_bytes", "max_bytes")
+        F.when(nv > 0, F.col("_s")).alias(f"sum_{suffix}"),
+        F.when(nv > 0, F.col("_s") / nv).alias(f"avg_{suffix}"),
+        f"min_{suffix}", f"max_{suffix}")
+
+
+def encoded_group_stats(spark, out_dir: str, key_col: str, val_col: str,
+                        filters: list[tuple] | None = None) -> DataFrame:
+    """``SELECT key, count(*), count(val), sum(val), avg(val), min(val),
+    max(val) GROUP BY key`` over an encoded store — the complete per-group
+    aggregate set for an int column in one chunk-local pass.
+
+    Same engine as :func:`encoded_group_strlen` (dict-code key grouping,
+    NDV-scale partials, one NDV-scale shuffle, exact int64 accumulation,
+    SQL null semantics, delete-aware, ``filters`` WHERE with zone/dict/
+    bloom pruning) with the values read by a plain int decode — cheap:
+    int chunks decode with a handful of numpy passes and no string build.
+    Restricted to int columns so min/max/sum have exact integer semantics
+    DuckDB and Spark agree on (floats would drag NaN-ordering differences
+    into min/max; use a full decode for those)."""
+    types = column_arrow_types(spark, out_dir)
+    for c in (key_col, val_col):
+        if c not in types:
+            raise KeyError(f"column {c!r} not in encoded data")
+    if types[val_col] not in _INT_LIKE:
+        raise ValueError(
+            f"encoded_group_stats needs an int value column; {val_col!r} "
+            f"is {types[val_col]}")
+
+    def int_values(cols, decoded, n):
+        arr = decoded.get(val_col)
+        if arr is None:
+            arr = decode_column(cols[val_col])
+        valid = pc.is_valid(arr).to_numpy(zero_copy_only=False).astype(bool)
+        full = (arr.cast(pa.int64()).fill_null(0)
+                .to_numpy(zero_copy_only=False).astype(np.int64))
+        return full, valid
+
+    return _group_value_stats(spark, out_dir, key_col, val_col,
+                              list(filters or []), types, int_values,
+                              suffix="val")
 
 
 def encoded_group_ndv(spark, out_dir: str, key_col: str, val_col: str,

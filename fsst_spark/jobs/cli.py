@@ -409,6 +409,10 @@ def main(argv: list[str] | None = None) -> int:
                           "min/max of decoded byte lengths (octet_length) "
                           "parsed from the encoded form — the column is "
                           "never decoded")
+    grp.add_argument("--stats", default=None, metavar="COL",
+                     help="int column: the complete per-key aggregate set "
+                          "count(*)/count(col)/sum/avg/min/max in one "
+                          "chunk-local pass")
     grp.add_argument("--ndv", default=None, metavar="COL",
                      help="exact count(DISTINCT COL) per key: chunks "
                           "reduce to their distinct (key, value) pairs "
@@ -834,12 +838,16 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "group-stats":
             from fsst_spark.jobs.agg import (encoded_group_count,
                                              encoded_group_ndv,
+                                             encoded_group_stats,
                                              encoded_group_strlen,
                                              encoded_group_sum)
 
             filters = (_parse_where(spark, args.data, args.where)
                        if args.where else None)
-            if args.ndv:
+            if args.stats:
+                df = encoded_group_stats(spark, args.data, args.key,
+                                         args.stats, filters=filters)
+            elif args.ndv:
                 df = encoded_group_ndv(spark, args.data, args.key,
                                        args.ndv, filters=filters)
             elif args.strlen:

@@ -6,8 +6,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from fsst_spark.jobs.agg import (encoded_group_count, encoded_group_ndv,
-                                 encoded_group_strlen, encoded_group_sum,
-                                 encoded_histogram)
+                                 encoded_group_stats, encoded_group_strlen,
+                                 encoded_group_sum, encoded_histogram)
 from fsst_spark.jobs.encode import encode_job
 
 
@@ -409,3 +409,43 @@ def test_histogram_guards(spark, strlen_store):
         encoded_histogram(spark, out, "doc_id", 0)
     with pytest.raises(KeyError):
         encoded_histogram(spark, out, "nope", 10)
+
+
+def test_group_stats_matches_dataframe_agg(spark, docs_with_nulls, enc_store):
+    got = {r["value"]: r for r in encoded_group_stats(
+        spark, enc_store, "lang", "n_chars").collect()}
+    exp = {r["value"]: r for r in docs_with_nulls.groupBy(
+        F.col("lang").alias("value")).agg(
+        F.count("*").alias("n_rows"), F.count("n_chars").alias("n_values"),
+        F.sum("n_chars").alias("sum_val"), F.avg("n_chars").alias("avg_val"),
+        F.min("n_chars").alias("min_val"),
+        F.max("n_chars").alias("max_val")).collect()}
+    assert set(got) == set(exp)
+    for k in exp:
+        for c in ("n_rows", "n_values", "sum_val", "min_val", "max_val"):
+            assert got[k][c] == exp[k][c], (k, c)
+        if exp[k]["avg_val"] is None:
+            assert got[k]["avg_val"] is None
+        else:
+            assert got[k]["avg_val"] == pytest.approx(exp[k]["avg_val"])
+
+
+def test_group_stats_filtered_and_guards(spark, docs_with_nulls, enc_store):
+    flt = [("doc_id", ">=", 150), ("doc_id", "<", 450)]
+    got = {r["value"]: r for r in encoded_group_stats(
+        spark, enc_store, "lang", "n_chars", filters=flt).collect()}
+    exp = {r["value"]: r for r in docs_with_nulls
+           .filter("doc_id >= 150 AND doc_id < 450")
+           .groupBy(F.col("lang").alias("value")).agg(
+               F.count("*").alias("n_rows"),
+               F.sum("n_chars").alias("sum_val"),
+               F.min("n_chars").alias("min_val"),
+               F.max("n_chars").alias("max_val")).collect()}
+    assert set(got) == set(exp)
+    for k in exp:
+        for c in ("n_rows", "sum_val", "min_val", "max_val"):
+            assert got[k][c] == exp[k][c], (k, c)
+    with pytest.raises(ValueError, match="int value column"):
+        encoded_group_stats(spark, enc_store, "lang", "lang")
+    with pytest.raises(KeyError):
+        encoded_group_stats(spark, enc_store, "lang", "nope")
