@@ -1285,6 +1285,31 @@ def q_group_stats(spark, sf_dir):
         "avg_val double, min_val bigint, max_val bigint")
 
 
+def q_histogram_hourly(spark, sf_dir):
+    """Time-bucketed event counts from the encoded store: the histogram
+    pushdown over a timestamp column buckets its storage-unit ticks
+    (timestamp[us], width 3.6e9 = hourly), zones answering single-hour
+    chunks from metadata. Must equal SQL floor(epoch_us/3.6e9) counts."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.agg import encoded_histogram
+    from fsst_spark.jobs.encode import encode_job
+
+    out = tempfile.mkdtemp(prefix="fsst_histh_q_")
+    try:
+        ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+        encode_job(spark, ev, out, num_partitions=4, chunk_bytes=32 << 10,
+                   resume=False, unique_col="event_id",
+                   sort_key="ts").collect()
+        rows = (encoded_histogram(spark, out, "ts", 3_600_000_000)
+                .orderBy(F.col("bucket").asc_nulls_last()).collect())
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["bucket"], r["cnt"]) for r in rows], "bucket bigint, cnt bigint")
+
+
 def q_filtered_group_sum(spark, sf_dir):
     """WHERE + GROUP BY pushdown over the encoded store: zone maps and
     dict dictionaries prune non-matching chunks before any payload read,
@@ -2419,6 +2444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strlen_group": q_strlen_group,
         "group_ndv": q_group_ndv,
         "histogram": q_histogram,
+        "histogram_hourly": q_histogram_hourly,
         "encoded_sum": q_encoded_sum,
         "group_stats": q_group_stats,
         "filtered_group_sum": q_filtered_group_sum,
@@ -3022,6 +3048,11 @@ def oracle_sql() -> dict[str, str]:
         "histogram": (
             "SELECT CAST(floor(n_chars / 200) AS BIGINT) AS bucket, "
             "CAST(count(*) AS BIGINT) AS cnt FROM documents "
+            "GROUP BY bucket ORDER BY bucket NULLS LAST"
+        ),
+        "histogram_hourly": (
+            "SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) "
+            "AS bucket, CAST(count(*) AS BIGINT) AS cnt FROM events "
             "GROUP BY bucket ORDER BY bucket NULLS LAST"
         ),
         "encoded_sum": (

@@ -933,10 +933,14 @@ def encoded_histogram(spark, out_dir: str, column: str, bucket_width: int,
     types = column_arrow_types(spark, out_dir)
     if column not in types:
         raise KeyError(f"column {column!r} not in encoded data")
-    if types[column] not in _INT_LIKE:
+    if (types[column] not in _INT_LIKE
+            and not types[column].startswith("timestamp[")):
         raise ValueError(
-            f"encoded_histogram needs an int column; {column!r} is "
-            f"{types[column]} (use encoded_group_count for categoricals)")
+            f"encoded_histogram needs an int or timestamp column; "
+            f"{column!r} is {types[column]} (use encoded_group_count for "
+            "categoricals)")
+    # timestamps bucket over their storage-unit ticks (timestamp[us] with
+    # w=3_600_000_000 = hourly crawl counts) — zones already store ticks
     flt = list(filters or [])
     needed = [column]
     for f in flt:

@@ -449,3 +449,23 @@ def test_group_stats_filtered_and_guards(spark, docs_with_nulls, enc_store):
         encoded_group_stats(spark, enc_store, "lang", "lang")
     with pytest.raises(KeyError):
         encoded_group_stats(spark, enc_store, "lang", "nope")
+
+
+def test_histogram_timestamp_hourly(spark, tmp_path):
+    ev = spark.range(0, 4000).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") % 31 == 0, F.lit(None)).otherwise(
+            F.timestamp_micros(
+                F.lit(1_700_000_000_000_000)
+                + F.col("id") * 7_000_000)).alias("ts"))
+    out = str(tmp_path / "store")
+    encode_job(spark, ev, out, num_partitions=4, chunk_bytes=8 << 10,
+               resume=False, unique_col="event_id", sort_key="ts").collect()
+    w = 3_600_000_000  # hourly over timestamp[us] ticks
+    got = sorted(((r["bucket"], r["cnt"]) for r in encoded_histogram(
+        spark, out, "ts", w).collect()), key=_hist_key)
+    want = sorted(((r["bucket"], r["cnt"]) for r in ev.groupBy(
+        F.floor(F.unix_micros("ts") / w).cast("long").alias("bucket"))
+        .agg(F.count("*").alias("cnt")).collect()), key=_hist_key)
+    assert got == want
+    assert any(b is None for b, _ in got)
