@@ -30,6 +30,13 @@ _SPARK_TYPE = {
 def _spark_type(arrow_name: str) -> str:
     if arrow_name.startswith("timestamp["):
         return "timestamp"
+    if arrow_name.startswith(("list<", "large_list<", "fixed_size_list<")):
+        # e.g. "list<element: float>", "fixed_size_list<item: float>[4]":
+        # strip the wrapper and the child FIELD NAME (first ": " — field
+        # names cannot contain ':' or '<'), recurse on the child type
+        inner = arrow_name[arrow_name.index("<") + 1 : arrow_name.rindex(">")]
+        child = inner.split(": ", 1)[1] if ": " in inner.split("<", 1)[0] else inner
+        return f"array<{_spark_type(child)}>"
     return _SPARK_TYPE[arrow_name]
 
 

@@ -130,6 +130,12 @@ def canonical_bytes(arr: pa.Array) -> bytes:
         parts.append(data[off[0] : off[-1]].tobytes())
     elif pa.types.is_timestamp(t):
         parts.append(dense.cast(pa.int64()).to_numpy(zero_copy_only=False).tobytes())
+    elif pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        import pyarrow.compute as pc
+
+        lens = pc.list_value_length(dense).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        parts.append(lens.tobytes())
+        parts.append(canonical_bytes(dense.flatten()).encode("ascii"))
     else:
         parts.append(dense.to_numpy(zero_copy_only=False).tobytes())
     h = hashlib.blake2b(digest_size=16)
@@ -146,6 +152,10 @@ def raw_size_of(arr: pa.Array) -> int:
         bufs = joined.cast(pa.large_binary()).buffers()
         off = np.frombuffer(bufs[1], dtype=np.int64, count=len(joined) + 1)
         return int(off[-1] - off[0])
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        # child values + 4B/row of list structure (mirrors the string rule)
+        flat = (arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr).flatten()
+        return raw_size_of(flat) + 4 * len(arr)
     return len(arr) * max(t.bit_width // 8, 1) if hasattr(t, "bit_width") else arr.nbytes
 
 
@@ -219,8 +229,9 @@ def _chunk_sketches(arr: pa.Array, stats: dict, codec: str,
     floats hash only inside hll_build, which has the raw-bits path the
     bloom deliberately lacks). The quantile sample sorts numeric values
     instead — no hashing, and qsample_build rejects strings itself."""
-    want_bloom = bloom_bits_per_value > 0 and codec != "str_dict"
-    want_hll = hll_p > 0
+    nested = pa.types.is_nested(arr.type)  # lists: no hash path, no zones
+    want_bloom = bloom_bits_per_value > 0 and codec != "str_dict" and not nested
+    want_hll = hll_p > 0 and not nested
     qs = None
     if qsample_k > 0:
         from ..kernel.qsample import qsample_build

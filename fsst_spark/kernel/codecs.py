@@ -603,6 +603,69 @@ def _validity_mask(arr: pa.Array) -> np.ndarray:
     return np.asarray(arr.is_valid())
 
 
+def encode_list(arr: pa.Array, fsst_cache: dict | None = None) -> Encoded:
+    """Nested list codec: array<T> columns (e.g. ``embedding:
+    array<float>``) split into a per-row LENGTHS stream and a flattened
+    CHILD VALUES stream, each encoded by the standard selectors.
+
+    Lengths go through :func:`select_int_codec` — fixed-dimension
+    embeddings are a single run, so the lengths stream costs ~bytes of
+    RLE; ragged token-id lists get FOR/bitpack. The flattened child array
+    recurses through :func:`encode_column`, so array<int> gets
+    FOR/bitpack/RLE, array<string> gets dict/FSST (sharing the column's
+    per-partition FSST table), array<double> gets ALP, and nested
+    array<array<T>> recurses again. Null LISTS are handled by
+    ``encode_column``'s generic validity wrapper; null ELEMENTS by the
+    child's own recursion. Round-trip is bit-identical (the engine's gate);
+    no zone/bloom/HLL sketches are built for nested chunks."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    assert arr.null_count == 0, "encode_list expects the dense (null-free) array"
+    if pa.types.is_fixed_size_list(t):
+        lengths = np.full(len(arr), t.list_size, dtype=np.int64)
+        child = arr.flatten()
+    else:
+        lengths = pc.list_value_length(arr).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        child = arr.flatten()
+    len_enc = select_int_codec(lengths)
+    params: dict[str, Any] = {
+        "n": len(arr),
+        "len": {"codec": len_enc["codec"], "params": len_enc["params"]},
+        "len_bytes": len(len_enc["payload"]),
+    }
+    if len(child):
+        child_enc = encode_column(child, fsst_cache=fsst_cache)
+        params["child"] = {"codec": child_enc["codec"], "params": child_enc["params"]}
+        payload = len_enc["payload"] + child_enc["payload"]
+    else:  # every list empty: lengths alone reconstruct the chunk
+        payload = len_enc["payload"]
+    return {"codec": "list", "params": params, "payload": payload}
+
+
+def decode_list(enc: Encoded, t: pa.DataType) -> pa.Array:
+    """Decode a ``list`` chunk back to a dense (null-free) array of ``t``."""
+    params = enc["params"]
+    payload = enc["payload"]
+    ln = params["len_bytes"]
+    len_enc = {"codec": params["len"]["codec"], "params": params["len"]["params"],
+               "payload": payload[:ln]}
+    lengths = _INT_DECODERS[len_enc["codec"]](len_enc)
+    if "child" in params:
+        child_enc = {"codec": params["child"]["codec"],
+                     "params": params["child"]["params"], "payload": payload[ln:]}
+        child = decode_column(child_enc)
+    else:
+        child = pa.array([], type=t.value_type)
+    if pa.types.is_fixed_size_list(t):
+        out = pa.FixedSizeListArray.from_arrays(child, t.list_size)
+        return out if out.type == t else out.cast(t)
+    offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    out = pa.LargeListArray.from_arrays(pa.array(offsets, type=pa.int64()), child)
+    return out.cast(t)
+
+
 def encode_column(arr: pa.Array, stats: dict | None = None,
                   fsst_cache: dict | None = None) -> Encoded:
     """Encode one Arrow column chunk with stats-driven codec selection.
@@ -657,10 +720,19 @@ def encode_column(arr: pa.Array, stats: dict | None = None,
     elif pa.types.is_boolean(t):
         v = values.to_numpy(zero_copy_only=False).astype(np.uint64)
         enc = {"codec": "bool_pack", "params": {"n": len(v)}, "payload": bitpack(v, 1)}
+    elif pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        enc = encode_list(values, fsst_cache=fsst_cache)
     else:
         raise NotImplementedError(f"no codec for arrow type {t}")
 
     enc["params"]["arrow_type"] = str(t)
+    if pa.types.is_nested(t):
+        # str(t) for nested types is display-only; a serialized Arrow
+        # schema recovers the exact type (child field names, fixed sizes)
+        import base64
+
+        enc["params"]["arrow_schema_b64"] = base64.b64encode(
+            pa.schema([pa.field("c", t)]).serialize().to_pybytes()).decode("ascii")
     if nulls:
         mask = _validity_mask(arr)
         enc["params"]["n_total"] = len(arr)
@@ -692,7 +764,13 @@ def parse_arrow_type(name: str) -> pa.DataType:
 def decode_column(enc: Encoded) -> pa.Array:
     """Decode a chunk descriptor back to an Arrow array (original type)."""
     params = enc["params"]
-    t = parse_arrow_type(params["arrow_type"])
+    if "arrow_schema_b64" in params:  # nested types: exact type via IPC schema
+        import base64
+
+        t = pa.ipc.read_schema(
+            pa.py_buffer(base64.b64decode(params["arrow_schema_b64"]))).field(0).type
+    else:
+        t = parse_arrow_type(params["arrow_type"])
     payload = enc["payload"]
     mask = None
     if "n_total" in params:
@@ -717,6 +795,9 @@ def decode_column(enc: Encoded) -> pa.Array:
     elif codec == "bool_pack":
         vals = bitunpack(payload, params["n"], 1).astype(bool)
         out = _with_validity_np(vals, mask, t)
+    elif codec == "list":
+        dense = decode_list({**enc, "payload": payload}, t)
+        out = _expand_nulls_take(dense, mask, t) if mask is not None else dense
     else:
         raise NotImplementedError(codec)
     return out
@@ -735,6 +816,16 @@ def _with_validity_int(vals: np.ndarray, mask: np.ndarray | None, t: pa.DataType
 def _with_validity_np(vals: np.ndarray, mask: np.ndarray | None, t: pa.DataType) -> pa.Array:
     arr = pa.array(vals, type=t)
     return _expand_nulls(arr, mask, t) if mask is not None else arr
+
+
+def _expand_nulls_take(dense: pa.Array, mask: np.ndarray, t: pa.DataType) -> pa.Array:
+    """Null expansion for nested types: a take with null indices scatters
+    nulls without pc.if_else (which needs flat types)."""
+    if len(dense) == 0:
+        return pa.nulls(len(mask), t)
+    idx = np.cumsum(mask) - 1
+    idx_arr = pa.array(np.where(mask, idx, 0), type=pa.int64(), mask=~mask)
+    return dense.take(idx_arr)
 
 
 def _expand_nulls(dense: pa.Array, mask: np.ndarray, t: pa.DataType) -> pa.Array:

@@ -18,6 +18,17 @@ from ..kernel.codecs import chunk_stats, decode_column, encode_column
 
 
 def _eq_flags(a: pa.Array, b: pa.Array) -> pa.Array:
+    if pa.types.is_nested(a.type):
+        # pc.equal has no list kernels; Array.equals is a buffer-level
+        # compare — exactly the bit-identical gate (NaNs compare by bits).
+        # Per-row fallback only runs on mismatch (bug-diagnosis path).
+        import numpy as np
+
+        if a.equals(b):
+            return pa.array(np.ones(len(a), dtype=np.int32))
+        return pa.array(
+            [int(x == y) for x, y in zip(a.to_pylist(), b.to_pylist())],
+            type=pa.int32())
     eq = pc.fill_null(pc.equal(a, b), False)
     if pa.types.is_floating(a.type):
         # Bit-identical NaN round-trips must count as equal (NaN != NaN

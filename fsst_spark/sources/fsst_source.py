@@ -493,6 +493,13 @@ def _arrow_schema(col_types: dict[str, str], ordered: list[str]) -> "pa.Schema":
     def t(arrow_name: str) -> "pa.DataType":
         if arrow_name.startswith("timestamp["):
             return pa.timestamp("us")
+        if arrow_name.startswith(("list<", "large_list<", "fixed_size_list<")):
+            # "list<element: float>": strip wrapper + child field name;
+            # Spark's converter wants plain list<> whatever was stored
+            inner = arrow_name[arrow_name.index("<") + 1 : arrow_name.rindex(">")]
+            child = (inner.split(": ", 1)[1]
+                     if ": " in inner.split("<", 1)[0] else inner)
+            return pa.list_(t(child))
         return {
             "string": pa.string(), "large_string": pa.string(),
             "binary": pa.binary(), "large_binary": pa.binary(),
