@@ -117,6 +117,59 @@ def q_ts_roundtrip_events(spark, sf_dir):
     )
 
 
+def q_embedding_roundtrip(spark, sf_dir):
+    """list codec (array<float> embeddings) bit-identical gate.
+
+    The reference kernel compresses flat byte streams only (src/lib.rs);
+    nested columns are the engine's extension: per-row lengths through the
+    int codec selector, the flattened child through the standard column
+    selector (kernel/codecs.encode_list) — so a 10^12-row embedding
+    column rides the same chunk/manifest machinery as text."""
+    from fsst_spark.pipeline.roundtrip import roundtrip_flags
+
+    emb = _t(spark, sf_dir, "embeddings")
+    flags = roundtrip_flags(emb, "embedding", keep_cols=["vec_id", "embedding"])
+    return flags.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("ok").alias("n_match"),
+        F.sum(F.size("embedding")).cast("long").alias("total_elems"),
+        F.min("vec_id").alias("min_vec_id"),
+        F.max("vec_id").alias("max_vec_id"),
+    )
+
+
+def q_embedding_store_decode(spark, sf_dir):
+    """Full store round-trip of an array<float> table: encode_job writes
+    list-codec chunks (+ per-chunk checksums over lengths + flattened
+    child), decode_job reconstructs the arrays. Pins the decoded shape
+    (rows, total element count) and the flat columns exactly; per-value
+    float bit-identity is pinned by ``embedding_roundtrip``'s ok flags
+    and by tests/test_list_codec.py's checksum verify."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.decode import decode_job
+    from fsst_spark.jobs.encode import encode_job
+
+    out = tempfile.mkdtemp(prefix="fsst_emb_store_q_")
+    try:
+        emb = _t(spark, sf_dir, "embeddings")
+        encode_job(spark, emb, out, chunk_bytes=256 << 10, resume=False,
+                   pre_partitioned=True, unique_col="vec_id").collect()
+        r = decode_job(spark, out).agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.size("embedding")).cast("long").alias("total_elems"),
+            F.sum("vec_id").alias("sum_vec_id"),
+            F.sum("label").cast("long").alias("sum_label"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["n_rows"], r["total_elems"], r["sum_vec_id"], r["sum_label"])],
+        "n_rows bigint, total_elems bigint, sum_vec_id bigint, sum_label bigint",
+    )
+
+
 _CODEC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 
 
@@ -1285,6 +1338,31 @@ def q_group_stats(spark, sf_dir):
         "avg_val double, min_val bigint, max_val bigint")
 
 
+def q_group_topk(spark, sf_dir):
+    """Per-group heavy hitters from the encoded form: top-2 source sites
+    per language (agg.encoded_group_topk) — chunk-local (key,val) pair
+    counts shuffle at dictionary scale, the window runs over pair totals.
+    Deterministic tie rule (cnt DESC, val ASC) so the oracle matches."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.agg import encoded_group_topk
+    from fsst_spark.jobs.encode import encode_job
+
+    out = tempfile.mkdtemp(prefix="fsst_gtk_q_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+        encode_job(spark, docs, out, num_partitions=4, chunk_bytes=64 << 10,
+                   resume=False, unique_col="doc_id").collect()
+        rows = (encoded_group_topk(spark, out, "lang", "source", k=2)
+                .orderBy("value", "rank").collect())
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["value"], r["val"], r["cnt"], r["rank"]) for r in rows],
+        "value string, val string, cnt bigint, rank int")
+
+
 def q_histogram_hourly(spark, sf_dir):
     """Time-bucketed event counts from the encoded store: the histogram
     pushdown over a timestamp column buckets its storage-unit ticks
@@ -2385,6 +2463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rle_roundtrip_orderkey": q_rle_roundtrip_orderkey,
         "bitpack_roundtrip_linenumber": q_bitpack_roundtrip_linenumber,
         "double_roundtrip_price": q_double_roundtrip_price,
+        "embedding_roundtrip": q_embedding_roundtrip,
+        "embedding_store_decode": q_embedding_store_decode,
         "ts_roundtrip_events": q_ts_roundtrip_events,
         "codec_selection_summary": q_codec_selection_summary,
         "codec_selection_detail": q_codec_selection_detail,
@@ -2447,6 +2527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_hourly": q_histogram_hourly,
         "encoded_sum": q_encoded_sum,
         "group_stats": q_group_stats,
+        "group_topk": q_group_topk,
         "filtered_group_sum": q_filtered_group_sum,
         "count_where": q_count_where,
         "zorder_count": q_zorder_count,
@@ -2552,6 +2633,17 @@ def oracle_sql() -> dict[str, str]:
         "ts_roundtrip_events": (
             "SELECT count(*) AS n_rows, count(*) AS n_match, "
             "min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us FROM events"
+        ),
+        "embedding_roundtrip": (
+            "SELECT count(*) AS n_rows, count(*) AS n_match, "
+            "CAST(sum(len(embedding)) AS BIGINT) AS total_elems, "
+            "min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id FROM embeddings"
+        ),
+        "embedding_store_decode": (
+            "SELECT count(*) AS n_rows, "
+            "CAST(sum(len(embedding)) AS BIGINT) AS total_elems, "
+            "CAST(sum(vec_id) AS BIGINT) AS sum_vec_id, "
+            "CAST(sum(label) AS BIGINT) AS sum_label FROM embeddings"
         ),
         "dedup_exact": (
             f"WITH g AS (SELECT {_NORM_FP} AS fp, count(*) AS cnt "
@@ -3060,6 +3152,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(n_chars) AS BIGINT) AS n_values, "
             "CAST(sum(n_chars) AS DOUBLE) / count(n_chars) AS avg_val "
             "FROM documents"
+        ),
+        "group_topk": (
+            "WITH g AS (SELECT lang AS value, source AS val, count(*) AS cnt "
+            "FROM documents GROUP BY 1, 2), "
+            "r AS (SELECT value, val, CAST(cnt AS BIGINT) AS cnt, "
+            "CAST(row_number() OVER (PARTITION BY value "
+            "ORDER BY cnt DESC, val ASC) AS INT) AS rank FROM g) "
+            "SELECT value, val, cnt, rank FROM r WHERE rank <= 2 "
+            "ORDER BY value, rank"
         ),
         "group_stats": (
             "SELECT lang AS value, CAST(count(*) AS BIGINT) AS n_rows, "

@@ -906,6 +906,98 @@ def encoded_group_ndv(spark, out_dir: str, key_col: str, val_col: str,
     return pairs.groupBy("value").agg(F.count_distinct("val").alias("ndv"))
 
 
+def encoded_group_topk(spark, out_dir: str, key_col: str, val_col: str,
+                       k: int = 10,
+                       filters: list[tuple] | None = None) -> DataFrame:
+    """Per-group heavy hitters over an encoded store: the top ``k`` most
+    frequent ``val_col`` values within each ``key_col`` group (e.g. top
+    hosts per language over a 10^12-row crawl), without decoding rows
+    wherever the codecs allow.
+
+    Scan tasks reduce each chunk to DISTINCT (key, value) code pairs WITH
+    COUNTS before anything shuffles (dict-code fast path via
+    ``_chunk_key_codes``): the shuffle carries per-chunk pair partials —
+    dictionary-scale, never row-scale. Spark then sums partials per
+    (key, value) and takes ``row_number() <= k`` per key ordered by
+    (cnt DESC, val ASC) — the deterministic tie rule, so results are
+    reproducible and oracle-comparable.
+
+    SQL semantics: null keys form their own group; null values are not
+    ranked (count(val) semantics). ``filters`` adds a conjunctive WHERE
+    with zone/dict/bloom chunk pruning; tombstoned rows drop chunk-locally.
+    """
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError("k must be a positive int")
+    types = column_arrow_types(spark, out_dir)
+    for c in (key_col, val_col):
+        if c not in types:
+            raise KeyError(f"column {c!r} not in encoded data")
+    kt = parse_arrow_type(types[key_col])
+    vt = parse_arrow_type(types[val_col])
+    flt = list(filters or [])
+    needed = [key_col]
+    if val_col != key_col:
+        needed.append(val_col)
+    for f in flt:
+        if f[0] not in types:
+            raise KeyError(f"column {f[0]!r} not in encoded data")
+        if f[0] not in needed:
+            needed.append(f[0])
+    chunks = pruned_chunks(spark, out_dir, needed, flt)
+    chunks = chunk_repartition(
+        spark, chunks.select("pid", "chunk_id", "column", "codec",
+                             "params", "payload"), out_dir)
+    from .deletes import has_deletes
+
+    deletes_on = has_deletes(out_dir)
+
+    def task(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .deletes import DeleteMask
+
+        dmask = DeleteMask(out_dir) if deletes_on else None
+        for key, cols in _assembled_chunks(batches, needed, with_keys=True):
+            decoded: dict[str, pa.Array] = {}
+            mask = _conj_mask(cols, flt, types, decoded)
+            if mask is not None and not mask.any():
+                continue
+            kcodes, kdict, kk = _chunk_key_codes(
+                cols[key_col], kt, decoded.get(key_col))
+            if val_col == key_col:
+                vcodes, vdict, kv = kcodes, kdict, kk
+            else:
+                vcodes, vdict, kv = _chunk_key_codes(
+                    cols[val_col], vt, decoded.get(val_col))
+            n = len(kcodes)
+            keep = np.ones(n, dtype=bool) if mask is None else mask.copy()
+            if dmask is not None:
+                pos = dmask.positions(*key)
+                if pos is not None and len(pos):
+                    keep[pos[pos < n]] = False
+            sel = keep & (vcodes < kv)  # null values are not ranked
+            if not sel.any():
+                continue
+            pair = kcodes[sel] * np.int64(kv) + vcodes[sel]
+            upair, counts = np.unique(pair, return_counts=True)
+            uk = (upair // kv).astype(np.int64)
+            uv = (upair % kv).astype(np.int64)
+            kvals = pa.concat_arrays([kdict.cast(kt), pa.nulls(1, kt)])
+            yield pa.RecordBatch.from_arrays(
+                [kvals.take(pa.array(uk, type=pa.int64())),
+                 vdict.cast(vt).take(pa.array(uv, type=pa.int64())),
+                 pa.array(counts.astype(np.int64), type=pa.int64())],
+                names=["value", "val", "cnt"])
+
+    ddl = (f"value {_spark_type(types[key_col])}, "
+           f"val {_spark_type(types[val_col])}, cnt bigint")
+    partial = chunks.mapInArrow(task, ddl)
+    totals = partial.groupBy("value", "val").agg(F.sum("cnt").alias("cnt"))
+    w = Window.partitionBy("value").orderBy(F.desc("cnt"), F.asc("val"))
+    return (totals.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def encoded_histogram(spark, out_dir: str, column: str, bucket_width: int,
                       filters: list[tuple] | None = None) -> DataFrame:
     """Exact equi-width histogram ``SELECT floor(col / w) AS bucket,

@@ -418,6 +418,13 @@ def main(argv: list[str] | None = None) -> int:
                           "reduce to their distinct (key, value) pairs "
                           "before the shuffle (dict codes on both sides "
                           "where available)")
+    grp.add_argument("--topk", default=None, metavar="COL",
+                     help="top-K most frequent COL values per key "
+                          "(heavy hitters): chunk-local pair counts, "
+                          "dictionary-scale shuffle, deterministic "
+                          "(cnt DESC, val ASC) tie rule")
+    grp.add_argument("-k", type=int, default=10,
+                     help="K for --topk (default 10)")
     grp.add_argument("--limit", type=int, default=50)
     grp.add_argument("--where", action="append", default=None,
                      metavar="COL:OP:VALUE",
@@ -844,7 +851,12 @@ def main(argv: list[str] | None = None) -> int:
 
             filters = (_parse_where(spark, args.data, args.where)
                        if args.where else None)
-            if args.stats:
+            if args.topk:
+                from fsst_spark.jobs.agg import encoded_group_topk
+
+                df = encoded_group_topk(spark, args.data, args.key,
+                                        args.topk, k=args.k, filters=filters)
+            elif args.stats:
                 df = encoded_group_stats(spark, args.data, args.key,
                                          args.stats, filters=filters)
             elif args.ndv:

@@ -403,7 +403,7 @@ def test_histogram_filtered_and_delete_aware(spark, tmp_path):
 
 def test_histogram_guards(spark, strlen_store):
     _, out = strlen_store
-    with pytest.raises(ValueError, match="int column"):
+    with pytest.raises(ValueError, match="int or timestamp column"):
         encoded_histogram(spark, out, "lang", 10)
     with pytest.raises(ValueError, match="positive"):
         encoded_histogram(spark, out, "doc_id", 0)
@@ -469,3 +469,44 @@ def test_histogram_timestamp_hourly(spark, tmp_path):
         .agg(F.count("*").alias("cnt")).collect()), key=_hist_key)
     assert got == want
     assert any(b is None for b, _ in got)
+
+
+def _topk_want(df, key, val, k):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(F.desc("cnt"), F.asc(val))
+    return _by_key(
+        (r[key], r[val], r["cnt"], r["rank"])
+        for r in df.filter(F.col(val).isNotNull())
+        .groupBy(key, val).agg(F.count("*").alias("cnt"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k).collect())
+
+
+def test_group_topk_matches_dataframe(spark, docs_with_nulls, enc_store):
+    from fsst_spark.jobs.agg import encoded_group_topk
+
+    got = _by_key(
+        (r["value"], r["val"], r["cnt"], r["rank"])
+        for r in encoded_group_topk(
+            spark, enc_store, "lang", "n_chars", k=3).collect())
+    want = _topk_want(docs_with_nulls, "lang", "n_chars", 3)
+    assert got == want
+    assert any(v is None for v, *_ in got)  # null key forms its own group
+
+
+def test_group_topk_filtered_and_guards(spark, docs_with_nulls, enc_store):
+    from fsst_spark.jobs.agg import encoded_group_topk
+
+    got = _by_key(
+        (r["value"], r["val"], r["cnt"], r["rank"])
+        for r in encoded_group_topk(
+            spark, enc_store, "lang", "n_chars", k=2,
+            filters=[("n_chars", ">=", 200)]).collect())
+    want = _topk_want(docs_with_nulls.filter("n_chars >= 200"),
+                      "lang", "n_chars", 2)
+    assert got == want
+    with pytest.raises(ValueError, match="positive"):
+        encoded_group_topk(spark, enc_store, "lang", "n_chars", k=0)
+    with pytest.raises(KeyError):
+        encoded_group_topk(spark, enc_store, "lang", "nope")
