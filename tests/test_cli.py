@@ -94,11 +94,14 @@ def test_cli_compact_and_group_stats(tmp_path):
         f"SELECT count(*) FROM read_parquet('{src}/*.parquet') "
         "WHERE lang = 'en'").fetchone()[0]
     assert c["n_rows"] == want_n
-    h = _run("histogram", "--data", cmp_, "--column", "n_chars",
-             "--width", "200")
+    # the synth corpus's only int-like column is the timestamp: daily
+    # buckets over its storage-unit ticks (timestamp[us])
+    day_us = 86_400_000_000
+    h = _run("histogram", "--data", cmp_, "--column", "warc_ts",
+             "--width", str(day_us))
     want_h = duckdb.sql(
-        f"SELECT CAST(floor(n_chars / 200) AS BIGINT), count(*) "
-        f"FROM read_parquet('{src}/*.parquet') "
+        f"SELECT CAST(floor(epoch_us(warc_ts) / {day_us}) AS BIGINT), "
+        f"count(*) FROM read_parquet('{src}/*.parquet') "
         "GROUP BY 1 ORDER BY 1 NULLS LAST").fetchall()
     assert [(row["bucket"], row["cnt"]) for row in h] == want_h
     assert c["chunks_total"] == c["chunks_pruned"] + \
