@@ -1913,6 +1913,31 @@ def q_ann_cosine_topk(spark, sf_dir):
     return cosine_topk(emb.filter(F.col("vec_id") != 0), [float(x) for x in query], k=10)
 
 
+def q_ann_store_topk(spark, sf_dir):
+    """Similarity search over the ENCODED store (pipeline/ann_store.py):
+    IVF-cell-clustered layout, chunk zone maps as the inverted index,
+    probe = IN-list selective decode. Full probe (nprobe = n_cells)
+    degrades to exact brute force, which is what the oracle pins; recall
+    and chunk-pruning at partial probe are gated in tests/test_ann_store."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.pipeline.ann_store import ann_store_topk, build_ann_store
+
+    out = tempfile.mkdtemp(prefix="fsst_anns_q_")
+    try:
+        emb = _t(spark, sf_dir, "embeddings")
+        build_ann_store(spark, emb.filter(F.col("vec_id") != 0), out,
+                        n_cells=8, num_partitions=4, chunk_bytes=64 << 10)
+        query = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        rows = ann_store_topk(spark, out, [float(x) for x in query],
+                              k=10, nprobe=8).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["vec_id"], r["rank"]) for r in rows], "vec_id bigint, rank int")
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF ANN (spherical-kmeans coarse quantizer, nprobe=6/16) vs the exact
     top-k: the oracle asserts k results and recall >= 1/2 (measured
@@ -2550,6 +2575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_dedup_minhash": q_neardup_dedup_minhash,
         "embedding_neardup": q_embedding_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_store_topk": q_ann_store_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_batch": q_ann_ivf_batch,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -2678,6 +2704,14 @@ def oracle_sql() -> dict[str, str]:
             "WHEN regexp_matches(text, '(?i)\\b(the|and|of|to|is)\\b') THEN 'en' "
             "ELSE 'und' END AS pred, count(*) AS n_docs "
             "FROM documents GROUP BY 1 ORDER BY 1"
+        ),
+        "ann_store_topk": (
+            "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
+            "SELECT vec_id, CAST(row_number() OVER (ORDER BY "
+            "list_cosine_similarity(embedding, (SELECT qv FROM q)) DESC, vec_id) AS INT) AS rank "
+            "FROM embeddings WHERE vec_id != 0 "
+            "ORDER BY list_cosine_similarity(embedding, (SELECT qv FROM q)) DESC, vec_id "
+            "LIMIT 10"
         ),
         "ann_cosine_topk": (
             "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "

@@ -1,0 +1,111 @@
+"""Similarity search over the ENCODED store: IVF-clustered layout.
+
+``build_ann_store`` physically clusters an embedding table by IVF cell at
+encode time (the same k-means coarse quantizer as ``similarity.build_ivf_
+index``), so each encoded chunk covers a tight ``ivf_cell`` range and the
+store's ordinary int zone maps ARE the inverted index: probing ``nprobe``
+cells is one ``decode_filtered('ivf_cell', 'in', cells)`` — non-probed
+chunks' embedding payloads are never read. This is the faiss IVF shape
+(Johnson et al., "Billion-scale similarity search with GPUs") re-expressed
+as a layout decision over this engine's existing machinery: no bespoke
+index files beyond a tiny centroid sidecar, and the store remains a
+normal encoded table (round-trips bit-identically, supports every other
+pushdown).
+
+At 10^12 vectors: the quantizer trains on a driver-side sample (metadata
+scale), assignment is one vectorized pandas-UDF pass, the range shuffle
+on ``ivf_cell`` is the one clustering shuffle any IVF build pays, and a
+query decodes ``nprobe / n_cells`` of the corpus. Exactness knob:
+``nprobe = n_cells`` probes everything — brute-force-exact, which is what
+the DuckDB oracle checks; recall at small nprobe is gated in tests.
+
+Reference tie: the reference kernel (spiraldb/fsst, src/lib.rs) has no
+vector search; this module exists for the north rule's training-data
+pipeline scope (embedding similarity over the compressed corpus).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .similarity import _spherical_kmeans, cosine_topk
+
+CELL_COL = "ivf_cell"
+_SIDECAR = "ann/centroids.json"
+
+
+def build_ann_store(spark, df: DataFrame, out_dir: str, *,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    n_cells: int = 16, sample_rows: int = 4096,
+                    seed: int = 5, num_partitions: int | None = None,
+                    chunk_bytes: int = 32 << 20) -> np.ndarray:
+    """Encode ``df`` as an IVF-clustered store; returns the centroid matrix.
+
+    Adds an ``ivf_cell`` int column (nearest spherical-k-means centroid by
+    cosine), range-clusters the layout on it via ``encode_job(sort_key=
+    ...)``, and persists the centroids as a JSON sidecar under
+    ``<out>/ann/`` (driver-side, a few KB — read back by every query)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..jobs.encode import encode_job
+
+    sample = np.array(
+        [r[0] for r in df.select(vec_col).limit(sample_rows).collect()],
+        dtype=np.float32)
+    if len(sample) == 0:
+        raise ValueError("cannot build an ANN store over an empty frame")
+    C = _spherical_kmeans(sample, n_cells, seed=seed)
+
+    @pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy()).astype(np.float32)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(M @ C.T, axis=1).astype(np.int32))
+
+    clustered = df.withColumn(CELL_COL, assign(F.col(vec_col)))
+    encode_job(spark, clustered, out_dir, sort_key=CELL_COL,
+               unique_col=id_col, num_partitions=num_partitions,
+               chunk_bytes=chunk_bytes, resume=False).collect()
+
+    os.makedirs(os.path.join(out_dir, "ann"), exist_ok=True)
+    side = {"vec_col": vec_col, "id_col": id_col, "seed": seed,
+            "n_cells": int(len(C)), "centroids": C.astype(float).tolist()}
+    tmp = os.path.join(out_dir, _SIDECAR + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(side, f)
+    os.replace(tmp, os.path.join(out_dir, _SIDECAR))
+    return C
+
+
+def load_centroids(out_dir: str) -> tuple[np.ndarray, dict]:
+    with open(os.path.join(out_dir, _SIDECAR)) as f:
+        side = json.load(f)
+    return np.asarray(side["centroids"], dtype=np.float32), side
+
+
+def ann_store_topk(spark, out_dir: str, query: list[float], k: int = 10,
+                   nprobe: int = 4) -> DataFrame:
+    """Top-k cosine over an IVF-clustered encoded store.
+
+    Ranks cells by centroid-query cosine, selectively decodes ONLY the
+    chunks whose ``ivf_cell`` zone intersects the probed cells (IN-list
+    zone + dict + bloom pruning — the store's standard path), then exact
+    cosine over the decoded candidates. ``nprobe >= n_cells`` degrades
+    gracefully to exact brute force."""
+    from ..jobs.decode import decode_filtered
+
+    C, side = load_centroids(out_dir)
+    q = np.asarray(query, dtype=np.float32)
+    q = q / max(float(np.linalg.norm(q)), 1e-12)
+    order = np.argsort(-(C @ q), kind="stable")
+    probe = [int(x) for x in order[: max(int(nprobe), 1)]]
+    cand = decode_filtered(
+        spark, out_dir, CELL_COL, "in", probe,
+        columns=[side["id_col"], side["vec_col"]])
+    return cosine_topk(cand, query, k=k,
+                       vec_col=side["vec_col"], id_col=side["id_col"])
