@@ -1938,6 +1938,34 @@ def q_ann_store_topk(spark, sf_dir):
         [(r["vec_id"], r["rank"]) for r in rows], "vec_id bigint, rank int")
 
 
+def q_ann_store_batch(spark, sf_dir):
+    """Batch k-NN join over the encoded store (ann_store_topk_batch): the
+    union of the batch's probed cells drives ONE selective decode, the
+    broadcast probe join scores each corpus vector only against queries
+    probing its cell. Full probe (nprobe = n_cells) == exact k-NN join,
+    which the oracle pins per query."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.pipeline.ann_store import (ann_store_topk_batch,
+                                               build_ann_store)
+
+    out = tempfile.mkdtemp(prefix="fsst_annb_q_")
+    try:
+        emb = _t(spark, sf_dir, "embeddings")
+        build_ann_store(spark, emb, out, n_cells=8, num_partitions=4,
+                        chunk_bytes=64 << 10)
+        queries = (emb.filter(F.col("vec_id") < 3)
+                   .select(F.col("vec_id").alias("query_id"), "embedding"))
+        rows = (ann_store_topk_batch(spark, out, queries, k=5, nprobe=8)
+                .orderBy("query_id", "rank").collect())
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["query_id"], r["vec_id"], r["rank"]) for r in rows],
+        "query_id bigint, vec_id bigint, rank int")
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF ANN (spherical-kmeans coarse quantizer, nprobe=6/16) vs the exact
     top-k: the oracle asserts k results and recall >= 1/2 (measured
@@ -2576,6 +2604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_store_topk": q_ann_store_topk,
+        "ann_store_batch": q_ann_store_batch,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_batch": q_ann_ivf_batch,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -2704,6 +2733,16 @@ def oracle_sql() -> dict[str, str]:
             "WHEN regexp_matches(text, '(?i)\\b(the|and|of|to|is)\\b') THEN 'en' "
             "ELSE 'und' END AS pred, count(*) AS n_docs "
             "FROM documents GROUP BY 1 ORDER BY 1"
+        ),
+        "ann_store_batch": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qv "
+            "FROM embeddings WHERE vec_id < 3), "
+            "r AS (SELECT q.query_id, e.vec_id, "
+            "CAST(row_number() OVER (PARTITION BY q.query_id ORDER BY "
+            "list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id) AS INT) AS rank "
+            "FROM embeddings e, q) "
+            "SELECT query_id, vec_id, rank FROM r WHERE rank <= 5 "
+            "ORDER BY query_id, rank"
         ),
         "ann_store_topk": (
             "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "

@@ -239,7 +239,9 @@ def main() -> None:
     for qname, fn in [("fsst_text", entry_mod.q_fsst_roundtrip_text),
                       ("dedup_minhash", entry_mod.q_minhash_neardup),
                       ("token_stats", entry_mod.q_token_quality_stats),
-                      ("ann_topk", entry_mod.q_ann_cosine_topk)]:
+                      ("ann_topk", entry_mod.q_ann_cosine_topk),
+                      ("ann_store", entry_mod.q_ann_store_topk),
+                      ("emb_roundtrip", entry_mod.q_embedding_roundtrip)]:
         try:
             walls = []
             for _ in range(2):  # best-of-2 vs host noise

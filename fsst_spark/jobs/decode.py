@@ -647,6 +647,14 @@ def decode_filtered(spark, out_dir: str, col: str | None = None, op: str | None 
     if cols is not None:
         cols = cols + [c for c in fcols if c not in cols]
     types = column_arrow_types(spark, out_dir)
+    for fc in fcols:
+        if fc in types and types[fc].startswith(
+                ("list<", "large_list<", "fixed_size_list<")):
+            raise ValueError(
+                f"cannot filter on nested column {fc!r} ({types[fc]}): "
+                "array columns have no zone maps or scalar predicates — "
+                "filter on a scalar column (e.g. the ivf_cell layout key "
+                "for embedding stores) instead")
     df = decode_job(spark, out_dir, cols, zone_filters=flt,
                     zone_filters_any=any_flt or None, as_of=as_of,
                     _pids=_pids)

@@ -33,7 +33,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from .similarity import _spherical_kmeans, cosine_topk
+from .similarity import _spherical_kmeans, cosine_topk, ivf_topk_batch
 
 CELL_COL = "ivf_cell"
 _SIDECAR = "ann/centroids.json"
@@ -109,3 +109,43 @@ def ann_store_topk(spark, out_dir: str, query: list[float], k: int = 10,
         columns=[side["id_col"], side["vec_col"]])
     return cosine_topk(cand, query, k=k,
                        vec_col=side["vec_col"], id_col=side["id_col"])
+
+
+def ann_store_topk_batch(spark, out_dir: str, queries: DataFrame,
+                         k: int = 10, nprobe: int = 4,
+                         q_id_col: str = "query_id",
+                         q_vec_col: str = "embedding") -> DataFrame:
+    """Batch k-NN join over an IVF-clustered encoded store.
+
+    Each query's nprobe cells come from one vectorized pandas-UDF pass;
+    the UNION of probed cells (<= n_cells ints, tiny at any query-batch
+    size) drives ONE selective decode — chunks outside every query's
+    probe set never read their embedding payloads — and the decoded
+    candidates feed ``similarity.ivf_topk_batch`` (broadcast probe join on
+    the cell column, shuffle-free per-partition top-k combine, final
+    per-query rank window). Returns (query_id, id, rank). ``nprobe >=
+    n_cells`` decodes everything = exact brute-force k-NN join."""
+    from ..jobs.decode import decode_filtered
+
+    C, side = load_centroids(out_dir)
+    np_eff = max(1, min(int(nprobe), len(C)))
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def probes(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy()).astype(np.float32)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(M @ C.T), axis=1, kind="stable")[:, :np_eff]
+        return pd.Series(list(order.astype(np.int32)))
+
+    cells = (queries.select(F.explode(probes(F.col(q_vec_col))).alias("c"))
+             .distinct().collect())
+    probe = sorted(int(r["c"]) for r in cells)
+    cand = decode_filtered(
+        spark, out_dir, CELL_COL, "in", probe,
+        columns=[side["id_col"], side["vec_col"], CELL_COL])
+    cand = cand.withColumnRenamed(CELL_COL, "centroid")
+    return ivf_topk_batch(cand, C, queries, k=k, nprobe=np_eff,
+                          vec_col=side["vec_col"], id_col=side["id_col"],
+                          q_id_col=q_id_col, q_vec_col=q_vec_col)

@@ -82,3 +82,42 @@ def test_store_is_a_normal_encoded_table(spark, emb, store):
     a = {r.vec_id: (r.embedding, r.label) for r in emb.collect()}
     b = {r.vec_id: (r.embedding, r.label) for r in dec.collect()}
     assert a == b
+
+
+def test_batch_knn_full_probe_exact(spark, emb, store):
+    """Batch k-NN at nprobe = n_cells == exact cosine top-k per query."""
+    from fsst_spark.pipeline.ann_store import ann_store_topk_batch
+
+    queries = (emb.filter(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    got = {(r["query_id"], r["vec_id"], r["rank"])
+           for r in ann_store_topk_batch(
+               spark, store, queries, k=5, nprobe=16).collect()}
+    want = set()
+    for qid in (0, 1, 2):
+        q = [float(x) for x in
+             emb.filter(F.col("vec_id") == qid).select("embedding").first()[0]]
+        want |= {(qid, r["vec_id"], r["rank"])
+                 for r in cosine_topk(emb, q, k=5).collect()}
+    assert got == want
+
+
+def test_batch_knn_matches_single_probe(spark, emb, store):
+    """At partial nprobe the batch join must agree with the single-query
+    path per query (same probe rule, same tie rule)."""
+    from fsst_spark.pipeline.ann_store import (ann_store_topk,
+                                               ann_store_topk_batch)
+
+    queries = (emb.filter(F.col("vec_id") < 2)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    got = {(r["query_id"], r["vec_id"], r["rank"])
+           for r in ann_store_topk_batch(
+               spark, store, queries, k=5, nprobe=4).collect()}
+    want = set()
+    for qid in (0, 1):
+        q = [float(x) for x in
+             emb.filter(F.col("vec_id") == qid).select("embedding").first()[0]]
+        want |= {(qid, r["vec_id"], r["rank"])
+                 for r in ann_store_topk(spark, store, q, k=5,
+                                         nprobe=4).collect()}
+    assert got == want

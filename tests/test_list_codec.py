@@ -128,3 +128,15 @@ def test_store_roundtrip_embeddings(spark, tmp_path):
     c = {r.vec_id: (r.embedding, r.label)
          for r in via_source.select("vec_id", "embedding", "label").collect()}
     assert a == c
+
+
+def test_filter_on_array_column_raises(spark, tmp_path):
+    from fsst_spark.jobs.decode import decode_filtered
+    from fsst_spark.jobs.encode import encode_job
+
+    src = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = str(tmp_path / "guard_store")
+    encode_job(spark, src, out, unique_col="vec_id", num_partitions=2,
+               resume=False).collect()
+    with pytest.raises(ValueError, match="nested column"):
+        decode_filtered(spark, out, "embedding", "==", [1.0])
