@@ -954,6 +954,36 @@ def q_extract_roundtrip(spark, sf_dir):
         F.count("*").alias("n_rows"), F.sum("ok").alias("n_match"))
 
 
+def q_crawl_frontier(spark, sf_dir):
+    """Crawl-frontier building (pipeline/frontier.py): extracted hrefs ->
+    normalization (fragment strip, protocol/root-relative resolution,
+    non-fetchable scheme drop) -> dedup -> known-URL anti-join -> per-host
+    politeness cap. Spark and DuckDB run the SAME regexes over identically
+    constructed pages (absolute, root-relative, protocol-relative+#frag,
+    mailto links per page); the full frontier row set must agree."""
+    from fsst_spark.pipeline.frontier import crawl_frontier
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    nid = (F.col("doc_id") + 1).cast("string")
+    cid = (F.col("doc_id") % 7).cast("string")
+    pages = docs.select(
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.org/d"), did).alias("url"),
+        F.concat(
+            F.lit('<p><a href="https://'), F.col("source"),
+            F.lit(".example.org/n"), nid,
+            F.lit('">n</a><a href=\'/rel/'), did,
+            F.lit("'>r</a>"),
+            F.lit('<a href="//cdn.example.net/x'), cid,
+            F.lit('#frag">c</a><a href="mailto:a@b.c">m</a></p>'),
+        ).alias("html"))
+    known = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.org/n"), nid).alias("url"))
+    return crawl_frontier(pages, known, per_host_cap=5)
+
+
 def q_extract_links(spark, sf_dir):
     """<a href> extraction (crawl-frontier building): Spark and DuckDB
     each run the SAME RE2-compatible patterns over identically
@@ -2566,6 +2596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_sort_key": q_url_sort_key,
         "extract_roundtrip": q_extract_roundtrip,
         "extract_links": q_extract_links,
+        "crawl_frontier": q_crawl_frontier,
         "quota_filter": q_quota_filter,
         "clustered_decode": q_clustered_decode,
         "encoded_stats": q_encoded_stats,
@@ -3430,6 +3461,28 @@ GROUP BY lang ORDER BY lang"""
             # cascade); the oracle pins the invariant: every row matches
             "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
             "CAST(count(*) AS BIGINT) AS n_match FROM documents"
+        ),
+        "crawl_frontier": (
+            "WITH p AS (SELECT 'https://' || source || '.example.org/d' || doc_id AS base, "
+            "'<p><a href=\"https://' || source || '.example.org/n' || (doc_id + 1) || "
+            "'\">n</a><a href=''/rel/' || doc_id || '''>r</a>"
+            "<a href=\"//cdn.example.net/x' || (doc_id % 7) || "
+            "'#frag\">c</a><a href=\"mailto:a@b.c\">m</a></p>' AS html FROM documents), "
+            "l AS (SELECT base, unnest(list_concat("
+            "regexp_extract_all(html, '(?i)<a\\s[^>]*href\\s*=\\s*\"([^\"]*)\"', 1), "
+            "regexp_extract_all(html, '(?i)<a\\s[^>]*href\\s*=\\s*''([^'']*)''', 1))) AS raw FROM p), "
+            "n AS (SELECT DISTINCT CASE "
+            "WHEN regexp_matches(split_part(raw, '#', 1), '^https?://') THEN split_part(raw, '#', 1) "
+            "WHEN starts_with(split_part(raw, '#', 1), '//') THEN 'https:' || split_part(raw, '#', 1) "
+            "WHEN starts_with(split_part(raw, '#', 1), '/') THEN "
+            "'https://' || regexp_extract(base, '^https?://([^/]+)', 1) || split_part(raw, '#', 1) "
+            "ELSE NULL END AS url FROM l), "
+            "k AS (SELECT 'https://' || source || '.example.org/n' || (doc_id + 1) AS url "
+            "FROM documents WHERE doc_id % 3 = 0), "
+            "f AS (SELECT url, regexp_extract(url, '^https?://([^/]+)', 1) AS host FROM n "
+            "WHERE url IS NOT NULL AND url NOT IN (SELECT url FROM k)), "
+            "r AS (SELECT url, host, row_number() OVER (PARTITION BY host ORDER BY url) AS rn FROM f) "
+            "SELECT url, host FROM r WHERE rn <= 5 ORDER BY url"
         ),
         "extract_links": (
             "WITH h AS (SELECT '<body><p>see <a href=\"https://' || source "
