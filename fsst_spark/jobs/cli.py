@@ -335,6 +335,28 @@ def main(argv: list[str] | None = None) -> int:
     qtl.add_argument("--q", default="0.25,0.5,0.75",
                      help="comma-separated fractions in [0,1]")
 
+    anb = sub.add_parser("ann-build",
+                         help="encode an embedding table as an IVF-cell-"
+                              "clustered store: chunk zone maps become the "
+                              "inverted index, centroids persist as a "
+                              "sidecar")
+    anb.add_argument("--input", required=True,
+                     help="parquet dir / iceberg: table with an embedding column")
+    anb.add_argument("--out", required=True)
+    anb.add_argument("--vec-col", default="embedding")
+    anb.add_argument("--id-col", default="vec_id")
+    anb.add_argument("--cells", type=int, default=16)
+    anb.add_argument("--partitions", type=int, default=None)
+
+    anq = sub.add_parser("ann-query",
+                         help="top-k cosine over an ann-build store: probed "
+                              "cells decode selectively, the rest never read")
+    anq.add_argument("--data", required=True)
+    anq.add_argument("--vec", required=True,
+                     help="query vector as comma-separated floats")
+    anq.add_argument("-k", type=int, default=10)
+    anq.add_argument("--nprobe", type=int, default=4)
+
     dix = sub.add_parser("dedup-index",
                          help="persistent MinHash dedup index: build from a "
                               "corpus, or probe a new batch against it "
@@ -745,6 +767,24 @@ def main(argv: list[str] | None = None) -> int:
                               "quantiles": {str(r["q"]): r["val"]
                                             for r in rows},
                               **obs}))
+        elif args.cmd == "ann-build":
+            from fsst_spark.pipeline.ann_store import build_ann_store
+            from fsst_spark.sources import read_table
+
+            df_in = read_table(spark, args.input)
+            C = build_ann_store(spark, df_in, args.out,
+                                vec_col=args.vec_col, id_col=args.id_col,
+                                n_cells=args.cells,
+                                num_partitions=args.partitions)
+            print(json.dumps({"out": args.out, "n_cells": int(len(C)),
+                              "rows": df_in.count()}))
+        elif args.cmd == "ann-query":
+            from fsst_spark.pipeline.ann_store import ann_store_topk
+
+            vec = [float(x) for x in args.vec.split(",")]
+            rows = ann_store_topk(spark, args.data, vec, k=args.k,
+                                  nprobe=args.nprobe).collect()
+            print(json.dumps([r.asDict() for r in rows]))
         elif args.cmd == "dedup-index":
             from fsst_spark.pipeline.dedup_index import (dedup_against_index,
                                                          flag_against_index,

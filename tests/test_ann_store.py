@@ -121,3 +121,39 @@ def test_batch_knn_matches_single_probe(spark, emb, store):
                  for r in ann_store_topk(spark, store, q, k=5,
                                          nprobe=4).collect()}
     assert got == want
+
+
+def test_cli_ann_build_and_query(tmp_path):
+    """spark-submit surface: ann-build then ann-query in fresh processes."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    def _run(*args):
+        env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+        out = subprocess.run(
+            [sys.executable, "-m", "fsst_spark.jobs.cli", *args],
+            capture_output=True, text=True, timeout=420, env=env,
+            cwd="/root/repo")
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    store = str(tmp_path / "annstore")
+    r = _run("ann-build", "--input", f"{SF_DIR}/embeddings.parquet",
+             "--out", store, "--cells", "8", "--partitions", "4")
+    assert r["n_cells"] == 8 and r["rows"] > 0
+
+    tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    qvec = tbl.column("embedding")[0].as_py()
+    # --vec=... form: a leading negative component would otherwise be
+    # parsed as an option flag
+    got = _run("ann-query", "--data", store,
+               "--vec=" + ",".join(str(float(x)) for x in qvec),
+               "-k", "5", "--nprobe", "8")
+    assert len(got) == 5
+    assert got[0]["rank"] == 1
+    assert got[0]["vec_id"] == tbl.column("vec_id")[0].as_py()  # self is #1
