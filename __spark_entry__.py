@@ -1368,6 +1368,30 @@ def q_group_stats(spark, sf_dir):
         "avg_val double, min_val bigint, max_val bigint")
 
 
+def q_group_minmax(spark, sf_dir):
+    """Per-key exact min/max for a STRING value column from the encoded
+    form (agg.encoded_group_minmax): min/max over per-chunk distinct
+    (key, value) pairs — the string sibling of group_stats' int min/max."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.agg import encoded_group_minmax
+    from fsst_spark.jobs.encode import encode_job
+
+    out = tempfile.mkdtemp(prefix="fsst_gmm_q_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+        encode_job(spark, docs, out, num_partitions=4, chunk_bytes=64 << 10,
+                   resume=False, unique_col="doc_id").collect()
+        rows = (encoded_group_minmax(spark, out, "lang", "source")
+                .orderBy("value").collect())
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["value"], r["min_val"], r["max_val"]) for r in rows],
+        "value string, min_val string, max_val string")
+
+
 def q_group_topk(spark, sf_dir):
     """Per-group heavy hitters from the encoded form: top-2 source sites
     per language (agg.encoded_group_topk) — chunk-local (key,val) pair
@@ -2612,6 +2636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoded_sum": q_encoded_sum,
         "group_stats": q_group_stats,
         "group_topk": q_group_topk,
+        "group_minmax": q_group_minmax,
         "filtered_group_sum": q_filtered_group_sum,
         "count_where": q_count_where,
         "zorder_count": q_zorder_count,
@@ -3256,6 +3281,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(n_chars) AS BIGINT) AS n_values, "
             "CAST(sum(n_chars) AS DOUBLE) / count(n_chars) AS avg_val "
             "FROM documents"
+        ),
+        "group_minmax": (
+            "SELECT lang AS value, min(source) AS min_val, "
+            "max(source) AS max_val FROM documents GROUP BY lang "
+            "ORDER BY value"
         ),
         "group_topk": (
             "WITH g AS (SELECT lang AS value, source AS val, count(*) AS cnt "

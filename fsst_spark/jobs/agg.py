@@ -813,26 +813,27 @@ def encoded_group_stats(spark, out_dir: str, key_col: str, val_col: str,
                               suffix="val")
 
 
-def encoded_group_ndv(spark, out_dir: str, key_col: str, val_col: str,
-                      filters: list[tuple] | None = None) -> DataFrame:
-    """Exact ``SELECT key, count(DISTINCT val) AS ndv GROUP BY key`` over
-    an encoded store.
+def _group_distinct_pairs(spark, out_dir: str, key_col: str, val_col: str,
+                          filters: list[tuple] | None = None) -> DataFrame:
+    """(value, val) frame of per-chunk DISTINCT key/value pairs plus one
+    key-presence row (val NULL) per key per chunk — the shared partial for
+    the exact-distinct group aggregates (`encoded_group_ndv`,
+    `encoded_group_minmax`).
 
     Each scan task reduces a chunk to its DISTINCT (key, value) pairs
     before anything shuffles: both columns go through the dict-code fast
     path when available (a dict-coded chunk contributes at most
     |key dict| x |val dict| pairs and usually far fewer), others decode
     chunk-locally then unique. The shuffle therefore carries per-chunk
-    distinct pairs — for a ``GROUP BY lang, count(DISTINCT source)`` over
-    10^12 rows that is a few dozen pairs per chunk; for a genuinely
-    high-NDV value column (urls) it honestly degrades toward row scale,
-    which is what EXACT distinct costs on any engine. The final
-    ``countDistinct`` is Spark's built-in two-phase distinct aggregate.
+    distinct pairs — for a ``GROUP BY lang`` over 10^12 rows that is a
+    few dozen pairs per chunk; for a genuinely high-NDV value column
+    (urls) it honestly degrades toward row scale, which is what EXACT
+    distinct costs on any engine.
 
-    SQL semantics: null keys form their own group; null values never
-    count toward ndv (a group with only null values reports 0).
-    ``filters`` adds a conjunctive WHERE with zone/dict/bloom chunk
-    pruning; delete tombstones drop chunk-locally."""
+    SQL semantics downstream: null keys form their own group; null values
+    appear only as key-presence rows (ndv ignores them, min/max skip
+    them). ``filters`` adds a conjunctive WHERE with zone/dict/bloom
+    chunk pruning; delete tombstones drop chunk-locally."""
     types = column_arrow_types(spark, out_dir)
     for c in (key_col, val_col):
         if c not in types:
@@ -902,8 +903,32 @@ def encoded_group_ndv(spark, out_dir: str, key_col: str, val_col: str,
 
     ddl = (f"value {_spark_type(types[key_col])}, "
            f"val {_spark_type(types[val_col])}")
-    pairs = chunks.mapInArrow(task, ddl)
+    return chunks.mapInArrow(task, ddl)
+
+
+def encoded_group_ndv(spark, out_dir: str, key_col: str, val_col: str,
+                      filters: list[tuple] | None = None) -> DataFrame:
+    """Exact ``SELECT key, count(DISTINCT val) AS ndv GROUP BY key`` over
+    an encoded store: the shared distinct-pair partials
+    (:func:`_group_distinct_pairs` — dict fast path both sides, NDV-scale
+    shuffle) finished by Spark's built-in two-phase distinct aggregate.
+    A group with only null values reports ndv 0 (countDistinct ignores
+    the key-presence NULL rows)."""
+    pairs = _group_distinct_pairs(spark, out_dir, key_col, val_col, filters)
     return pairs.groupBy("value").agg(F.count_distinct("val").alias("ndv"))
+
+
+def encoded_group_minmax(spark, out_dir: str, key_col: str, val_col: str,
+                         filters: list[tuple] | None = None) -> DataFrame:
+    """Exact ``SELECT key, min(val), max(val) GROUP BY key`` for ANY value
+    column type (the string/binary sibling of ``encoded_group_stats``'s
+    int-only min/max): min/max over the shared distinct-pair partials —
+    a chunk's distinct values bound its min/max, so the shuffle stays
+    pair-scale. SQL semantics: min/max ignore nulls; an all-null group
+    survives via its key-presence row with NULL min/max."""
+    pairs = _group_distinct_pairs(spark, out_dir, key_col, val_col, filters)
+    return pairs.groupBy("value").agg(F.min("val").alias("min_val"),
+                                      F.max("val").alias("max_val"))
 
 
 def encoded_group_topk(spark, out_dir: str, key_col: str, val_col: str,

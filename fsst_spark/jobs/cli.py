@@ -440,6 +440,10 @@ def main(argv: list[str] | None = None) -> int:
                           "reduce to their distinct (key, value) pairs "
                           "before the shuffle (dict codes on both sides "
                           "where available)")
+    grp.add_argument("--minmax", default=None, metavar="COL",
+                     help="exact min/max of COL per key for ANY column "
+                          "type (strings included): min/max over per-chunk "
+                          "distinct (key, value) pairs")
     grp.add_argument("--topk", default=None, metavar="COL",
                      help="top-K most frequent COL values per key "
                           "(heavy hitters): chunk-local pair counts, "
@@ -896,6 +900,11 @@ def main(argv: list[str] | None = None) -> int:
 
                 df = encoded_group_topk(spark, args.data, args.key,
                                         args.topk, k=args.k, filters=filters)
+            elif args.minmax:
+                from fsst_spark.jobs.agg import encoded_group_minmax
+
+                df = encoded_group_minmax(spark, args.data, args.key,
+                                          args.minmax, filters=filters)
             elif args.stats:
                 df = encoded_group_stats(spark, args.data, args.key,
                                          args.stats, filters=filters)

@@ -510,3 +510,40 @@ def test_group_topk_filtered_and_guards(spark, docs_with_nulls, enc_store):
         encoded_group_topk(spark, enc_store, "lang", "n_chars", k=0)
     with pytest.raises(KeyError):
         encoded_group_topk(spark, enc_store, "lang", "nope")
+
+
+def test_group_minmax_string_values(spark, tmp_path):
+    from fsst_spark.jobs.agg import encoded_group_minmax
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "lang", "source")
+            .withColumn("source", F.when(F.col("doc_id") % 11 == 0, None)
+                        .otherwise(F.col("source"))))
+    out = str(tmp_path / "minmax_store")
+    encode_job(spark, docs, out, num_partitions=4, chunk_bytes=32 << 10,
+               resume=False, unique_col="doc_id").collect()
+    got = _by_key(
+        (r["value"], r["min_val"], r["max_val"])
+        for r in encoded_group_minmax(spark, out, "lang", "source").collect())
+    want = _by_key(
+        (r["lang"], r["mn"], r["mx"])
+        for r in docs.groupBy("lang")
+        .agg(F.min("source").alias("mn"), F.max("source").alias("mx"))
+        .collect())
+    assert got == want
+
+
+def test_group_minmax_int_and_filters(spark, docs_with_nulls, enc_store):
+    from fsst_spark.jobs.agg import encoded_group_minmax
+
+    flt = [("n_chars", ">=", 300)]
+    got = _by_key(
+        (r["value"], r["min_val"], r["max_val"])
+        for r in encoded_group_minmax(spark, enc_store, "lang", "n_chars",
+                                      filters=flt).collect())
+    want = _by_key(
+        (r["lang"], r["mn"], r["mx"])
+        for r in docs_with_nulls.filter("n_chars >= 300").groupBy("lang")
+        .agg(F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx"))
+        .collect())
+    assert got == want
