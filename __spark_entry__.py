@@ -2423,6 +2423,38 @@ def q_deleted_group_sum(spark, sf_dir):
         "value string, cnt bigint, sum_val bigint")
 
 
+def q_added_column_decode(spark, sf_dir):
+    """Metadata-only ADD COLUMN (jobs/schema.add_column): decode readers
+    see the new column immediately as NULL for every pre-add chunk (one
+    schema-log entry, payloads untouched, O(1) at any store size);
+    existing columns stay bit-identical."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.decode import decode_job
+    from fsst_spark.jobs.encode import encode_job
+    from fsst_spark.jobs.schema import add_column
+
+    out = tempfile.mkdtemp(prefix="added_col_q_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+        encode_job(spark, docs, out, chunk_bytes=64 << 10, resume=False,
+                   pre_partitioned=True, unique_col="doc_id").collect()
+        add_column(out, "quality", "double")
+        dec = decode_job(spark, out).drop("pid", "chunk_id")
+        r = dec.agg(
+            F.count("*").alias("n_rows"),
+            F.sum("doc_id").alias("sum_ids"),
+            F.count("quality").alias("n_quality"),
+            F.lit(len(dec.columns)).cast("long").alias("n_cols"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["n_rows"], r["sum_ids"], r["n_quality"], r["n_cols"])],
+        "n_rows bigint, sum_ids bigint, n_quality bigint, n_cols bigint")
+
+
 def q_dropped_column_decode(spark, sf_dir):
     """Metadata-only schema evolution: drop_column('source') hides the
     column from every reader in O(1) (payloads untouched); a full decode
@@ -2599,6 +2631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deleted_count_where": q_deleted_count_where,
         "deleted_group_sum": q_deleted_group_sum,
         "dropped_column_decode": q_dropped_column_decode,
+        "added_column_decode": q_added_column_decode,
         "updated_decode": q_updated_decode,
         "merged_decode": q_merged_decode,
         "materialized_deletes": q_materialized_deletes,
@@ -3103,6 +3136,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(n_chars) AS BIGINT) AS sum_val "
             "FROM documents WHERE lang <> 'de' "
             "GROUP BY lang ORDER BY value"
+        ),
+        "added_column_decode": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_ids, "
+            "CAST(0 AS BIGINT) AS n_quality, "
+            "CAST(4 AS BIGINT) AS n_cols "
+            "FROM documents"
         ),
         "dropped_column_decode": (
             "SELECT CAST(count(*) AS BIGINT) AS n_rows, "

@@ -251,6 +251,17 @@ def main(argv: list[str] | None = None) -> int:
     udr.add_argument("--data", required=True)
     udr.add_argument("--column", required=True)
 
+    adc = sub.add_parser(
+        "add-column",
+        help="ADD COLUMN in O(1) (metadata-only): decode readers see it "
+             "immediately as NULL for pre-add chunks; appends must carry "
+             "it; fast-path aggregates see it after a rewrite")
+    adc.add_argument("--data", required=True)
+    adc.add_argument("--column", required=True)
+    adc.add_argument("--type", required=True,
+                     help="arrow type name: int64, string, double, "
+                          "timestamp[us], ...")
+
     rbk = sub.add_parser(
         "rollback",
         help="undo every append after commit entry N: retired chunk/"
@@ -685,6 +696,13 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"store": args.out,
                               "partitions": len(rows),
                               "rows": sum(r["n_rows"] for r in rows)}))
+        elif args.cmd == "add-column":
+            from fsst_spark.jobs.schema import add_column, added_columns
+
+            add_column(args.data, args.column, args.type)
+            print(json.dumps({"store": args.data, "column": args.column,
+                              "action": "add-column",
+                              "added": added_columns(args.data)}))
         elif args.cmd in ("drop-column", "undrop-column"):
             from fsst_spark.jobs.schema import (
                 drop_column,

@@ -54,8 +54,15 @@ def _chunks_df(spark, out_dir: str, columns: list[str] | None) -> DataFrame:
     return df
 
 
-def column_arrow_types(spark, out_dir: str, columns: list[str] | None = None) -> dict[str, str]:
+def column_arrow_types(spark, out_dir: str, columns: list[str] | None = None,
+                       include_added: bool = False) -> dict[str, str]:
     """{column: arrow type name} recovered from ONE chunk file.
+
+    ``include_added=True`` merges columns ADDED via the schema log
+    (``schema.add_column``) that no chunk carries yet — only the DECODE
+    paths pass it: the metadata/sketch fast paths keep the default so an
+    added-but-unmaterialized column fails fast (KeyError) instead of
+    answering from per-chunk state that cannot represent virtual nulls.
 
     Every encode partition writes all its columns into its own chunk file,
     so any single file carries the full schema — a driver-side footer read,
@@ -81,10 +88,13 @@ def column_arrow_types(spark, out_dir: str, columns: list[str] | None = None) ->
             .collect()
         )
         cols = {r["column"]: json.loads(r["params"])["arrow_type"] for r in meta}
-    from .schema import dropped_columns
+    from .schema import added_columns, dropped_columns
 
     for c in dropped_columns(out_dir):
         cols.pop(c, None)  # dropped columns are not part of the schema
+    if include_added:
+        for c, t in added_columns(out_dir).items():
+            cols.setdefault(c, t)  # physical (materialized) type wins
     if columns:
         missing = [c for c in columns if c not in cols]
         if missing:
@@ -92,9 +102,12 @@ def column_arrow_types(spark, out_dir: str, columns: list[str] | None = None) ->
     return cols
 
 
-def decoded_schema_ddl(spark, out_dir: str, columns: list[str] | None = None) -> tuple[str, list[str]]:
-    """(Spark DDL of the decoded frame, ordered column list)."""
-    cols = column_arrow_types(spark, out_dir, columns)
+def decoded_schema_ddl(spark, out_dir: str, columns: list[str] | None = None,
+                       include_added: bool = True) -> tuple[str, list[str]]:
+    """(Spark DDL of the decoded frame, ordered column list). Decode
+    readers see schema-log-added columns (NULL until materialized)."""
+    cols = column_arrow_types(spark, out_dir, columns,
+                              include_added=include_added)
     ordered = columns or sorted(cols)
     ddl = ", ".join(f"{c} {_spark_type(cols[c])}" for c in ordered)
     return f"pid int, chunk_id int, {ddl}", ordered
@@ -532,7 +545,19 @@ def decode_job(spark, out_dir: str, columns: list[str] | None = None,
     filters = list(zone_filters or [])
     if zone_filter is not None:
         filters.append(zone_filter)
-    chunks = pruned_chunks(spark, out_dir, columns, filters, dict_prune)
+    scan_columns = columns
+    if columns is not None:
+        # decoding ONLY schema-log-added columns: no physical rows would be
+        # scanned at all, so the task couldn't learn chunk row counts —
+        # pull one physical column through the scan as a row-count carrier
+        # (dropped before emit; its decode is the price of the corner)
+        from .schema import added_columns as _added
+
+        if set(ordered) <= set(_added(out_dir)):
+            phys = sorted(column_arrow_types(spark, out_dir))
+            if phys:
+                scan_columns = list(columns) + [phys[0]]
+    chunks = pruned_chunks(spark, out_dir, scan_columns, filters, dict_prune)
     if as_of is not None and _pids is not None:
         raise ValueError("pass as_of OR a pid whitelist, not both")
     pids = _as_of_pids(out_dir, as_of) if as_of is not None else _pids
@@ -558,11 +583,22 @@ def decode_job(spark, out_dir: str, columns: list[str] | None = None,
     # row tombstones (jobs.deletes) apply executor-side: the flag is read
     # once on the driver, each task lazily loads its pids' positions
     from .deletes import has_deletes
+    from .schema import added_columns
 
     deletes_on = has_deletes(out_dir)
+    # schema-log-added columns: chunks written before the add have no row
+    # for them — they fill with NULLs at end-of-stream. Chunks written
+    # after the add carry the column physically and keep the streaming
+    # early-emit; a store with UNMATERIALIZED adds buffers its pre-add
+    # chunks per task until the task's input ends (memory ∝ the task's own
+    # input share — rewrite via recluster/materialize to restore
+    # chunk-at-a-time emit everywhere).
+    added_types = {c: t for c, t in added_columns(out_dir).items()
+                   if c in ordered}
 
     def decode_task(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from ..env import madvise_hugepages
+        from ..kernel.codecs import parse_arrow_type
         from .deletes import DeleteMask
 
         madvise_hugepages()
@@ -572,17 +608,29 @@ def decode_job(spark, out_dir: str, columns: list[str] | None = None,
             cols = batch.to_pylist()
             for row in cols:
                 key = (row["pid"], row["chunk_id"])
-                slot = pending.setdefault(key, {"need": len(ordered), "cols": {}})
+                slot = pending.setdefault(key, {"cols": {}})
                 slot["cols"][row["column"]] = decode_column(
                     {"codec": row["codec"], "params": json.loads(row["params"]),
                      "payload": row["payload"]}
                 )
-                if len(slot["cols"]) == slot["need"]:
+                # membership, not count: the row-count-carrier column of the
+                # all-added corner is scanned but not in `ordered`
+                if all(c in slot["cols"] for c in ordered):
                     out = _emit(key, slot["cols"], ordered, dmask)
                     if out is not None:
                         yield out
                     del pending[key]
-        assert not pending, f"incomplete chunks (missing column rows): {list(pending)[:4]}"
+        for key in sorted(pending):  # pre-add chunks: fill virtual NULLs
+            cols = pending[key]["cols"]
+            missing = set(ordered) - set(cols)
+            assert missing and missing <= set(added_types), \
+                f"incomplete chunk {key}: missing non-added columns {missing}"
+            n = len(next(iter(cols.values())))
+            for c in missing:
+                cols[c] = pa.nulls(n, parse_arrow_type(added_types[c]))
+            out = _emit(key, cols, ordered, dmask)
+            if out is not None:
+                yield out
 
     return chunks.mapInArrow(decode_task, ddl)
 
@@ -646,7 +694,7 @@ def decode_filtered(spark, out_dir: str, col: str | None = None, op: str | None 
     cols = columns
     if cols is not None:
         cols = cols + [c for c in fcols if c not in cols]
-    types = column_arrow_types(spark, out_dir)
+    types = column_arrow_types(spark, out_dir, include_added=True)
     for fc in fcols:
         if fc in types and types[fc].startswith(
                 ("list<", "large_list<", "fixed_size_list<")):
@@ -747,15 +795,21 @@ def decode_head(spark, out_dir: str, n: int,
     if cols is not None:
         cols = cols + [c for c in fcols if c not in cols]
     ddl, ordered = decoded_schema_ddl(spark, out_dir, cols)
-    src = (pruned_chunks(spark, out_dir, cols, flt) if flt
-           else _chunks_df(spark, out_dir, cols))
-    meta = (src.where(F.col("column") == ordered[0])
-            .select("pid", "chunk_id", "n_rows")
-            .orderBy("pid", "chunk_id"))
     from .deletes import has_deletes
 
     exact = not flt and not has_deletes(out_dir)
-    types = column_arrow_types(spark, out_dir)
+    types = column_arrow_types(spark, out_dir, include_added=True)
+    phys = column_arrow_types(spark, out_dir)
+    # the n_rows carrier must be a PHYSICAL column: a schema-log-added
+    # column has no chunk rows to count from
+    meta_col = next((c for c in ordered if c in phys), sorted(phys)[0])
+    scan_cols = (cols if cols is None or meta_col in cols
+                 else cols + [meta_col])
+    src = (pruned_chunks(spark, out_dir, scan_cols, flt) if flt
+           else _chunks_df(spark, out_dir, scan_cols))
+    meta = (src.where(F.col("column") == meta_col)
+            .select("pid", "chunk_id", "n_rows")
+            .orderBy("pid", "chunk_id"))
 
     def build(keys):
         df = decode_job(spark, out_dir, cols, _chunk_keys=keys)

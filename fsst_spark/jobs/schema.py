@@ -98,15 +98,18 @@ def physical_columns(store: str) -> dict[str, str]:
 
 
 def drop_column(store: str, column: str) -> None:
-    """Hide ``column`` from every reader — O(1), payloads untouched."""
+    """Hide ``column`` from every reader — O(1), payloads untouched.
+    Dropping a column that was ADDED (and maybe never materialized)
+    simply retracts the add."""
     phys = physical_columns(store)
-    if column not in phys:
+    added = added_columns(store)
+    if column not in phys and column not in added:
         raise KeyError(f"column {column!r} not in encoded data "
-                       f"(has {sorted(phys)})")
+                       f"(has {sorted(set(phys) | set(added))})")
     dropped = dropped_columns(store)
     if column in dropped:
         raise ValueError(f"column {column!r} is already dropped")
-    if len(set(phys) - dropped) <= 1:
+    if len((set(phys) | set(added)) - dropped) <= 1:
         raise ValueError("cannot drop the last visible column "
                          f"({column!r}); a store needs at least one")
     _append_entry(store, {"action": "drop", "column": column})
@@ -117,6 +120,61 @@ def undrop_column(store: str, column: str) -> None:
     if column not in dropped_columns(store):
         raise ValueError(f"column {column!r} is not currently dropped")
     _append_entry(store, {"action": "undrop", "column": column})
+
+
+def added_columns(store: str) -> dict[str, str]:
+    """{column: arrow type name} of columns ADDED via :func:`add_column`
+    and not subsequently dropped — the ordered fold of add/drop entries."""
+    added: dict[str, str] = {}
+    shadow: dict[str, str] = {}  # added cols currently dropped
+    for e in schema_log(store):
+        c = e["column"]
+        if e["action"] == "add":
+            added[c] = e["arrow_type"]
+        elif e["action"] == "drop" and c in added:
+            shadow[c] = added.pop(c)
+        elif e["action"] == "undrop" and c in shadow:
+            added[c] = shadow.pop(c)
+    return added
+
+
+def add_column(store: str, column: str, arrow_type: str) -> None:
+    """ADD COLUMN as a metadata operation (Iceberg ``ALTER TABLE ADD
+    COLUMN`` semantics): one schema-log entry, payloads untouched, O(1)
+    at any store size.
+
+    Every DECODE reader (decode_job / decode_filtered / the fsst source)
+    sees the column immediately with NULL for rows in chunks written
+    before the add; appends after the add must carry the column, so newer
+    chunks materialize real values (the store is heterogeneous until a
+    rewrite — recluster_store / materialize_deletes — makes it physical
+    everywhere). The default is NULL by design: any non-null default
+    would make zone/dict/bloom pruning on the column unsound for old
+    chunks (NULL never satisfies a predicate, so pruning them is exact).
+
+    The metadata/sketch fast paths (stats, group aggregates) deliberately
+    do NOT see added columns until materialized — their per-chunk state
+    cannot represent the virtual nulls, so they fail fast with the same
+    KeyError an unknown column gets, instead of answering wrong.
+
+    ``arrow_type`` is an Arrow type name the codec layer accepts
+    (``int64``, ``string``, ``double``, ``timestamp[us]``, ...)."""
+    from ..kernel.codecs import parse_arrow_type
+
+    try:
+        parse_arrow_type(arrow_type)
+    except KeyError:
+        raise ValueError(f"unsupported arrow type {arrow_type!r} for "
+                         "add_column (scalar types only)") from None
+    phys = physical_columns(store)
+    if column in phys:
+        raise ValueError(f"column {column!r} already exists in the store")
+    if column in added_columns(store):
+        raise ValueError(f"column {column!r} is already added")
+    if column in dropped_columns(store):
+        raise ValueError(f"column {column!r} is dropped; undrop it instead")
+    _append_entry(store, {"action": "add", "column": column,
+                          "arrow_type": arrow_type})
 
 
 def copy_schema_log(src_store: str, dst_store: str) -> int:

@@ -113,10 +113,12 @@ def store_column_types(store: str) -> dict[str, str]:
         for c, p in zip(t.column("column").to_pylist(),
                         t.column("params").to_pylist())
     }
-    from ..jobs.schema import dropped_columns
+    from ..jobs.schema import added_columns, dropped_columns
 
     for c in dropped_columns(store):
         cols.pop(c, None)  # metadata-only drops hide the column everywhere
+    for c, t in added_columns(store).items():
+        cols.setdefault(c, t)  # schema-log adds: NULL until materialized
     return cols
 
 
@@ -455,10 +457,20 @@ def _read_chunk_file(path: str, col_types: dict[str, str],
         return  # fully pruned: payload column bytes were never read
     ordered = sorted(col_types)
     target = _arrow_schema(col_types, ordered)
+    from ..jobs.schema import added_columns
+
+    added = {c for c in added_columns(store_root) if c in col_types}
+    scan_cols = list(ordered)
+    if added and set(ordered) <= added:
+        # only schema-log-added columns requested: scan one physical
+        # column as the row-count carrier (dropped before emit)
+        phys = sorted(set(store_column_types(store_root)) - added)
+        if phys:
+            scan_cols.append(phys[0])
     tbl = pq.read_table(
         path,
         columns=["pid", "chunk_id", "column", "codec", "params", "payload"],
-        filters=[("column", "in", ordered)])
+        filters=[("column", "in", scan_cols)])
     chunks: dict[tuple[int, int], dict] = {}
     # zip arrow scalars; .as_py() materializes a payload only for
     # chunks that survived pruning
@@ -473,7 +485,10 @@ def _read_chunk_file(path: str, col_types: dict[str, str],
              "payload": payload_s.as_py()})
     for key in sorted(chunks):
         cols = chunks[key]
-        arrays = [cols[c].cast(target.field(i).type)
+        n = len(next(iter(cols.values()))) if cols else 0
+        # pre-add chunks lack rows for schema-log-added columns: virtual NULLs
+        arrays = [(cols[c].cast(target.field(i).type) if c in cols
+                   else pa.nulls(n, target.field(i).type))
                   for i, c in enumerate(ordered)]
         if dmask is not None:
             from ..jobs.deletes import apply_delete_mask
@@ -763,6 +778,17 @@ class FsstDataSource(DataSource):
                     f"append writes columns {sorted(ghost)} that were "
                     f"DROPPED from store {store!r}; undrop_column first "
                     "or drop them from the frame")
+            from ..jobs.schema import added_columns
+
+            # appends after ADD COLUMN must carry it: the decode readers'
+            # virtual-NULL fill applies only to chunks PREDATING the add —
+            # column growth stays monotone across chunk generations
+            lacking = set(added_columns(store)) - {f.name for f in schema.fields}
+            if lacking:
+                raise ValueError(
+                    f"append lacks columns {sorted(lacking)} that were "
+                    f"ADDED to store {store!r}; include them (NULLs are "
+                    "fine) or drop_column first")
         for sub in ("chunks", "manifest"):
             os.makedirs(os.path.join(store, sub), exist_ok=True)
         return FsstWriter(store, dict(self.options), pid_offset)

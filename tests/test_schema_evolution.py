@@ -168,3 +168,97 @@ def test_store_history(spark, docs, store):
     assert [m["index"] for m in h["mutations"]] == \
         sorted(m["index"] for m in h["mutations"])
     assert isinstance(h["commits"], list)
+
+
+# --------------------------------------------------------------------------
+# ADD COLUMN (metadata-only): NULL for pre-add chunks, real values in
+# post-add appends, fast paths fail fast until materialized.
+# --------------------------------------------------------------------------
+def test_add_column_nulls_in_decode(spark, docs, store):
+    from fsst_spark.jobs.schema import add_column, added_columns
+
+    add_column(store, "quality", "double")
+    assert added_columns(store) == {"quality": "double"}
+    dec = decode_job(spark, store)
+    assert dict(dec.dtypes)["quality"] == "double"
+    n = docs.count()
+    assert dec.count() == n
+    assert dec.filter(F.col("quality").isNull()).count() == n
+    # selective decode still prunes + fills
+    from fsst_spark.jobs.decode import decode_filtered
+
+    d2 = decode_filtered(spark, store, "doc_id", ">=", 100,
+                         columns=["doc_id", "quality"])
+    assert d2.count() == docs.filter("doc_id >= 100").count()
+    assert d2.filter(F.col("quality").isNotNull()).count() == 0
+    # decode of ONLY the added column: all-null rows, exact row count
+    only = decode_job(spark, store, ["quality"])
+    assert only.count() == n
+    assert only.filter(F.col("quality").isNull()).count() == n
+
+
+def test_add_column_guards(spark, docs, store):
+    from fsst_spark.jobs.schema import add_column
+
+    with pytest.raises(ValueError, match="already exists"):
+        add_column(store, "lang", "string")
+    with pytest.raises(ValueError, match="unsupported arrow type"):
+        add_column(store, "x", "wibble")
+    add_column(store, "x", "int64")
+    with pytest.raises(ValueError, match="already added"):
+        add_column(store, "x", "int64")
+    # fast paths fail fast on the unmaterialized column
+    from fsst_spark.jobs.agg import encoded_group_count
+    from fsst_spark.jobs.stats import encoded_column_stats
+
+    with pytest.raises(KeyError):
+        encoded_group_count(spark, store, "x")
+    with pytest.raises((KeyError, ValueError)):
+        encoded_column_stats(spark, store, ["x"])
+    # drop retracts the add; undrop restores it
+    from fsst_spark.jobs.schema import added_columns
+
+    drop_column(store, "x")
+    assert "x" not in added_columns(store)
+    assert "x" not in decode_job(spark, store).columns
+    undrop_column(store, "x")
+    assert added_columns(store)["x"] == "int64"
+
+
+def test_add_column_mixed_store_via_datasource(spark, docs, tmp_path):
+    """append AFTER the add carries the column: old chunks read NULL, new
+    chunks read real values, through both decode_job and the source."""
+    from fsst_spark.jobs.schema import add_column
+    from fsst_spark.sources.fsst_source import register
+
+    register(spark)
+    store = str(tmp_path / "dstore")
+    old = docs.filter("doc_id < 200")
+    new = docs.filter("doc_id >= 200").withColumn(
+        "quality", (F.col("doc_id") % 5).cast("double"))
+    old.write.format("fsst").mode("overwrite").save(store)
+    add_column(store, "quality", "double")
+    # an append LACKING the added column is refused
+    with pytest.raises(Exception, match="ADDED"):
+        old.write.format("fsst").mode("append").save(store)
+    new.write.format("fsst").mode("append").save(store)
+
+    got = spark.read.format("fsst").load(store)
+    assert got.count() == docs.count()
+    assert (got.filter("doc_id < 200").filter(F.col("quality").isNotNull())
+            .count() == 0)
+    want_new = {(r["doc_id"], float(r["doc_id"] % 5))
+                for r in new.select("doc_id").collect()}
+    got_new = {(r["doc_id"], r["quality"])
+               for r in got.filter("doc_id >= 200").collect()}
+    assert got_new == want_new
+    # decode_job agrees
+    dj = decode_job(spark, store)
+    assert dj.filter("doc_id < 200").filter(
+        F.col("quality").isNotNull()).count() == 0
+    assert {(r["doc_id"], r["quality"])
+            for r in dj.filter("doc_id >= 200").collect()
+            } >= set()  # shape check; exact values:
+    assert {(r["doc_id"], r["quality"])
+            for r in dj.select("doc_id", "quality")
+            .filter("doc_id >= 200").collect()} == want_new
