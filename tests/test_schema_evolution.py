@@ -262,3 +262,25 @@ def test_add_column_mixed_store_via_datasource(spark, docs, tmp_path):
     assert {(r["doc_id"], r["quality"])
             for r in dj.select("doc_id", "quality")
             .filter("doc_id >= 200").collect()} == want_new
+
+
+def test_rewrite_materializes_added_column(spark, docs, store, tmp_path):
+    """recluster (decode -> re-encode) turns an added column physical:
+    every chunk carries it, and the fast paths answer again."""
+    from fsst_spark.jobs.agg import encoded_group_count
+    from fsst_spark.jobs.compact import recluster_store
+    from fsst_spark.jobs.schema import add_column, physical_columns
+
+    add_column(store, "quality", "double")
+    out2 = str(tmp_path / "rewritten")
+    recluster_store(spark, store, out2, sort_key="doc_id",
+                    num_partitions=2).collect()
+    assert "quality" in physical_columns(out2)
+    dec = decode_job(spark, out2)
+    n = docs.count()
+    assert dec.count() == n
+    assert dec.filter(F.col("quality").isNull()).count() == n
+    # fast paths see the (now physical) column
+    got = {r["value"]: r["cnt"]
+           for r in encoded_group_count(spark, out2, "quality").collect()}
+    assert got == {None: n}
