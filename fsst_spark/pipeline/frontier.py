@@ -28,6 +28,7 @@ corpus maintenance).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 _HOST_RE = "^https?://([^/]+)"
@@ -82,3 +83,76 @@ def crawl_frontier(pages: DataFrame, known: DataFrame | None = None, *,
         out = (out.withColumn("_rn", F.row_number().over(w))
                .where(F.col("_rn") <= per_host_cap).drop("_rn"))
     return out
+
+
+def frontier_stream(pages: DataFrame, known: DataFrame | None = None, *,
+                    html_col: str = "html", url_col: str = "url",
+                    per_host_cap: int | None = None) -> DataFrame:
+    """Streaming crawl frontier over a stream of crawled pages: the
+    continuous sibling of :func:`crawl_frontier` for the crawl loop
+    (fetch -> extract -> frontier -> fetch ...).
+
+    Normalization is stateless (same pure-JVM expressions); frontier URLs
+    emit EXACTLY ONCE across all micro-batches via streaming
+    ``dropDuplicates("url")`` (state = one entry per distinct frontier
+    url — the crawler's discovered-set, which any frontier must hold
+    somewhere); the crawled set ``known`` (a STATIC frame) is excluded
+    via a stream-static left-outer join + null filter (left ANTI is not
+    in Spark's supported stream-static join set); the per-host politeness
+    budget is a custom stateful operator (``applyInPandasWithState``,
+    ONE admitted-count per host — the count sibling of
+    ``quota_stream.quota_filter``): each host admits at most
+    ``per_host_cap`` urls over the stream's lifetime, in url order within
+    each micro-batch, first-arrived wins across batches (crawl-budget
+    semantics: matches the batch form whenever per-host arrival order
+    follows url order)."""
+    if not pages.isStreaming:
+        raise ValueError("frontier_stream needs a streaming frame; "
+                         "use crawl_frontier for batch inputs")
+    from .textextract import extract_links
+
+    links = pages.select(
+        F.col(url_col).alias("_base"),
+        F.explode(extract_links(F.col(html_col),
+                                pages.schema[html_col].dataType)).alias("_raw"))
+    cand = (links
+            .select(normalize_link(F.col("_raw"), F.col("_base")).alias("url"))
+            .where(F.col("url").isNotNull()))
+    if known is not None:
+        k = known.select("url").distinct().withColumn("_known", F.lit(1))
+        cand = (cand.join(k, "url", "left_outer")
+                .where(F.col("_known").isNull()).drop("_known"))
+    out = cand.select("url", host_of(F.col("url")).alias("host"))
+    if per_host_cap is None:
+        return out.dropDuplicates(["url"])
+    if per_host_cap <= 0:
+        raise ValueError("per_host_cap must be a positive int")
+
+    # ONE stateful operator does both dedup and the cap (chaining
+    # dropDuplicates into applyInPandasWithState would be two stateful
+    # operators in one query): state per host = the ADMITTED url set,
+    # which the cap bounds at per_host_cap entries — a host's rejected
+    # urls need no memory, since once the cap is reached it never reopens
+    def admit(key, pdfs, state) -> "pd.DataFrame":
+        seen = set(state.get[0]) if state.exists else set()
+        parts = [p for p in pdfs if len(p)]
+        if parts:
+            pdf = (parts[0] if len(parts) == 1
+                   else pd.concat(parts, ignore_index=True))
+            pdf = (pdf.drop_duplicates("url")
+                   .sort_values("url", kind="stable"))
+            fresh = pdf[~pdf["url"].isin(seen)]
+            room = max(0, per_host_cap - len(seen))
+            kept = fresh.iloc[:room]
+            if len(kept):
+                seen |= set(kept["url"])
+                yield kept[["url", "host"]]
+        state.update((sorted(seen),))
+
+    return out.groupBy("host").applyInPandasWithState(
+        admit,
+        outputStructType="url string, host string",
+        stateStructType="admitted array<string>",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
