@@ -230,6 +230,7 @@ def store_status(store: str) -> dict:
 
     phys = physical_columns(store)
     dropped = dropped_columns(store)
+    added = added_columns(store)
     chunk_files = sorted(glob.glob(os.path.join(store, "chunks", "*.parquet")))
     log_dir = os.path.join(_deletes_dir(store), "_log")
     mutations = []
@@ -241,9 +242,11 @@ def store_status(store: str) -> dict:
     return {
         "store": store,
         "mode": _manifest_mode(store),
-        "columns": {c: t for c, t in sorted(phys.items())
-                    if c not in dropped},
+        "columns": {c: t for c, t in sorted({**phys, **{
+            a: t for a, t in added.items() if a not in phys}}.items())
+            if c not in dropped},
         "dropped_columns": sorted(dropped),
+        "added_columns": sorted(added),
         "chunk_files": len(chunk_files),
         "encoded_bytes": sum(os.path.getsize(f) for f in chunk_files),
         "commits": commit_count(store),

@@ -157,3 +157,18 @@ def test_cli_ann_build_and_query(tmp_path):
     assert len(got) == 5
     assert got[0]["rank"] == 1
     assert got[0]["vec_id"] == tbl.column("vec_id")[0].as_py()  # self is #1
+
+
+def test_compaction_preserves_ann_probes(spark, emb, store, tmp_path):
+    """compact_store preserves layout exactly, so the centroid sidecar
+    travels with it and probes answer identically on the compacted store."""
+    from fsst_spark.jobs.compact import compact_store
+
+    out2 = str(tmp_path / "compacted_ann")
+    compact_store(spark, store, out2, target_files=2).collect()
+    q = [float(x) for x in emb.select("embedding").first()[0]]
+    a = [(r["vec_id"], r["rank"])
+         for r in ann_store_topk(spark, store, q, k=5, nprobe=4).collect()]
+    b = [(r["vec_id"], r["rank"])
+         for r in ann_store_topk(spark, out2, q, k=5, nprobe=4).collect()]
+    assert a == b

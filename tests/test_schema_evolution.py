@@ -284,3 +284,12 @@ def test_rewrite_materializes_added_column(spark, docs, store, tmp_path):
     got = {r["value"]: r["cnt"]
            for r in encoded_group_count(spark, out2, "quality").collect()}
     assert got == {None: n}
+
+
+def test_status_reports_added_columns(spark, docs, store):
+    from fsst_spark.jobs.schema import add_column, store_status
+
+    add_column(store, "quality", "double")
+    s = store_status(store)
+    assert s["added_columns"] == ["quality"]
+    assert s["columns"]["quality"] == "double"
