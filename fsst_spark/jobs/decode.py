@@ -554,7 +554,11 @@ def decode_job(spark, out_dir: str, columns: list[str] | None = None,
         from .schema import added_columns as _added
 
         if set(ordered) <= set(_added(out_dir)):
-            phys = sorted(column_arrow_types(spark, out_dir))
+            # carrier must exist in EVERY chunk: a materialized added
+            # column is physical in new files but absent from pre-add
+            # chunks, so exclude everything in the added log
+            phys = sorted(set(column_arrow_types(spark, out_dir))
+                          - set(_added(out_dir)))
             if phys:
                 scan_columns = list(columns) + [phys[0]]
     chunks = pruned_chunks(spark, out_dir, scan_columns, filters, dict_prune)
@@ -799,10 +803,13 @@ def decode_head(spark, out_dir: str, n: int,
 
     exact = not flt and not has_deletes(out_dir)
     types = column_arrow_types(spark, out_dir, include_added=True)
-    phys = column_arrow_types(spark, out_dir)
-    # the n_rows carrier must be a PHYSICAL column: a schema-log-added
-    # column has no chunk rows to count from
-    meta_col = next((c for c in ordered if c in phys), sorted(phys)[0])
+    from .schema import added_columns as _added_cols
+
+    # the n_rows carrier must exist in EVERY chunk: exclude all added-log
+    # columns (a materialized add is physical in new files only)
+    phys = sorted(set(column_arrow_types(spark, out_dir))
+                  - set(_added_cols(out_dir)))
+    meta_col = next((c for c in ordered if c in phys), phys[0])
     scan_cols = (cols if cols is None or meta_col in cols
                  else cols + [meta_col])
     src = (pruned_chunks(spark, out_dir, scan_cols, flt) if flt

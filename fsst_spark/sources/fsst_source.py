@@ -459,12 +459,15 @@ def _read_chunk_file(path: str, col_types: dict[str, str],
     target = _arrow_schema(col_types, ordered)
     from ..jobs.schema import added_columns
 
-    added = {c for c in added_columns(store_root) if c in col_types}
+    all_added = set(added_columns(store_root))
+    added = all_added & set(col_types)
     scan_cols = list(ordered)
     if added and set(ordered) <= added:
-        # only schema-log-added columns requested: scan one physical
-        # column as the row-count carrier (dropped before emit)
-        phys = sorted(set(store_column_types(store_root)) - added)
+        # only schema-log-added columns requested: scan one column that
+        # exists in EVERY chunk as the row-count carrier (dropped before
+        # emit) — exclude the whole added log, since a materialized add
+        # is physical in new files but absent from pre-add chunks
+        phys = sorted(set(store_column_types(store_root)) - all_added)
         if phys:
             scan_cols.append(phys[0])
     tbl = pq.read_table(

@@ -293,3 +293,35 @@ def test_status_reports_added_columns(spark, docs, store):
     s = store_status(store)
     assert s["added_columns"] == ["quality"]
     assert s["columns"]["quality"] == "double"
+
+
+def test_decode_only_materialized_added_column(spark, docs, tmp_path):
+    """Regression: once appends materialize an added column, it reads as
+    physical from NEW chunk files — the row-count carrier for an
+    only-added-columns decode must still be a column present in EVERY
+    chunk, or pre-add rows vanish."""
+    from fsst_spark.jobs.schema import add_column
+    from fsst_spark.sources.fsst_source import register
+
+    register(spark)
+    store = str(tmp_path / "mstore")
+    old = docs.filter("doc_id < 150")
+    new = docs.filter("doc_id >= 150").withColumn(
+        "quality", (F.col("doc_id") % 3).cast("double"))
+    old.write.format("fsst").mode("overwrite").save(store)
+    add_column(store, "quality", "double")
+    new.write.format("fsst").mode("append").save(store)
+
+    n_all = docs.count()
+    n_new = new.count()
+    only = decode_job(spark, store, ["quality"])
+    assert only.count() == n_all
+    assert only.filter(F.col("quality").isNotNull()).count() == n_new
+    via_src = (spark.read.format("fsst").option("columns", "quality")
+               .load(store))
+    assert via_src.count() == n_all
+    assert via_src.filter(F.col("quality").isNotNull()).count() == n_new
+    # decode_head over the mixed store stays exact too
+    from fsst_spark.jobs.decode import decode_head
+
+    assert decode_head(spark, store, 10, columns=["quality"]).count() == 10
