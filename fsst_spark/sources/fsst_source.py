@@ -742,6 +742,21 @@ class FsstDataSource(DataSource):
                 "streaming sink keys pids by (epoch, partition) and only "
                 "composes with stream-mode stores — point writeStream at a "
                 "fresh directory")
+        from ..jobs.schema import added_columns, dropped_columns
+
+        names = {f.name for f in schema.fields}
+        ghost = dropped_columns(store) & names
+        if ghost:
+            raise ValueError(
+                f"stream writes columns {sorted(ghost)} that were DROPPED "
+                f"from store {store!r}; undrop_column first or drop them "
+                "from the frame")
+        lacking = set(added_columns(store)) - names
+        if lacking:
+            raise ValueError(
+                f"stream lacks columns {sorted(lacking)} that were ADDED "
+                f"to store {store!r}; include them (NULLs are fine) or "
+                "drop_column first")
         for sub in ("chunks", "manifest"):
             os.makedirs(os.path.join(store, sub), exist_ok=True)
         return FsstStreamWriter(store, dict(self.options))
