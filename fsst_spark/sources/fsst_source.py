@@ -818,3 +818,20 @@ def register(spark) -> None:
     without it a reader that implements ``pushFilters`` is rejected)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(FsstDataSource)
+
+
+def register_store_view(spark, store: str, name: str,
+                        columns: str | None = None) -> None:
+    """Expose an encoded store to the SQL surface: ``spark.sql("SELECT
+    ... FROM name")`` runs over the fsst source with the full pushdown
+    stack (zone/dict/bloom chunk pruning via pushFilters, tombstones,
+    time travel via a separate registration with ``.option``). SQL
+    predicates on the view reach the source's ``pushFilters`` hook, so
+    ``WHERE doc_id >= X`` on a clustered store scans only matching
+    chunks. ``columns`` (comma-separated) narrows the view to a column
+    subset whose payloads are never decoded."""
+    register(spark)
+    reader = spark.read.format("fsst")
+    if columns:
+        reader = reader.option("columns", columns)
+    reader.load(store).createOrReplaceTempView(name)

@@ -390,3 +390,31 @@ def test_decode_job_as_of(spark, docs, tmp_path):
     assert f0.count() == evens.where("n_chars >= 300").count()
     with pytest.raises(ValueError, match="out of range"):
         decode_job(spark, out, as_of=5).count()
+
+
+def test_register_store_view_sql_surface(spark, tmp_path):
+    """spark.sql over an encoded store: the temp view routes through the
+    fsst source, so SQL predicates hit the pushdown stack and aggregates
+    match the source frame."""
+    from fsst_spark.sources.fsst_source import register_store_view
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "lang", "n_chars"))
+    store = str(tmp_path / "sql_store")
+    from fsst_spark.sources.fsst_source import register
+
+    register(spark)
+    docs.write.format("fsst").mode("overwrite").save(store)
+    register_store_view(spark, store, "docs_enc")
+    got = spark.sql(
+        "SELECT lang, count(*) AS n, sum(n_chars) AS s FROM docs_enc "
+        "WHERE doc_id >= 100 GROUP BY lang ORDER BY lang").collect()
+    want = (docs.filter("doc_id >= 100").groupBy("lang")
+            .agg(F.count("*").alias("n"), F.sum("n_chars").alias("s"))
+            .orderBy("lang").collect())
+    assert [(r["lang"], r["n"], r["s"]) for r in got] == \
+        [(r["lang"], r["n"], r["s"]) for r in want]
+    # narrowed view: unselected columns absent
+    register_store_view(spark, store, "docs_narrow", columns="doc_id,lang")
+    cols = spark.sql("SELECT * FROM docs_narrow LIMIT 1").columns
+    assert sorted(cols) == ["doc_id", "lang"]
