@@ -334,6 +334,36 @@ def q_dict_prune_decode(spark, sf_dir):
         [(r["n_rows"], r["sum_ids"])], "n_rows bigint, sum_ids bigint")
 
 
+def q_contains_decode(spark, sf_dir):
+    """Substring (``contains``) selective decode: zones carry no substring
+    information, so chunk pruning comes only from dict-coded chunks whose
+    dictionary provably lacks the substring (``source contains 'rc1'``
+    probes dictionaries; ``text contains 'data'`` decodes FSST chunks and
+    applies the exact row predicate). The decoded row set must equal the
+    plain SQL conjunction, pinned by sum(doc_id)."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.decode import decode_filtered
+    from fsst_spark.jobs.encode import encode_job
+
+    out = tempfile.mkdtemp(prefix="fsst_contains_q_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+        encode_job(spark, docs, out, chunk_bytes=256 << 10, resume=False,
+                   pre_partitioned=True, unique_col="doc_id").collect()
+        r = decode_filtered(spark, out, filters=[
+            ("text", "contains", "data"), ("source", "contains", "rc1"),
+        ]).agg(
+            F.count("*").alias("n_rows"),
+            F.sum("doc_id").alias("sum_ids"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["n_rows"], r["sum_ids"])], "n_rows bigint, sum_ids bigint")
+
+
 def q_bloom_point_decode(spark, sf_dir):
     """Bloom-filter point-predicate decode: documents get a high-NDV URL
     whose 8-byte zone prefix collapses ('https://...' shared by every
@@ -2615,6 +2645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonemap_decode": q_zonemap_decode,
         "zonemap_decode_multi": q_zonemap_decode_multi,
         "dict_prune_decode": q_dict_prune_decode,
+        "contains_decode": q_contains_decode,
         "bloom_point_decode": q_bloom_point_decode,
         "fsst_source_scan": q_fsst_source_scan,
         "fsst_source_append": q_fsst_source_append,
@@ -2906,6 +2937,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
             "CAST(sum(doc_id) AS BIGINT) AS sum_ids "
             "FROM documents WHERE lang = 'de'"
+        ),
+        "contains_decode": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_ids "
+            "FROM documents WHERE position('data' IN text) > 0 "
+            "AND position('rc1' IN source) > 0"
         ),
         "bloom_point_decode": (
             "WITH u AS (SELECT doc_id, 'https://d' || "

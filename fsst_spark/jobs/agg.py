@@ -137,6 +137,10 @@ def _arrow_mask(arr: pa.Array, op: str, value, arrow_name: str) -> np.ndarray:
             _prefix_bytes(arrow_name, value)  # type check only
             pv = value.decode("utf-8") if isinstance(value, bytes) else value
             m = pc.starts_with(arr, pattern=pv)
+        elif op == "contains":
+            _prefix_bytes(arrow_name, value, op)  # type check only
+            pv = value.decode("utf-8") if isinstance(value, bytes) else value
+            m = pc.match_substring(arr, pattern=pv)
         elif op == "in":
             m = pc.is_in(arr, value_set=pa.array(list(value), type=arr.type))
         else:
@@ -490,6 +494,9 @@ def _zone_can_pred(arrow_name: str, op: str, value):
     if op == "prefix":
         lo, hi = _prefix_zone_bounds(arrow_name, value)
         return (F.col("zmax_long") >= lo) & (F.col("zmin_long") <= hi)
+    if op == "contains":
+        _prefix_bytes(arrow_name, value, op)  # type check only
+        return F.lit(True)  # substring predicates carry no zone information
     zv, ops = _zone_key(arrow_name, value)
     if op not in ops:
         raise ValueError(
@@ -510,6 +517,9 @@ def _zone_all_pred(arrow_name: str, op: str, value):
     zmin, zmax = F.col("zmin_long"), F.col("zmax_long")
     from .decode import _STRINGY as _STR
 
+    if op == "contains":
+        # a zone interval can never prove every row CONTAINS a substring
+        return F.lit(False)
     if arrow_name in _STR:
         if op in ("==", "in"):
             return F.lit(False)

@@ -203,16 +203,17 @@ def _zone_key(arrow_name: str, value) -> tuple[int, dict]:
     raise ValueError(f"no zone-map support for column type {arrow_name}")
 
 
-def _prefix_bytes(arrow_name: str, value) -> bytes:
-    """UTF-8 bytes of a ``prefix`` filter value, typed by the COLUMN: the
-    predicate is only meaningful on string/binary columns (an int column
-    has no byte prefix), so anything else raises instead of mis-pruning."""
+def _prefix_bytes(arrow_name: str, value, op: str = "prefix") -> bytes:
+    """UTF-8 bytes of a ``prefix``/``contains`` filter value, typed by the
+    COLUMN: the predicate is only meaningful on string/binary columns (an
+    int column has no byte prefix or substring), so anything else raises
+    instead of mis-pruning."""
     if arrow_name not in _STRINGY:
         raise TypeError(
-            f"'prefix' filter needs a string/binary column, got {arrow_name}")
+            f"{op!r} filter needs a string/binary column, got {arrow_name}")
     if not isinstance(value, (str, bytes)):
         raise TypeError(
-            f"'prefix' filter value must be str/bytes, got "
+            f"{op!r} filter value must be str/bytes, got "
             f"{type(value).__name__}")
     return (value.encode("utf-8", "surrogatepass")
             if isinstance(value, str) else bytes(value))
@@ -241,6 +242,12 @@ def _zone_prune(chunks: DataFrame, zsrc: DataFrame,
     arrow type, never the Python type of the value (a numeric-looking
     string id must still use prefix zones)."""
     col, op, value = zone_filter
+    if op == "contains":
+        # substring predicates carry no zone information (any 8-byte
+        # prefix interval can hold a match); dict/FSST-dictionary pruning
+        # (below, in pruned_chunks) is the only chunk-level lever
+        _prefix_bytes(arrow_name, value, op)  # type check only
+        return chunks
     if op == "in":
         # set membership: a chunk can match iff it can match ANY element
         values = list(value)
@@ -275,10 +282,13 @@ def _zone_prune(chunks: DataFrame, zsrc: DataFrame,
 
 
 def _dict_probes(value: "str | bytes | list",
-                 prefix: bool = False) -> tuple[dict[int, set], bytes | None]:
-    """(length-bucketed probe byte-sets, prefix bytes or None) for a
-    dictionary membership test — shared prep of ``_dict_value_drop`` and
-    the ``fsst`` DataSource's executor-side pruning."""
+                 prefix: bool = False,
+                 contains: bool = False) -> tuple[dict[int, set], bytes | None, bytes | None]:
+    """(length-bucketed probe byte-sets, prefix bytes or None, substring
+    bytes or None) for a dictionary membership test — shared prep of
+    ``_dict_value_drop`` and the ``fsst`` DataSource's executor-side
+    pruning. Exactly one of ``prefix``/``contains`` may be set; both modes
+    are single-value."""
     vals = value if isinstance(value, (list, tuple, set)) else [value]
     probes = {v.encode("utf-8", "surrogatepass") if isinstance(v, str) else bytes(v)
               for v in vals}
@@ -286,16 +296,19 @@ def _dict_probes(value: "str | bytes | list",
     for vb in probes:
         by_len.setdefault(len(vb), set()).add(vb)
     pfx = sorted(probes)[0] if prefix else None  # prefix mode is single-value
-    return by_len, pfx
+    sub = sorted(probes)[0] if contains else None
+    return by_len, pfx, sub
 
 
 def dict_payload_has_value(params: dict, payload: bytes,
                            by_len: dict[int, set],
-                           pfx: bytes | None) -> bool:
+                           pfx: bytes | None,
+                           sub: bytes | None = None) -> bool:
     """True iff a ``str_dict`` chunk's DICTIONARY contains any probed value
-    (or, with ``pfx``, any value starting with those bytes). Decodes only
-    the dictionary section — codes stay encoded. ``by_len``/``pfx`` come
-    from ``_dict_probes``."""
+    (with ``pfx``: any value starting with those bytes; with ``sub``: any
+    value containing those bytes). Decodes only the dictionary section —
+    codes stay encoded. ``by_len``/``pfx``/``sub`` come from
+    ``_dict_probes``."""
     from ..kernel.codecs import _split_sections, decode_bytes_like
 
     if "n_total" in params:  # strip the appended validity bits
@@ -306,6 +319,19 @@ def dict_payload_has_value(params: dict, payload: bytes,
          "params": params["values"]["params"], "payload": up},
         kind="str")
     lens = off[1:] - off[:-1]
+    if sub is not None:
+        # fast reject on the concatenated buffer, then confirm each hit
+        # lies within ONE value (a match spanning two adjacent dictionary
+        # entries is not a value containing the substring)
+        blob = buf.tobytes()
+        ls = len(sub)
+        p = blob.find(sub)
+        while p != -1:
+            i = int(off.searchsorted(p, side="right")) - 1
+            if p + ls <= off[i + 1]:
+                return True
+            p = blob.find(sub, p + 1)
+        return False
     if pfx is not None:
         lp = len(pfx)
         return any(
@@ -326,6 +352,9 @@ def zone_keep(arrow_name: str, op: str, value, zmin, zmax) -> bool:
     ops compare non-strictly (same rule as ``_ZONE_OPS_PREFIX``)."""
     if zmin is None or zmax is None:
         return True
+    if op == "contains":
+        _prefix_bytes(arrow_name, value, op)  # type check only
+        return True  # substring predicates carry no zone information
     if op == "prefix":
         lo, hi = _prefix_zone_bounds(arrow_name, value)
         return zmax >= lo and zmin <= hi
@@ -347,10 +376,11 @@ def zone_keep(arrow_name: str, op: str, value, zmin, zmax) -> bool:
 
 def _dict_value_drop(spark, out_dir: str, col: str,
                      value: "str | bytes | list",
-                     prefix: bool = False) -> DataFrame:
+                     prefix: bool = False,
+                     contains: bool = False) -> DataFrame:
     """(pid, chunk_id) DROP-set for ``col == value`` (or ``col IN values``
-    when a list is given; ``col LIKE value%`` when ``prefix``): the
-    ``str_dict`` chunks whose dictionary
+    when a list is given; ``col LIKE value%`` when ``prefix``; ``col LIKE
+    %value%`` when ``contains``): the ``str_dict`` chunks whose dictionary
     provably lacks EVERY probed value — they contain no
     matching row, so none of their columns need be read or decoded. The
     pass scans only the filter column's DICT-CODED chunk rows (both the
@@ -360,7 +390,7 @@ def _dict_value_drop(spark, out_dir: str, col: str,
     columns (lang, source, content-type) this turns a value probe into a
     near-metadata scan at 100 TB; on columns with no dict chunks the scan
     matches zero rows and costs footer reads only."""
-    by_len, pfx = _dict_probes(value, prefix)
+    by_len, pfx, sub = _dict_probes(value, prefix, contains)
     src = (
         _chunks_df(spark, out_dir, [col])
         .filter(F.col("codec") == "str_dict")  # pushed: plain/fsst payloads unread
@@ -377,7 +407,7 @@ def _dict_value_drop(spark, out_dir: str, col: str,
                     batch.column("params"), batch.column("payload")):
                 has_value = dict_payload_has_value(
                     json.loads(params_s.as_py()), payload_s.as_py(),
-                    by_len, pfx)
+                    by_len, pfx, sub)
                 if not has_value:
                     pids.append(pid_s.as_py())
                     cids.append(cid_s.as_py())
@@ -451,10 +481,11 @@ def pruned_chunks(spark, out_dir: str, columns: list[str] | None,
             # each keep-set reads its own (narrow, zone-only) projection
             zsrc = _chunks_df(spark, out_dir, [zf[0]])
             chunks = _zone_prune(chunks, zsrc, zf, types[zf[0]])
-            if (dict_prune and zf[1] in ("==", "in", "prefix")
+            if (dict_prune and zf[1] in ("==", "in", "prefix", "contains")
                     and types[zf[0]] in _STRINGY):
                 drop = _dict_value_drop(spark, out_dir, zf[0], zf[2],
-                                        prefix=zf[1] == "prefix")
+                                        prefix=zf[1] == "prefix",
+                                        contains=zf[1] == "contains")
                 chunks = chunks.join(drop, ["pid", "chunk_id"], "left_anti")
             if (dict_prune and zf[1] in ("==", "in")
                     and "bloom" in chunks.columns):
@@ -659,6 +690,14 @@ def _row_predicate(col: str, op: str, value, arrow_name: str):
         _prefix_bytes(arrow_name, value)  # type check only
         pv = value.decode("utf-8") if isinstance(value, bytes) else value
         return F.col(col).startswith(pv)
+    if op == "contains":
+        _prefix_bytes(arrow_name, value, op)  # type check only
+        if arrow_name in ("binary", "large_binary"):
+            return F.contains(F.col(col), F.lit(
+                value.encode("utf-8", "surrogatepass")
+                if isinstance(value, str) else bytes(value)))
+        pv = value.decode("utf-8") if isinstance(value, bytes) else value
+        return F.col(col).contains(pv)
     if op == "in":
         return lhs.isin(*[coerce(v) for v in value])
     rhs = F.lit(coerce(value))

@@ -75,6 +75,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    StringContains,
     StringStartsWith,
     WriterCommitMessage,
 )
@@ -94,6 +95,7 @@ _FILTER_OPS = {
     LessThanOrEqual: "<=",
     In: "in",
     StringStartsWith: "prefix",
+    StringContains: "contains",
 }
 
 
@@ -242,8 +244,8 @@ def _translate_filter(f: Filter, col_types: dict[str, str]):
     try:
         from ..jobs.decode import _prefix_bytes, _zone_key
 
-        if op == "prefix":
-            _prefix_bytes(col_types[col], value)
+        if op in ("prefix", "contains"):
+            _prefix_bytes(col_types[col], value, op)
         else:
             for v in (value if op == "in" else [value]):
                 _zone_key(col_types[col], v)  # type check only
@@ -291,7 +293,8 @@ def _file_survivors(path: str, filters: list[tuple],
     for col, op, value in filters:
         if not live:
             break
-        if col_types[col] in _STRINGY and op in ("==", "in", "prefix"):
+        if col_types[col] in _STRINGY and op in ("==", "in", "prefix",
+                                                 "contains"):
             live = _dict_survivors(path, meta, col, op, value, live)
         if op in ("==", "in"):
             live = _bloom_survivors(path, meta, col, value, col_types[col], live)
@@ -357,14 +360,15 @@ def _dict_survivors(path: str, meta: "pa.Table", col: str, op: str, value,
     ]
     if not rows:
         return live
-    by_len, pfx = _dict_probes(value, prefix=op == "prefix")
+    by_len, pfx, sub = _dict_probes(value, prefix=op == "prefix",
+                                    contains=op == "contains")
     full = pq.read_table(path, columns=["pid", "chunk_id", "params", "payload"])
     out = set(live)
     for i in rows:
         key = (meta.column("pid")[i].as_py(), meta.column("chunk_id")[i].as_py())
         params = json.loads(full.column("params")[i].as_py())
         payload = full.column("payload")[i].as_py()
-        if not dict_payload_has_value(params, payload, by_len, pfx):
+        if not dict_payload_has_value(params, payload, by_len, pfx, sub):
             out.discard(key)
     return out
 
