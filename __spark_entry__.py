@@ -245,6 +245,38 @@ def q_lang_id(spark, sf_dir):
     )
 
 
+def q_split_docs(spark, sf_dir):
+    """Training-window document splitting: every 97th doc cut into 40-word
+    pieces — exact piece ids, text, and word counts vs the SQL window
+    arithmetic (list slicing over the same whitespace split)."""
+    from fsst_spark.pipeline.textprep import split_docs
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 97 == 0)
+    return (split_docs(docs, "text", max_words=40)
+            .select("doc_id", "piece_id", "piece_text",
+                    F.col("piece_words").cast("bigint").alias("piece_words"))
+            .orderBy("doc_id", "piece_id"))
+
+
+def q_bpe_pairs(spark, sf_dir):
+    """First-iteration BPE statistic: top-20 adjacent character pairs
+    weighted by word frequency (the pair a BPE trainer merges first is
+    row 1). Deterministic (freq desc, left, right) order."""
+    from fsst_spark.pipeline.textprep import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(spark, sf_dir), "text", k=20)
+
+
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE training (rows-only gate: the merge loop is
+    iterative, not SQL-expressible — pytest pins it against a pure-Python
+    reference implementation): 12 merges over the corpus vocabulary."""
+    from fsst_spark.pipeline.textprep import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), "text", n_merges=12,
+                     vocab_cap=65536)
+
+
 def q_zonemap_decode(spark, sf_dir):
     """Selective decode through zone maps: encode (doc_id, n_chars), then
     decode only chunks whose zone can satisfy n_chars >= 300 and apply the
@@ -2640,6 +2672,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "token_quality_stats": q_token_quality_stats,
         "lang_id": q_lang_id,
+        "split_docs": q_split_docs,
+        "bpe_pairs": q_bpe_pairs,
+        "bpe_train": q_bpe_train,
         "curation_pipeline": q_curation_pipeline,
         "curation_pipeline_full": q_curation_pipeline_full,
         "zonemap_decode": q_zonemap_decode,
@@ -2839,6 +2874,33 @@ def oracle_sql() -> dict[str, str]:
             "END) AS BIGINT) AS sum_stopwords, "
             "CAST(sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty "
             "FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        "split_docs": (
+            "WITH w AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(text, '\\s+'), x -> x <> '') AS words "
+            "FROM documents WHERE doc_id % 97 = 0), "
+            "nz AS (SELECT doc_id, words, len(words) AS nw FROM w "
+            "WHERE len(words) > 0), "
+            "e AS (SELECT doc_id, words, nw, unnest(range(0, "
+            "CAST(floor((nw - 1) / 40) AS BIGINT) + 1)) AS piece FROM nz) "
+            "SELECT doc_id, piece AS piece_id, "
+            "array_to_string(words[piece * 40 + 1 : piece * 40 + 40], ' ') "
+            "AS piece_text, "
+            "CAST(least(40, nw - piece * 40) AS BIGINT) AS piece_words "
+            "FROM e ORDER BY doc_id, piece_id"
+        ),
+        "bpe_pairs": (
+            "WITH words AS (SELECT unnest(list_filter("
+            "regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS word "
+            "FROM documents), "
+            "wf AS (SELECT word, count(*) AS f FROM words GROUP BY word "
+            "HAVING length(word) >= 2), "
+            "p AS (SELECT word[i + 1 : i + 1] AS \"left\", "
+            "word[i + 2 : i + 2] AS \"right\", f "
+            "FROM wf, unnest(range(0, length(word) - 1)) AS t(i)) "
+            "SELECT \"left\", \"right\", CAST(sum(f) AS BIGINT) AS freq "
+            "FROM p GROUP BY \"left\", \"right\" "
+            "ORDER BY freq DESC, \"left\", \"right\" LIMIT 20"
         ),
         "lang_id": (
             "SELECT CASE "
