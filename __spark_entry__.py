@@ -944,6 +944,52 @@ def q_decode_semijoin(spark, sf_dir):
         [(r["n_rows"], r["sum_ids"])], "n_rows bigint, sum_ids bigint")
 
 
+def q_store_join(spark, sf_dir):
+    """Store-to-store equi-join with two-sided zone-interval pruning: two
+    encoded stores clustered on doc_id join without decoding chunks whose
+    key intervals are provably disjoint from the other side (the pruning
+    MAGNITUDE is pinned by tests/test_store_join.py); this gate pins the
+    join's exactness against the plain SQL join, including the left-outer
+    NULL fill."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.encode import encode_job
+    from fsst_spark.jobs.join import store_join
+
+    l_out = tempfile.mkdtemp(prefix="fsst_join_l_q_")
+    r_out = tempfile.mkdtemp(prefix="fsst_join_r_q_")
+    try:
+        docs = _docs(spark, sf_dir)
+        left = docs.select("doc_id", "lang", "n_chars")
+        right = docs.where(F.col("doc_id") < 500).select(
+            "doc_id", (F.col("n_chars") * 2).cast("long").alias("score"))
+        encode_job(spark, left, l_out, chunk_bytes=64 << 10, resume=False,
+                   num_partitions=4, sort_key="doc_id",
+                   unique_col="doc_id").collect()
+        encode_job(spark, right, r_out, chunk_bytes=64 << 10, resume=False,
+                   num_partitions=2, sort_key="doc_id",
+                   unique_col="doc_id").collect()
+        inner = store_join(spark, l_out, r_out, "doc_id").agg(
+            F.count("*").alias("n_rows"),
+            F.sum("doc_id").alias("sum_ids"),
+            F.sum("n_chars").alias("sum_n_chars"),
+            F.sum("score").alias("sum_score"),
+        ).collect()[0]
+        outer = store_join(spark, l_out, r_out, "doc_id", how="left").agg(
+            F.count("*").alias("n_left"),
+            F.sum(F.col("score").isNull().cast("long")).alias("n_unmatched"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(l_out, ignore_errors=True)
+        shutil.rmtree(r_out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(inner["n_rows"], inner["sum_ids"], inner["sum_n_chars"],
+          inner["sum_score"], outer["n_left"], outer["n_unmatched"])],
+        "n_rows bigint, sum_ids bigint, sum_n_chars bigint, "
+        "sum_score bigint, n_left bigint, n_unmatched bigint")
+
+
 def q_encoded_ndv(spark, sf_dir):
     """Metadata-only NDV from mergeable per-chunk HLL sketches: the
     estimates must sit within 6% of the exact distinct counts (the exact
@@ -2715,6 +2761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "or_filter_decode": q_or_filter_decode,
         "repetition_stats": q_repetition_stats,
         "decode_semijoin": q_decode_semijoin,
+        "store_join": q_store_join,
         "encoded_ndv": q_encoded_ndv,
         "url_sort_key": q_url_sort_key,
         "extract_roundtrip": q_extract_roundtrip,
@@ -3329,6 +3376,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
             "CAST(sum(doc_id) AS BIGINT) AS sum_ids FROM u "
             "WHERE url IN (SELECT url FROM u WHERE lang = 'de')"
+        ),
+        "store_join": (
+            "WITH r AS (SELECT doc_id, CAST(n_chars * 2 AS BIGINT) AS score "
+            "FROM documents WHERE doc_id < 500) "
+            "SELECT "
+            "(SELECT CAST(count(*) AS BIGINT) FROM documents l "
+            " JOIN r USING (doc_id)) AS n_rows, "
+            "(SELECT CAST(sum(l.doc_id) AS BIGINT) FROM documents l "
+            " JOIN r USING (doc_id)) AS sum_ids, "
+            "(SELECT CAST(sum(l.n_chars) AS BIGINT) FROM documents l "
+            " JOIN r USING (doc_id)) AS sum_n_chars, "
+            "(SELECT CAST(sum(r.score) AS BIGINT) FROM documents l "
+            " JOIN r USING (doc_id)) AS sum_score, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_left, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM documents l "
+            " WHERE l.doc_id NOT IN (SELECT doc_id FROM r)) AS n_unmatched"
         ),
         "encoded_ndv": (
             "SELECT * FROM (VALUES "

@@ -1,0 +1,175 @@
+"""Store-to-store equi-join with two-sided zone-interval scan pruning.
+
+Joining two encoded stores normally means decoding both in full and
+letting Spark shuffle-join the results. When either store is CLUSTERED on
+the join key (``encode_job(sort_key=...)`` / ``recluster``), that is
+wasteful: each side's per-chunk zone maps already bound the key range of
+every chunk, so a chunk on one side whose key interval intersects no
+chunk interval on the other side provably contains no joinable row and
+its payload never needs to be read, shipped, or decoded.
+
+``store_join`` implements exactly that — the encoded-store analog of a
+storage-partitioned join: both manifests' zone intervals are read
+(metadata-scale), each side's interval union is merged driver-side into a
+disjoint sorted set, and the opposite side keeps only chunks that
+intersect it. Surviving chunks decode through the normal ``decode_job``
+path (zone/dict/bloom machinery intact) and the exact equi-join runs as a
+plain Spark join — AQE picks broadcast vs shuffle from the real pruned
+sizes.
+
+Safety: pruning drops a chunk only when the packed zone intervals are
+provably disjoint. All pack functions (identity for ints/timestamps,
+``zone_pack8`` 8-byte prefixes for strings, ``zone_packf`` IEEE
+total-order keys for floats) are monotone in value order and identical
+across stores for the same arrow type (asserted), so equal join keys
+always pack into both chunks' intervals — a pruned pair shares no key.
+Chunks with NULL zones are kept on the decode side and widen the interval
+union to the full line (conservative both directions). A side is pruned
+only when its non-matching rows cannot reach the output: both sides for
+``inner``/``left_semi``, the right side for ``left``/``left_anti``, the
+left side for ``right``, neither for ``full``.
+
+At 10^12-document scale the collects here are chunk-METADATA-scale
+(#chunk-groups tuples of four ints — ~3M groups at 100 TB / 32 MiB
+chunks), the same order as the manifest listing the store already
+requires; payload bytes of pruned chunks are never touched.
+
+Reference tie: engine-side scale surface with no reference analog
+(spiraldb/fsst src/lib.rs:14-17 exports only codec types); the pruning
+design follows the Iceberg/Spark storage-partitioned-join and min/max
+zone-map literature (Moerkotte, "Small Materialized Aggregates", VLDB'98).
+"""
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from .decode import _chunks_df, column_arrow_types, decode_job
+
+_PRUNE_LEFT = {"inner", "left_semi", "right"}
+_PRUNE_RIGHT = {"inner", "left_semi", "left", "left_anti"}
+_HOW = {"inner", "left", "right", "full", "left_semi", "left_anti"}
+
+
+def _key_zones(spark, out_dir: str, on: str):
+    """Per-chunk-group zone bounds for the join key: list of
+    (pid, chunk_id, zmin, zmax) with None bounds for null-zone chunks,
+    or None when the store predates zone maps (no pruning possible).
+    One narrow metadata collect (#chunk-groups rows, four ints each)."""
+    ch = _chunks_df(spark, out_dir, [on]).filter(F.col("column") == on)
+    if "zmin_long" not in ch.columns:
+        return None
+    rows = ch.select("pid", "chunk_id", "zmin_long", "zmax_long").collect()
+    return [(r["pid"], r["chunk_id"], r["zmin_long"], r["zmax_long"])
+            for r in rows]
+
+
+def _interval_union(zones) -> "tuple[np.ndarray, np.ndarray] | None":
+    """Disjoint sorted (starts, ends) covering every chunk's key interval.
+    Any chunk with NULL zone bounds makes the union unbounded (returns
+    None: the opposite side cannot prune) — NULL zones mean either an
+    all-null chunk or a pre-zone writer, and only the latter matters for
+    safety, so stay conservative."""
+    iv = []
+    for _pid, _cid, lo, hi in zones:
+        if lo is None or hi is None:
+            return None
+        iv.append((lo, hi))
+    if not iv:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    iv.sort()
+    starts, ends = [iv[0][0]], [iv[0][1]]
+    for lo, hi in iv[1:]:
+        if lo <= ends[-1]:
+            if hi > ends[-1]:
+                ends[-1] = hi
+        else:
+            starts.append(lo)
+            ends.append(hi)
+    return np.asarray(starts, np.int64), np.asarray(ends, np.int64)
+
+
+def _kept_keys(zones, other_union) -> "list[tuple[int, int]] | None":
+    """Chunk keys on this side that may hold a join match: interval
+    intersects the other side's union, or zone bounds are NULL (kept —
+    conservative). None = keep everything (no pruning information)."""
+    if zones is None or other_union is None:
+        return None
+    starts, ends = other_union
+    kept = []
+    for pid, cid, lo, hi in zones:
+        if lo is None or hi is None:
+            kept.append((pid, cid))
+            continue
+        # disjoint sorted intervals: first interval whose end >= lo
+        # intersects [lo, hi] iff its start <= hi
+        i = int(np.searchsorted(ends, lo, side="left"))
+        if i < len(starts) and starts[i] <= hi:
+            kept.append((pid, cid))
+    return kept
+
+
+def store_join_plan(spark, left_dir: str, right_dir: str, on: str,
+                    how: str = "inner") -> dict:
+    """The pruning decision without running the join: per-side total and
+    kept chunk-group counts plus the kept chunk keys ``decode_job`` will
+    see. Drives tests and ops dashboards ("how much would this join
+    scan?")."""
+    if how not in _HOW:
+        raise ValueError(f"how must be one of {sorted(_HOW)}, got {how!r}")
+    lt = column_arrow_types(spark, left_dir, [on])[on]
+    rt = column_arrow_types(spark, right_dir, [on])[on]
+    if lt != rt:
+        raise TypeError(
+            f"join key {on!r} is {lt} in {left_dir} but {rt} in "
+            f"{right_dir}; packed zone keys are only comparable within one "
+            f"arrow type — cast and re-encode one side")
+    lz = _key_zones(spark, left_dir, on)
+    rz = _key_zones(spark, right_dir, on)
+    lk = _kept_keys(lz, _interval_union(rz) if rz is not None else None) \
+        if how in _PRUNE_LEFT else None
+    rk = _kept_keys(rz, _interval_union(lz) if lz is not None else None) \
+        if how in _PRUNE_RIGHT else None
+    n_groups = (lambda z: len({(p, c) for p, c, _, _ in z}) if z else 0)
+    return {
+        "on": on, "how": how, "key_type": lt,
+        "left_total": n_groups(lz) if lz is not None else None,
+        "left_kept": len(lk) if lk is not None else None,
+        "right_total": n_groups(rz) if rz is not None else None,
+        "right_kept": len(rk) if rk is not None else None,
+        "_left_keys": lk, "_right_keys": rk,
+    }
+
+
+def store_join(spark, left_dir: str, right_dir: str, on: str, *,
+               how: str = "inner",
+               left_columns: "list[str] | None" = None,
+               right_columns: "list[str] | None" = None,
+               prune: bool = True) -> DataFrame:
+    """Equi-join two encoded stores on ``on``, scan-pruned by each other's
+    zone intervals. Returns the joined DataFrame (provenance pid/chunk_id
+    columns dropped — they collide across stores and mean nothing after a
+    join). ``left_columns``/``right_columns`` project each side (the key
+    is added automatically); non-key output columns must not collide."""
+    plan = store_join_plan(spark, left_dir, right_dir, on, how)
+
+    def side(out_dir, columns, keys):
+        cols = None
+        if columns is not None:
+            cols = list(dict.fromkeys([on, *columns]))
+        df = decode_job(spark, out_dir, cols,
+                        _chunk_keys=keys if prune else None)
+        return df.drop("pid", "chunk_id")
+
+    # an empty kept list is a provable empty scan — but decode_job treats
+    # [] the same as a real whitelist, so pass it through unchanged
+    left = side(left_dir, left_columns, plan["_left_keys"])
+    right = side(right_dir, right_columns, plan["_right_keys"])
+    if how not in ("left_semi", "left_anti"):
+        clash = (set(left.columns) & set(right.columns)) - {on}
+        if clash:
+            raise ValueError(
+                f"non-key columns {sorted(clash)} exist in both stores; "
+                f"project with left_columns/right_columns or rename before "
+                f"joining")
+    return left.join(right, on=on, how=how)
