@@ -2128,6 +2128,44 @@ def q_ann_store_batch(spark, sf_dir):
         "query_id bigint, vec_id bigint, rank int")
 
 
+def q_ann_store_sq(spark, sf_dir):
+    """SQ8-quantized ANN scan with exact re-rank (faiss ScalarQuantizer +
+    refine shape): the store carries an int8 vec_q column (~4x fewer
+    payload bytes — cosine is scale-invariant so no per-vector scale is
+    stored), the candidate pool comes from the quantized scan, and only
+    pool ids decode their float vectors for the exact re-rank. Gates:
+    k results, recall@10 >= 0.8 vs exact brute force (measured ~1.0),
+    and the quantized payload is really < 0.4x the float payload."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.pipeline.ann_store import ann_store_topk, build_ann_store
+    from fsst_spark.pipeline.similarity import cosine_topk
+
+    out = tempfile.mkdtemp(prefix="fsst_annsq_q_")
+    try:
+        emb = _t(spark, sf_dir, "embeddings")
+        corpus = emb.filter(F.col("vec_id") != 0)
+        build_ann_store(spark, corpus, out, n_cells=8, num_partitions=4,
+                        chunk_bytes=64 << 10, quantize=True)
+        query = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        q = [float(x) for x in query]
+        approx = {r["vec_id"] for r in
+                  ann_store_topk(spark, out, q, k=10, nprobe=8,
+                                 refine=4).collect()}
+        exact = {r["vec_id"] for r in cosine_topk(corpus, q, k=10).collect()}
+        sizes = {r["column"]: r["b"] for r in
+                 spark.read.parquet(f"{out}/chunks").groupBy("column")
+                 .agg(F.sum("enc_bytes").alias("b")).collect()}
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(10, len(approx), len(approx & exact) * 10 >= 80,
+          sizes["vec_q"] * 10 < sizes["embedding"] * 4)],
+        "k bigint, n_results bigint, recall_ge_08 boolean, "
+        "q_payload_lt_04 boolean")
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF ANN (spherical-kmeans coarse quantizer, nprobe=6/16) vs the exact
     top-k: the oracle asserts k results and recall >= 1/2 (measured
@@ -2806,6 +2844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_store_topk": q_ann_store_topk,
+        "ann_store_sq": q_ann_store_sq,
         "ann_store_batch": q_ann_store_batch,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_batch": q_ann_ivf_batch,
@@ -3816,6 +3855,10 @@ GROUP BY lang ORDER BY lang"""
         "ann_ivf_topk": (
             "SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results, "
             "TRUE AS recall_ge_half"
+        ),
+        "ann_store_sq": (
+            "SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results, "
+            "TRUE AS recall_ge_08, TRUE AS q_payload_lt_04"
         ),
         "ann_ivf_batch": (
             "SELECT CAST(8 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS min_results, "

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, functions as F
 from .similarity import _spherical_kmeans, cosine_topk, ivf_topk_batch
 
 CELL_COL = "ivf_cell"
+QCOL = "vec_q"
 _SIDECAR = "ann/centroids.json"
 
 
@@ -43,13 +44,25 @@ def build_ann_store(spark, df: DataFrame, out_dir: str, *,
                     vec_col: str = "embedding", id_col: str = "vec_id",
                     n_cells: int = 16, sample_rows: int = 4096,
                     seed: int = 5, num_partitions: int | None = None,
-                    chunk_bytes: int = 32 << 20) -> np.ndarray:
+                    chunk_bytes: int = 32 << 20,
+                    quantize: bool = False) -> np.ndarray:
     """Encode ``df`` as an IVF-clustered store; returns the centroid matrix.
 
     Adds an ``ivf_cell`` int column (nearest spherical-k-means centroid by
     cosine), range-clusters the layout on it via ``encode_job(sort_key=
     ...)``, and persists the centroids as a JSON sidecar under
-    ``<out>/ann/`` (driver-side, a few KB — read back by every query)."""
+    ``<out>/ann/`` (driver-side, a few KB — read back by every query).
+
+    ``quantize=True`` additionally stores a ``vec_q: array<tinyint>``
+    SQ8 column (faiss ScalarQuantizer shape: per-vector symmetric int8,
+    ``round(127 * v / max|v|)``). Cosine is scale-invariant, so the
+    per-vector scale needs no storage at all — the int8 vector ranks by
+    ``cos(vec_q, q)`` directly. The child int8 stream FOR/bit-packs to
+    ~1 byte/dim vs 4 for the float payload, so a quantized candidate
+    scan reads ~4x fewer payload bytes; queries that pass ``refine``
+    re-rank the approximate pool against the exact float vectors of just
+    those ids (bloom/zone point-probe decode), keeping the float payload
+    out of the hot path entirely."""
     from pyspark.sql.functions import pandas_udf
 
     from ..jobs.encode import encode_job
@@ -68,13 +81,23 @@ def build_ann_store(spark, df: DataFrame, out_dir: str, *,
         return pd.Series(np.argmax(M @ C.T, axis=1).astype(np.int32))
 
     clustered = df.withColumn(CELL_COL, assign(F.col(vec_col)))
+    if quantize:
+        @pandas_udf("array<tinyint>")
+        def sq8(vecs: pd.Series) -> pd.Series:
+            M = np.stack(vecs.to_numpy()).astype(np.float32)
+            scale = np.maximum(np.abs(M).max(axis=1, keepdims=True), 1e-12)
+            q = np.rint(M * (127.0 / scale)).astype(np.int8)
+            return pd.Series(list(q))
+
+        clustered = clustered.withColumn(QCOL, sq8(F.col(vec_col)))
     encode_job(spark, clustered, out_dir, sort_key=CELL_COL,
                unique_col=id_col, num_partitions=num_partitions,
                chunk_bytes=chunk_bytes, resume=False).collect()
 
     os.makedirs(os.path.join(out_dir, "ann"), exist_ok=True)
     side = {"vec_col": vec_col, "id_col": id_col, "seed": seed,
-            "n_cells": int(len(C)), "centroids": C.astype(float).tolist()}
+            "n_cells": int(len(C)), "centroids": C.astype(float).tolist(),
+            "quantized": bool(quantize)}
     tmp = os.path.join(out_dir, _SIDECAR + ".tmp")
     with open(tmp, "w") as f:
         json.dump(side, f)
@@ -89,21 +112,45 @@ def load_centroids(out_dir: str) -> tuple[np.ndarray, dict]:
 
 
 def ann_store_topk(spark, out_dir: str, query: list[float], k: int = 10,
-                   nprobe: int = 4) -> DataFrame:
+                   nprobe: int = 4, refine: int | None = None) -> DataFrame:
     """Top-k cosine over an IVF-clustered encoded store.
 
     Ranks cells by centroid-query cosine, selectively decodes ONLY the
     chunks whose ``ivf_cell`` zone intersects the probed cells (IN-list
     zone + dict + bloom pruning — the store's standard path), then exact
     cosine over the decoded candidates. ``nprobe >= n_cells`` degrades
-    gracefully to exact brute force."""
-    from ..jobs.decode import decode_filtered
+    gracefully to exact brute force.
+
+    ``refine=m`` (quantized stores only) switches to the two-stage SQ8
+    scan: the probed cells decode just the int8 ``vec_q`` payload (~4x
+    fewer bytes than the floats), the approximate cosine keeps a pool of
+    ``k*m`` candidates, and ONLY those ids decode their float vectors
+    (``decode_semijoin`` — bloom/zone point probes) for the exact
+    re-rank. Recall depends on m like faiss SQ8+refine: the pool must
+    contain the true top-k; m=4 is ~exact on real embeddings and the
+    recall gate in tests pins it."""
+    from ..jobs.decode import decode_filtered, decode_semijoin
 
     C, side = load_centroids(out_dir)
     q = np.asarray(query, dtype=np.float32)
     q = q / max(float(np.linalg.norm(q)), 1e-12)
     order = np.argsort(-(C @ q), kind="stable")
     probe = [int(x) for x in order[: max(int(nprobe), 1)]]
+    if refine is not None:
+        if not side.get("quantized"):
+            raise ValueError(
+                "refine= needs a quantized store; rebuild with "
+                "build_ann_store(quantize=True)")
+        pool = decode_filtered(
+            spark, out_dir, CELL_COL, "in", probe,
+            columns=[side["id_col"], QCOL])
+        approx = cosine_topk(pool, query, k=int(k) * max(int(refine), 1),
+                             vec_col=QCOL, id_col=side["id_col"])
+        ids = [r[side["id_col"]] for r in approx.collect()]  # <= k*m rows
+        exact = decode_semijoin(spark, out_dir, side["id_col"], ids,
+                                columns=[side["id_col"], side["vec_col"]])
+        return cosine_topk(exact, query, k=k,
+                           vec_col=side["vec_col"], id_col=side["id_col"])
     cand = decode_filtered(
         spark, out_dir, CELL_COL, "in", probe,
         columns=[side["id_col"], side["vec_col"]])

@@ -172,3 +172,56 @@ def test_compaction_preserves_ann_probes(spark, emb, store, tmp_path):
     b = [(r["vec_id"], r["rank"])
          for r in ann_store_topk(spark, out2, q, k=5, nprobe=4).collect()]
     assert a == b
+
+
+@pytest.fixture(scope="module")
+def qstore(spark, emb, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("ann_q") / "store")
+    build_ann_store(spark, emb, out, n_cells=16, num_partitions=8,
+                    chunk_bytes=8 << 10, quantize=True)
+    return out
+
+
+@pytest.mark.parametrize("query_id", [0, 3])
+def test_sq8_refine_recall(spark, emb, qstore, query_id):
+    """Two-stage SQ8 scan: int8 candidate pool + exact float re-rank. At
+    full probe the only approximation is the pool, so recall@10 with a
+    4x pool must be near-exact, and the self-query is always rank 1."""
+    q = [float(x) for x in
+         emb.filter(F.col("vec_id") == query_id).select("embedding").first()[0]]
+    rows = ann_store_topk(spark, qstore, q, k=10, nprobe=16,
+                          refine=4).collect()
+    got = {r["vec_id"] for r in rows}
+    exact = {r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()}
+    assert len(rows) == 10
+    assert rows[0]["vec_id"] == query_id  # self-similarity survives SQ8
+    assert len(got & exact) >= 9, f"recall {len(got & exact)}/10"
+
+
+def test_sq8_payload_is_smaller(spark, qstore):
+    """The scan-bandwidth claim: the int8 vec_q payload must be well under
+    half the float embedding payload (FOR/bitpack lands near 1 byte/dim
+    vs 4 for floats)."""
+    chunks = spark.read.parquet(f"{qstore}/chunks")
+    sizes = {r["column"]: r["b"] for r in
+             chunks.groupBy("column").agg(F.sum("enc_bytes").alias("b"))
+             .collect()}
+    assert sizes["vec_q"] < 0.4 * sizes["embedding"], sizes
+
+
+def test_refine_requires_quantized_store(spark, emb, store):
+    q = [float(x) for x in emb.select("embedding").first()[0]]
+    with pytest.raises(ValueError, match="quantize"):
+        ann_store_topk(spark, store, q, k=5, refine=4)
+
+
+def test_quantized_store_still_roundtrips(spark, emb, qstore):
+    """quantize=True adds a column; it must not disturb the float
+    embeddings' bit-identical round-trip."""
+    from fsst_spark.jobs.decode import decode_job
+
+    dec = decode_job(spark, qstore, ["vec_id", "embedding"])
+    joined = dec.withColumnRenamed("embedding", "emb2").join(emb, "vec_id")
+    n_bad = joined.filter(F.col("emb2") != F.col("embedding")).count()
+    assert n_bad == 0
+    assert dec.count() == emb.count()
