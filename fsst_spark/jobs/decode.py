@@ -14,6 +14,8 @@ from __future__ import annotations
 import json
 from typing import Iterator
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
 
@@ -254,9 +256,30 @@ def _zone_prune(chunks: DataFrame, zsrc: DataFrame,
         if not values:
             raise ValueError("'in' filter needs a non-empty value list")
         packed = [_zone_key(arrow_name, v) for v in values]
-        pred = packed[0][1]["=="](packed[0][0])
-        for zv, ops in packed[1:]:
-            pred = pred | ops["=="](zv)
+        if len(packed) <= 16:
+            pred = packed[0][1]["=="](packed[0][0])
+            for zv, ops in packed[1:]:
+                pred = pred | ops["=="](zv)
+        else:
+            # chaining one OR per value grows the Catalyst tree linearly
+            # and a few thousand values overflow the JVM analyzer stack.
+            # Every "==" zone test is interval containment, so "matches
+            # ANY value" is "the chunk's [zmin, zmax] contains some probe"
+            # — sort the probes once, binary-search per chunk group:
+            # O(log V) per row, vectorized over the narrow metadata frame.
+            probes = np.array(sorted(zv for zv, _ in packed), dtype=np.int64)
+
+            @F.pandas_udf("boolean")
+            def _contains_any(zmin: pd.Series, zmax: pd.Series) -> pd.Series:
+                # null zones are kept by the isNull() arm below; make them
+                # an empty interval here so searchsorted stays typed
+                lo_v = zmin.fillna(np.iinfo(np.int64).max).to_numpy(np.int64)
+                hi_v = zmax.fillna(np.iinfo(np.int64).min).to_numpy(np.int64)
+                lo = np.searchsorted(probes, lo_v, side="left")
+                hi = np.searchsorted(probes, hi_v, side="right")
+                return pd.Series(lo < hi)
+
+            pred = _contains_any(F.col("zmin_long"), F.col("zmax_long"))
     elif op == "prefix":
         # s LIKE 'p%': every match packs into [pack8(p), pack8(p padded
         # with 0xff)] — both bounds follow from bytewise order, so the

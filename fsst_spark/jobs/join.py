@@ -52,15 +52,17 @@ _HOW = {"inner", "left", "right", "full", "left_semi", "left_anti"}
 
 
 def _key_zones(spark, out_dir: str, on: str):
-    """Per-chunk-group zone bounds for the join key: list of
-    (pid, chunk_id, zmin, zmax) with None bounds for null-zone chunks,
-    or None when the store predates zone maps (no pruning possible).
-    One narrow metadata collect (#chunk-groups rows, four ints each)."""
+    """Per-chunk-group metadata for the join key: list of
+    (pid, chunk_id, zmin, zmax, n_rows) with None bounds for null-zone
+    chunks, or None when the store predates zone maps (no pruning
+    possible). One narrow metadata collect (#chunk-groups rows)."""
     ch = _chunks_df(spark, out_dir, [on]).filter(F.col("column") == on)
     if "zmin_long" not in ch.columns:
         return None
-    rows = ch.select("pid", "chunk_id", "zmin_long", "zmax_long").collect()
-    return [(r["pid"], r["chunk_id"], r["zmin_long"], r["zmax_long"])
+    rows = ch.select("pid", "chunk_id", "zmin_long", "zmax_long",
+                     "n_rows").collect()
+    return [(r["pid"], r["chunk_id"], r["zmin_long"], r["zmax_long"],
+             r["n_rows"])
             for r in rows]
 
 
@@ -71,7 +73,7 @@ def _interval_union(zones) -> "tuple[np.ndarray, np.ndarray] | None":
     all-null chunk or a pre-zone writer, and only the latter matters for
     safety, so stay conservative."""
     iv = []
-    for _pid, _cid, lo, hi in zones:
+    for _pid, _cid, lo, hi, _n in zones:
         if lo is None or hi is None:
             return None
         iv.append((lo, hi))
@@ -97,7 +99,7 @@ def _kept_keys(zones, other_union) -> "list[tuple[int, int]] | None":
         return None
     starts, ends = other_union
     kept = []
-    for pid, cid, lo, hi in zones:
+    for pid, cid, lo, hi, _n in zones:
         if lo is None or hi is None:
             kept.append((pid, cid))
             continue
@@ -109,12 +111,25 @@ def _kept_keys(zones, other_union) -> "list[tuple[int, int]] | None":
     return kept
 
 
+def _rows_kept(zones, kept) -> "int | None":
+    """Row estimate for the chunks a side will scan (exact modulo row
+    tombstones): sum of kept chunk groups' n_rows, all groups when the
+    side is unpruned. None when the store has no zone metadata."""
+    if zones is None:
+        return None
+    if kept is None:
+        return int(sum(n for _, _, _, _, n in zones))
+    ks = set(kept)
+    return int(sum(n for p, c, _, _, n in zones if (p, c) in ks))
+
+
 def store_join_plan(spark, left_dir: str, right_dir: str, on: str,
-                    how: str = "inner") -> dict:
+                    how: str = "inner", runtime_filter="auto",
+                    rf_max_rows: int = 100_000) -> dict:
     """The pruning decision without running the join: per-side total and
-    kept chunk-group counts plus the kept chunk keys ``decode_job`` will
-    see. Drives tests and ops dashboards ("how much would this join
-    scan?")."""
+    kept chunk-group counts, kept-row estimates, the runtime-filter build
+    side (if any), plus the kept chunk keys ``decode_job`` will see.
+    Drives tests and ops dashboards ("how much would this join scan?")."""
     if how not in _HOW:
         raise ValueError(f"how must be one of {sorted(_HOW)}, got {how!r}")
     lt = column_arrow_types(spark, left_dir, [on])[on]
@@ -130,13 +145,31 @@ def store_join_plan(spark, left_dir: str, right_dir: str, on: str,
         if how in _PRUNE_LEFT else None
     rk = _kept_keys(rz, _interval_union(lz) if lz is not None else None) \
         if how in _PRUNE_RIGHT else None
-    n_groups = (lambda z: len({(p, c) for p, c, _, _ in z}) if z else 0)
+    l_rows, r_rows = _rows_kept(lz, lk), _rows_kept(rz, rk)
+    # runtime filter: when a side is small enough to broadcast its keys,
+    # those keys point-prune (zone IN + dict + bloom) the opposite
+    # PRUNABLE side — which bites even on unclustered stores where the
+    # interval test can't. Build side = the smaller eligible one.
+    rf_build = None
+    if runtime_filter and how != "full":
+        cand = []
+        if how in _PRUNE_RIGHT and l_rows is not None \
+                and l_rows <= rf_max_rows:
+            cand.append((l_rows, "left"))
+        if how in _PRUNE_LEFT and r_rows is not None \
+                and r_rows <= rf_max_rows:
+            cand.append((r_rows, "right"))
+        if cand:
+            rf_build = min(cand)[1]
+    n_groups = (lambda z: len({(p, c) for p, c, _, _, _ in z}) if z else 0)
     return {
         "on": on, "how": how, "key_type": lt,
         "left_total": n_groups(lz) if lz is not None else None,
         "left_kept": len(lk) if lk is not None else None,
         "right_total": n_groups(rz) if rz is not None else None,
         "right_kept": len(rk) if rk is not None else None,
+        "left_rows_kept": l_rows, "right_rows_kept": r_rows,
+        "runtime_filter_build": rf_build,
         "_left_keys": lk, "_right_keys": rk,
     }
 
@@ -145,13 +178,26 @@ def store_join(spark, left_dir: str, right_dir: str, on: str, *,
                how: str = "inner",
                left_columns: "list[str] | None" = None,
                right_columns: "list[str] | None" = None,
-               prune: bool = True) -> DataFrame:
+               prune: bool = True, runtime_filter="auto",
+               rf_max_rows: int = 100_000) -> DataFrame:
     """Equi-join two encoded stores on ``on``, scan-pruned by each other's
     zone intervals. Returns the joined DataFrame (provenance pid/chunk_id
     columns dropped — they collide across stores and mean nothing after a
     join). ``left_columns``/``right_columns`` project each side (the key
-    is added automatically); non-key output columns must not collide."""
-    plan = store_join_plan(spark, left_dir, right_dir, on, how)
+    is added automatically); non-key output columns must not collide.
+
+    ``runtime_filter`` (default ``"auto"``): when one side's kept-row
+    estimate is ≤ ``rf_max_rows``, the opposite prunable side decodes via
+    ``decode_semijoin`` on the small side's actual keys instead of the
+    interval whitelist — point-level zone-IN + dict + bloom pruning,
+    which bites even on UNCLUSTERED stores where interval overlap prunes
+    nothing (and subsumes the interval test when it does: the keys lie
+    inside the small side's intervals). The small side is recomputed for
+    the key collect and the final join (it is ≤ rf_max_rows rows by the
+    eligibility test, so the second decode is cheap). ``False`` disables."""
+    plan = store_join_plan(spark, left_dir, right_dir, on, how,
+                           runtime_filter=runtime_filter,
+                           rf_max_rows=rf_max_rows)
 
     def side(out_dir, columns, keys):
         cols = None
@@ -165,6 +211,23 @@ def store_join(spark, left_dir: str, right_dir: str, on: str, *,
     # [] the same as a real whitelist, so pass it through unchanged
     left = side(left_dir, left_columns, plan["_left_keys"])
     right = side(right_dir, right_columns, plan["_right_keys"])
+    rf_build = plan["runtime_filter_build"] if prune else None
+    if rf_build is not None:
+        from .decode import decode_semijoin
+
+        def rf_probe(out_dir, columns, build_df):
+            cols = None
+            if columns is not None:
+                cols = list(dict.fromkeys([on, *columns]))
+            df = decode_semijoin(spark, out_dir, on, build_df.select(on),
+                                 columns=cols,
+                                 max_pushdown_keys=rf_max_rows)
+            return df.drop("pid", "chunk_id")
+
+        if rf_build == "left":
+            right = rf_probe(right_dir, right_columns, left)
+        else:
+            left = rf_probe(left_dir, left_columns, right)
     if how not in ("left_semi", "left_anti"):
         clash = (set(left.columns) & set(right.columns)) - {on}
         if clash:

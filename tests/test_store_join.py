@@ -130,3 +130,46 @@ def test_disjoint_ranges_prune_everything(spark, tmp_path):
     plan = store_join_plan(spark, l_dir, r_dir, "id")
     assert plan["left_kept"] == 0 and plan["right_kept"] == 0
     assert store_join(spark, l_dir, r_dir, "id").count() == 0
+
+
+def test_runtime_filter_on_unclustered_stores(spark, tmp_path):
+    """Interval pruning needs clustering; the runtime filter does not: a
+    small right store's keys point-prune the unclustered left scan via
+    decode_semijoin (zone-IN + bloom), and the result stays exact."""
+    l_raw = spark.range(60000).select(
+        # hash order: no key clustering, interval overlap prunes nothing
+        F.xxhash64("id").alias("_h"), F.col("id"),
+        (F.col("id") * 7).alias("a")).orderBy("_h").drop("_h")
+    r_raw = spark.range(100).select(
+        (F.col("id") * 599).alias("id"), F.lit(1).alias("b"))
+    l_dir, r_dir = str(tmp_path / "l"), str(tmp_path / "r")
+    encode_job(spark, l_raw, l_dir, chunk_bytes=2 << 10, resume=False,
+               num_partitions=2, unique_col="id").collect()
+    encode_job(spark, r_raw, r_dir, chunk_bytes=2 << 10, resume=False,
+               num_partitions=1, unique_col="id").collect()
+    plan = store_join_plan(spark, l_dir, r_dir, "id")
+    assert plan["runtime_filter_build"] == "right"
+    assert plan["right_rows_kept"] == 100
+    got = store_join(spark, l_dir, r_dir, "id")
+    want = l_raw.join(r_raw, "id", "inner")
+    cols = ["id", "a", "b"]
+    assert _sorted_rows(got.select(cols), cols) == \
+        _sorted_rows(want.select(cols), cols)
+    # disabling the filter must not change the answer
+    off = store_join(spark, l_dir, r_dir, "id", runtime_filter=False)
+    assert _sorted_rows(off.select(cols), cols) == \
+        _sorted_rows(want.select(cols), cols)
+
+
+def test_runtime_filter_left_build_for_left_join(spark, stores, tmp_path):
+    """For a LEFT join only the right side is prunable, so the build side
+    must be the (preserved) left side — and only when it is small."""
+    l_dir, l_df, r_dir, r_df = stores
+    plan = store_join_plan(spark, l_dir, r_dir, "id", how="left")
+    # 60k left rows exceed no cap here (default 100k): build side = left
+    assert plan["runtime_filter_build"] == "left"
+    plan2 = store_join_plan(spark, l_dir, r_dir, "id", how="left",
+                            rf_max_rows=1000)
+    assert plan2["runtime_filter_build"] is None  # left too big, right not prunable... build must be preserved side
+    got = store_join(spark, l_dir, r_dir, "id", how="left")
+    assert got.count() == l_df.count()
