@@ -123,6 +123,29 @@ def _rows_kept(zones, kept) -> "int | None":
     return int(sum(n for p, c, _, _, n in zones if (p, c) in ks))
 
 
+def _kept_bytes(spark, out_dir: str, columns: "list[str] | None",
+                kept, rows_kept: "int | None") -> "int | None":
+    """Upper bound on the DECODED bytes a side will produce: sum of kept
+    chunk groups' raw_bytes over the projected columns (all columns when
+    unprojected), plus 16 bytes/row slack for metadata-less virtual
+    columns (ADD COLUMN NULL fills carry no chunk rows). One narrow
+    metadata aggregate — raw_bytes is pre-tombstone, so deletes only make
+    the bound more conservative. None when rows are unknown (pre-zone
+    store)."""
+    if rows_kept is None:
+        return None
+    ch = _chunks_df(spark, out_dir, columns)
+    if columns is not None:
+        ch = ch.filter(F.col("column").isin(list(columns)))
+    if kept is not None:
+        if not kept:
+            return rows_kept * 16
+        keys = spark.createDataFrame(kept, "pid int, chunk_id int")
+        ch = ch.join(F.broadcast(keys), ["pid", "chunk_id"], "left_semi")
+    total = ch.agg(F.sum("raw_bytes")).first()[0]
+    return int(total or 0) + rows_kept * 16
+
+
 def store_join_plan(spark, left_dir: str, right_dir: str, on: str,
                     how: str = "inner", runtime_filter="auto",
                     rf_max_rows: int = 100_000) -> dict:
@@ -179,7 +202,8 @@ def store_join(spark, left_dir: str, right_dir: str, on: str, *,
                left_columns: "list[str] | None" = None,
                right_columns: "list[str] | None" = None,
                prune: bool = True, runtime_filter="auto",
-               rf_max_rows: int = 100_000) -> DataFrame:
+               rf_max_rows: int = 100_000,
+               broadcast_threshold_bytes: int = 64 << 20) -> DataFrame:
     """Equi-join two encoded stores on ``on``, scan-pruned by each other's
     zone intervals. Returns the joined DataFrame (provenance pid/chunk_id
     columns dropped — they collide across stores and mean nothing after a
@@ -194,7 +218,17 @@ def store_join(spark, left_dir: str, right_dir: str, on: str, *,
     nothing (and subsumes the interval test when it does: the keys lie
     inside the small side's intervals). The small side is recomputed for
     the key collect and the final join (it is ≤ rf_max_rows rows by the
-    eligibility test, so the second decode is cheap). ``False`` disables."""
+    eligibility test, so the second decode is cheap). ``False`` disables.
+
+    ``broadcast_threshold_bytes``: when a side's kept DECODED bytes (raw
+    bytes of its projected columns over kept chunks, from metadata) fit
+    the threshold AND that side can legally be the build side of ``how``,
+    the final join carries an explicit broadcast hint. AQE would reach
+    the same join only AFTER materializing both sides' shuffle maps —
+    at 100 TB that is a full extra pass of the big side to local disk;
+    the hint plans the broadcast up front so the big side never
+    shuffles. Bounded by BYTES, not rows: 10^5 rows of long text must
+    not be broadcast. ``0`` disables."""
     plan = store_join_plan(spark, left_dir, right_dir, on, how,
                            runtime_filter=runtime_filter,
                            rf_max_rows=rf_max_rows)
@@ -228,6 +262,30 @@ def store_join(spark, left_dir: str, right_dir: str, on: str, *,
             right = rf_probe(right_dir, right_columns, left)
         else:
             left = rf_probe(left_dir, left_columns, right)
+    if broadcast_threshold_bytes:
+        # legal build sides per join type; "full" broadcasts neither
+        can_b_right = how in ("inner", "left", "left_semi", "left_anti")
+        can_b_left = how in ("inner", "right")
+
+        def side_bytes(ok, out_dir, columns, keys, rows):
+            # rows*16 is _kept_bytes' own slack floor: a side that fails
+            # on rows alone can never pass, so skip its metadata agg
+            if not ok or rows is None or rows * 16 > broadcast_threshold_bytes:
+                return None
+            return _kept_bytes(spark, out_dir, columns,
+                               keys if prune else None, rows)
+
+        lb = side_bytes(can_b_left, left_dir, left_columns,
+                        plan["_left_keys"], plan["left_rows_kept"])
+        rb = side_bytes(can_b_right, right_dir, right_columns,
+                        plan["_right_keys"], plan["right_rows_kept"])
+        cand = [(b, s) for b, s in ((lb, "left"), (rb, "right"))
+                if b is not None and b <= broadcast_threshold_bytes]
+        if cand:
+            if min(cand)[1] == "left":
+                left = F.broadcast(left)
+            else:
+                right = F.broadcast(right)
     if how not in ("left_semi", "left_anti"):
         clash = (set(left.columns) & set(right.columns)) - {on}
         if clash:

@@ -173,3 +173,31 @@ def test_runtime_filter_left_build_for_left_join(spark, stores, tmp_path):
     assert plan2["runtime_filter_build"] is None  # left too big, right not prunable... build must be preserved side
     got = store_join(spark, l_dir, r_dir, "id", how="left")
     assert got.count() == l_df.count()
+
+
+def test_small_side_broadcast_hint(spark, tmp_path):
+    """A side whose kept decoded bytes fit broadcast_threshold_bytes gets
+    an explicit broadcast hint — the big side's scan never plans a
+    shuffle exchange — and the answer is unchanged with the hint off."""
+    l_raw = spark.range(60000).select(
+        F.col("id"), (F.col("id") % 11).alias("v"))
+    r_raw = spark.range(500).select(
+        (F.col("id") * 31).alias("id"), F.lit(2).alias("w"))
+    l_dir, r_dir = str(tmp_path / "l"), str(tmp_path / "r")
+    encode_job(spark, l_raw, l_dir, chunk_bytes=2 << 10, resume=False,
+               num_partitions=2, sort_key="id", unique_col="id").collect()
+    encode_job(spark, r_raw, r_dir, chunk_bytes=2 << 10, resume=False,
+               num_partitions=1, sort_key="id", unique_col="id").collect()
+    got = store_join(spark, l_dir, r_dir, "id")
+    physical = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in physical, physical
+    cols = ["id", "v", "w"]
+    want = l_raw.join(r_raw, "id", "inner")
+    assert _sorted_rows(got.select(cols), cols) == \
+        _sorted_rows(want.select(cols), cols)
+    # bytes-bounded, not row-bounded: threshold 0 disables the hint, and
+    # the un-hinted join still returns the identical rows
+    off = store_join(spark, l_dir, r_dir, "id",
+                     broadcast_threshold_bytes=0)
+    assert _sorted_rows(off.select(cols), cols) == \
+        _sorted_rows(want.select(cols), cols)
