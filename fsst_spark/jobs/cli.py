@@ -517,6 +517,27 @@ def main(argv: list[str] | None = None) -> int:
     cur.add_argument("--neardup", action="store_true",
                      help="also resolve MinHash near-dup clusters")
 
+    jin = sub.add_parser(
+        "join", help="equi-join two encoded stores (two-sided zone "
+                     "pruning, runtime filter, small-side broadcast) "
+                     "into a parquet table")
+    jin.add_argument("--left", required=True, help="left store dir")
+    jin.add_argument("--right", required=True, help="right store dir")
+    jin.add_argument("--on", required=True, help="join key column")
+    jin.add_argument("--how", default="inner",
+                     choices=["inner", "left", "right", "full",
+                              "left_semi", "left_anti"])
+    jin.add_argument("--left-columns", default=None,
+                     help="comma-separated projection of the left store")
+    jin.add_argument("--right-columns", default=None,
+                     help="comma-separated projection of the right store")
+    jin.add_argument("--out", default=None, help="output parquet dir")
+    jin.add_argument("--no-prune", action="store_true",
+                     help="disable zone pruning and the runtime filter")
+    jin.add_argument("--plan-only", action="store_true",
+                     help="print kept/total chunk counts, row estimates "
+                          "and the runtime-filter build side; run nothing")
+
     syn = sub.add_parser("synth", help="write a deterministic synthetic web corpus")
     syn.add_argument("--rows", type=int, required=True)
     syn.add_argument("--out", required=True)
@@ -987,6 +1008,27 @@ def main(argv: list[str] | None = None) -> int:
             stages["sampled"].write.mode("overwrite").parquet(args.out)
             n_out = spark.read.parquet(args.out).count()
             print(json.dumps({"curated_to": args.out, "rows": n_out}))
+        elif args.cmd == "join":
+            from fsst_spark.jobs.join import store_join, store_join_plan
+
+            lc = args.left_columns.split(",") if args.left_columns else None
+            rc = args.right_columns.split(",") if args.right_columns else None
+            if args.plan_only:
+                plan = store_join_plan(spark, args.left, args.right,
+                                       args.on, args.how)
+                print(json.dumps({k: v for k, v in plan.items()
+                                  if not k.startswith("_")}))
+            else:
+                if not args.out:
+                    raise SystemExit("join needs --out (or --plan-only)")
+                df = store_join(spark, args.left, args.right, args.on,
+                                how=args.how, left_columns=lc,
+                                right_columns=rc, prune=not args.no_prune,
+                                runtime_filter=not args.no_prune)
+                df.write.mode("overwrite").parquet(args.out)
+                n = spark.read.parquet(args.out).count()
+                print(json.dumps({"joined_to": args.out, "how": args.how,
+                                  "on": args.on, "rows": n}))
         elif args.cmd == "synth":
             from fsst_spark.synth.webcorpus import synth_web_df
 

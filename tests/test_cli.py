@@ -300,3 +300,19 @@ def test_cli_delete_and_materialize(tmp_path):
     g = _run("group-stats", "--data", mat, "--key", "lang")
     assert all(row["value"] != "en" for row in g)
     assert sum(row["cnt"] for row in g) == 400 - want_del
+
+
+def test_cli_join_and_plan(tmp_path):
+    src = str(tmp_path / "jc")
+    enc = str(tmp_path / "jenc")
+    out = str(tmp_path / "joined")
+    _run("synth", "--rows", "300", "--out", src)
+    _run("encode", "--input", src, "--out", enc, "--partitions", "2",
+         "--cluster-by", "url")
+    plan = _run("join", "--left", enc, "--right", enc, "--on", "url",
+                "--plan-only")
+    assert plan["left_total"] >= 1 and plan["how"] == "inner"
+    r = _run("join", "--left", enc, "--right", enc, "--on", "url",
+             "--left-columns", "lang", "--right-columns", "warc_ts",
+             "--out", out)
+    assert r["rows"] == 300  # synth urls are unique: self-join is 1:1
