@@ -990,6 +990,43 @@ def q_store_join(spark, sf_dir):
         "sum_score bigint, n_left bigint, n_unmatched bigint")
 
 
+def q_multi_store_decode(spark, sf_dir):
+    """A family of daily-shard stores read as ONE DataFrame via
+    decode_stores: documents split by doc_id parity into two encoded
+    stores, reunited with per-store zone-filter pushdown (the n_chars
+    conjunct prunes inside EACH shard before the union); aggregates must
+    equal the plain SQL over the unsharded table."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.decode import decode_stores
+    from fsst_spark.jobs.encode import encode_job
+
+    outs = [tempfile.mkdtemp(prefix=f"fsst_shard{i}_q_") for i in (0, 1)]
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+        for i, out in enumerate(outs):
+            encode_job(spark, docs.where(F.col("doc_id") % 2 == i), out,
+                       chunk_bytes=64 << 10, resume=False,
+                       num_partitions=2, sort_key="n_chars",
+                       unique_col="doc_id").collect()
+        got = (
+            decode_stores(spark, outs, columns=["doc_id", "lang", "n_chars"],
+                          filters=[("n_chars", ">=", 500)])
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("doc_id").alias("sum_ids"),
+                 F.sum("n_chars").alias("sum_chars"))
+            .collect()
+        )
+    finally:
+        for out in outs:
+            shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["lang"], r["n_rows"], r["sum_ids"], r["sum_chars"]) for r in got],
+        "lang string, n_rows bigint, sum_ids bigint, sum_chars bigint")
+
+
 def q_encoded_ndv(spark, sf_dir):
     """Metadata-only NDV from mergeable per-chunk HLL sketches: the
     estimates must sit within 6% of the exact distinct counts (the exact
@@ -2800,6 +2837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "decode_semijoin": q_decode_semijoin,
         "store_join": q_store_join,
+        "multi_store_decode": q_multi_store_decode,
         "encoded_ndv": q_encoded_ndv,
         "url_sort_key": q_url_sort_key,
         "extract_roundtrip": q_extract_roundtrip,
@@ -3431,6 +3469,12 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_left, "
             "(SELECT CAST(count(*) AS BIGINT) FROM documents l "
             " WHERE l.doc_id NOT IN (SELECT doc_id FROM r)) AS n_unmatched"
+        ),
+        "multi_store_decode": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_ids, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents WHERE n_chars >= 500 GROUP BY lang"
         ),
         "encoded_ndv": (
             "SELECT * FROM (VALUES "

@@ -988,3 +988,82 @@ def decode_semijoin(spark, out_dir: str, col: str, keys,
     if columns is not None and col not in columns:
         out = out.drop(col)
     return out
+
+
+def decode_stores(spark, out_dirs: "list[str]",
+                  columns: list[str] | None = None,
+                  filters: list[tuple] | None = None,
+                  any_filters: list[tuple] | None = None,
+                  provenance_col: str | None = None) -> DataFrame:
+    """Read a FAMILY of encoded stores as one DataFrame — the daily-shard
+    layout every web corpus converges on (a store per crawl day / dump).
+
+    Each store decodes through its own selective path, so zone, dict and
+    bloom pruning apply PER STORE before the union: a ``warc_ts`` range
+    predicate over a year of daily shards skips whole stores' payloads,
+    not just chunks. Columns shared by several stores must agree on arrow
+    type (asserted against every manifest up front — a drifted shard
+    fails fast, never mid-scan); columns missing from older shards
+    null-fill, the same semantics the engine's metadata-only ADD COLUMN
+    gives within one store. ``provenance_col`` adds each row's source
+    store dir as a literal column (constant-folded, no per-row cost).
+
+    Reference tie: engine-side scale surface with no reference analog
+    (spiraldb/fsst src/lib.rs:14-17 exports only codec types); the shape
+    follows Spark's own multi-path DataFrameReader + unionByName.
+    """
+    if not out_dirs:
+        raise ValueError("decode_stores needs at least one store dir")
+    # type-consistency gate across every manifest BEFORE any decode
+    seen: dict[str, tuple[str, str]] = {}
+    for d in out_dirs:
+        for c, t in column_arrow_types(spark, d, include_added=True).items():
+            if columns is not None and c not in columns:
+                continue
+            if c in seen and seen[c][0] != t:
+                raise TypeError(
+                    f"column {c!r} is {seen[c][0]} in {seen[c][1]} but "
+                    f"{t} in {d}; shards of one logical table must agree "
+                    f"— cast and re-encode the drifted store")
+            seen.setdefault(c, (t, d))
+    parts = []
+    for d in out_dirs:
+        have = set(column_arrow_types(spark, d, include_added=True))
+        cols = None
+        if columns is not None:
+            cols = [c for c in columns if c in have]
+        flt = [f for f in (filters or []) if f[0] in have]
+        dropped = [f for f in (filters or []) if f[0] not in have]
+        if dropped:
+            # a conjunct on a column this shard lacks can only match NULL
+            # semantics — which is never true — so the shard contributes
+            # nothing; skip its scan entirely
+            continue
+        anyf = [f for f in (any_filters or []) if f[0] in have]
+        if (any_filters or []) and not anyf:
+            continue  # no OR branch can hold on this shard
+        if flt or anyf:
+            df = decode_filtered(spark, d, columns=cols,
+                                 filters=flt or None,
+                                 any_filters=anyf or None)
+        else:
+            df = decode_job(spark, d, cols)
+        df = df.drop("pid", "chunk_id")
+        if provenance_col is not None:
+            df = df.withColumn(provenance_col, F.lit(d))
+        parts.append(df)
+    if not parts:
+        # every shard pruned away: empty frame with the full projected schema
+        base = decode_job(spark, out_dirs[0],
+                          columns if columns is None else
+                          [c for c in columns
+                           if c in column_arrow_types(
+                               spark, out_dirs[0], include_added=True)])
+        base = base.drop("pid", "chunk_id").limit(0)
+        if provenance_col is not None:
+            base = base.withColumn(provenance_col, F.lit(out_dirs[0]))
+        return base
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out

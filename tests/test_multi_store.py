@@ -1,0 +1,82 @@
+"""decode_stores: a family of daily-shard stores reads as one DataFrame
+with per-store pruning, null-fill for schema drift, and fail-fast type
+checks."""
+import pytest
+from pyspark.sql import functions as F
+
+from fsst_spark.jobs.decode import decode_stores
+from fsst_spark.jobs.encode import encode_job
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def shards(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("multi_store")
+    base = spark.range(4000).select(
+        F.col("id"), (F.col("id") % 5).alias("day"),
+        F.concat(F.lit("u"), F.col("id")).alias("url"))
+    dirs = []
+    for day in (0, 1, 2):
+        d = str(tmp / f"day{day}")
+        encode_job(spark, base.filter(F.col("day") == day), d,
+                   chunk_bytes=2 << 10, resume=False, num_partitions=2,
+                   sort_key="id", unique_col="id").collect()
+        dirs.append(d)
+    return dirs, base
+
+
+def test_union_equals_full_set(spark, shards):
+    dirs, base = shards
+    got = decode_stores(spark, dirs)
+    want = base.filter(F.col("day") < 3)
+    cols = ["id", "day", "url"]
+    assert _rows(got.select(cols), cols) == _rows(want.select(cols), cols)
+
+
+def test_filters_apply_per_store(spark, shards):
+    dirs, base = shards
+    got = decode_stores(spark, dirs, columns=["id", "day"],
+                        filters=[("id", "<", 50)])
+    want = base.filter((F.col("day") < 3) & (F.col("id") < 50))
+    cols = ["id", "day"]
+    assert _rows(got.select(cols), cols) == _rows(want.select(cols), cols)
+
+
+def test_provenance_and_missing_column_null_fill(spark, shards, tmp_path):
+    dirs, base = shards
+    # an old shard that predates the url column: its rows null-fill
+    old = str(tmp_path / "old")
+    encode_job(spark, spark.range(10).select(
+        F.col("id"), F.lit(9).cast("long").alias("day")), old,
+        chunk_bytes=2 << 10, resume=False, num_partitions=1,
+        unique_col="id").collect()
+    got = decode_stores(spark, [dirs[0], old], provenance_col="shard")
+    rows = got.collect()
+    assert {r["shard"] for r in rows} == {dirs[0], old}
+    assert all(r["url"] is None for r in rows if r["shard"] == old)
+    assert all(r["url"] is not None for r in rows if r["shard"] == dirs[0])
+    # a conjunct on the missing column skips the old shard entirely
+    pruned = decode_stores(spark, [dirs[0], old],
+                           filters=[("url", ">=", "u")])
+    assert {r["day"] for r in pruned.collect()} == {0}
+
+
+def test_type_drift_fails_fast(spark, shards, tmp_path):
+    dirs, _ = shards
+    drift = str(tmp_path / "drift")
+    encode_job(spark, spark.range(10).select(
+        F.col("id").cast("string").alias("id")), drift,
+        chunk_bytes=2 << 10, resume=False, num_partitions=1,
+        unique_col="id").collect()
+    with pytest.raises(TypeError, match="must agree"):
+        decode_stores(spark, [dirs[0], drift])
+
+
+def test_all_shards_pruned_keeps_schema(spark, shards):
+    dirs, _ = shards
+    got = decode_stores(spark, dirs, filters=[("id", ">", 10_000_000)])
+    assert got.count() == 0
+    assert set(got.columns) == {"id", "day", "url"}
