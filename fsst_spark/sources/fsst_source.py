@@ -839,3 +839,47 @@ def register_store_view(spark, store: str, name: str,
     if columns:
         reader = reader.option("columns", columns)
     reader.load(store).createOrReplaceTempView(name)
+
+
+def register_stores_view(spark, stores: "list[str]", name: str,
+                         columns: str | None = None) -> None:
+    """Expose a FAMILY of stores (the daily-shard layout) as ONE SQL
+    view: ``UNION ALL`` over per-store ``fsst`` reads. Catalyst pushes
+    the view's ``WHERE`` predicates through the Union into every
+    branch's ``pushFilters``, so zone/dict/bloom chunk pruning still
+    applies per shard — a ``warc_ts`` range over a year of daily shards
+    skips whole stores. Columns shared by several shards must agree on
+    type (checked against every manifest up front — a drifted shard
+    fails at registration, not mid-query); columns missing from older
+    shards null-fill via ``unionByName(allowMissingColumns=True)``, the
+    same semantics the engine's metadata-only ADD COLUMN gives within
+    one store."""
+    if not stores:
+        raise ValueError("register_stores_view needs at least one store")
+    register(spark)
+    wanted = ([c.strip() for c in columns.split(",") if c.strip()]
+              if columns else None)
+    seen: dict[str, tuple[str, str]] = {}
+    for s in stores:
+        for c, t in store_column_types(s).items():
+            if wanted is not None and c not in wanted:
+                continue
+            if c in seen and seen[c][0] != t:
+                raise TypeError(
+                    f"column {c!r} is {seen[c][0]} in {seen[c][1]} but "
+                    f"{t} in {s}; shards of one logical table must agree "
+                    f"— cast and re-encode the drifted store")
+            seen.setdefault(c, (t, s))
+    parts = []
+    for s in stores:
+        reader = spark.read.format("fsst")
+        if wanted is not None:
+            have = [c for c in wanted if c in store_column_types(s)]
+            if not have:
+                continue  # shard carries none of the projected columns
+            reader = reader.option("columns", ",".join(have))
+        parts.append(reader.load(s))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    out.createOrReplaceTempView(name)

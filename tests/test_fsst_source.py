@@ -418,3 +418,38 @@ def test_register_store_view_sql_surface(spark, tmp_path):
     register_store_view(spark, store, "docs_narrow", columns="doc_id,lang")
     cols = spark.sql("SELECT * FROM docs_narrow LIMIT 1").columns
     assert sorted(cols) == ["doc_id", "lang"]
+
+
+def test_register_stores_view_shard_family(spark, tmp_path):
+    """One SQL view over a family of shard stores: predicates push
+    through the Union into each shard's fsst read, aggregates match the
+    unsharded frame, and missing columns null-fill."""
+    from fsst_spark.sources.fsst_source import (register,
+                                                register_stores_view)
+
+    register(spark)
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "lang", "n_chars"))
+    s0, s1 = str(tmp_path / "sh0"), str(tmp_path / "sh1")
+    docs.where("doc_id % 2 = 0").write.format("fsst").mode("overwrite").save(s0)
+    docs.where("doc_id % 2 = 1").write.format("fsst").mode("overwrite").save(s1)
+    register_stores_view(spark, [s0, s1], "docs_fam")
+    got = spark.sql(
+        "SELECT lang, count(*) AS n, sum(n_chars) AS s FROM docs_fam "
+        "WHERE n_chars >= 300 GROUP BY lang ORDER BY lang").collect()
+    want = (docs.filter("n_chars >= 300").groupBy("lang")
+            .agg(F.count("*").alias("n"), F.sum("n_chars").alias("s"))
+            .orderBy("lang").collect())
+    assert [(r["lang"], r["n"], r["s"]) for r in got] == \
+        [(r["lang"], r["n"], r["s"]) for r in want]
+    # an old shard without n_chars: rows null-fill in the family view
+    old = str(tmp_path / "old")
+    docs.select("doc_id", "lang").withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000).write.format(
+        "fsst").mode("overwrite").save(old)
+    register_stores_view(spark, [s0, s1, old], "docs_fam3")
+    r = spark.sql(
+        "SELECT count(*) AS n, count(n_chars) AS with_chars "
+        "FROM docs_fam3").collect()[0]
+    n_docs = docs.count()
+    assert r["n"] == 2 * n_docs and r["with_chars"] == n_docs
