@@ -146,28 +146,56 @@ def _kept_bytes(spark, out_dir: str, columns: "list[str] | None",
     return int(total or 0) + rows_kept * 16
 
 
-def store_join_plan(spark, left_dir: str, right_dir: str, on: str,
+def _norm_on(on) -> "list[str]":
+    keys = [on] if isinstance(on, str) else list(on)
+    if not keys:
+        raise ValueError("join needs at least one key column")
+    if len(set(keys)) != len(keys):
+        raise ValueError(f"duplicate join key columns: {keys}")
+    return keys
+
+
+def _side_kept(side_zones: dict, other_zones: dict, keys: "list[str]"):
+    """Kept chunk keys for one side pruned by the OTHER side's
+    per-column interval unions. A chunk survives only if, for EVERY key
+    column, its interval intersects the other side's union of that
+    column — composite keys prune strictly harder than any single one.
+    None = unprunable (no key column has zones on both stores)."""
+    kept = None
+    for c in keys:
+        k = _kept_keys(side_zones[c], _interval_union(other_zones[c])
+                       if other_zones[c] is not None else None)
+        if k is None:
+            continue
+        kept = set(k) if kept is None else (kept & set(k))
+    return sorted(kept) if kept is not None else None
+
+
+def store_join_plan(spark, left_dir: str, right_dir: str, on,
                     how: str = "inner", runtime_filter="auto",
                     rf_max_rows: int = 100_000) -> dict:
     """The pruning decision without running the join: per-side total and
     kept chunk-group counts, kept-row estimates, the runtime-filter build
     side (if any), plus the kept chunk keys ``decode_job`` will see.
+    ``on`` may be one column or a composite key list — every key column
+    prunes independently and a chunk must survive all of them.
     Drives tests and ops dashboards ("how much would this join scan?")."""
     if how not in _HOW:
         raise ValueError(f"how must be one of {sorted(_HOW)}, got {how!r}")
-    lt = column_arrow_types(spark, left_dir, [on])[on]
-    rt = column_arrow_types(spark, right_dir, [on])[on]
-    if lt != rt:
-        raise TypeError(
-            f"join key {on!r} is {lt} in {left_dir} but {rt} in "
-            f"{right_dir}; packed zone keys are only comparable within one "
-            f"arrow type — cast and re-encode one side")
-    lz = _key_zones(spark, left_dir, on)
-    rz = _key_zones(spark, right_dir, on)
-    lk = _kept_keys(lz, _interval_union(rz) if rz is not None else None) \
-        if how in _PRUNE_LEFT else None
-    rk = _kept_keys(rz, _interval_union(lz) if lz is not None else None) \
-        if how in _PRUNE_RIGHT else None
+    keys = _norm_on(on)
+    lts = column_arrow_types(spark, left_dir, keys)
+    rts = column_arrow_types(spark, right_dir, keys)
+    for c in keys:
+        if lts[c] != rts[c]:
+            raise TypeError(
+                f"join key {c!r} is {lts[c]} in {left_dir} but {rts[c]} in "
+                f"{right_dir}; packed zone keys are only comparable within "
+                f"one arrow type — cast and re-encode one side")
+    lz_all = {c: _key_zones(spark, left_dir, c) for c in keys}
+    rz_all = {c: _key_zones(spark, right_dir, c) for c in keys}
+    lz, rz = lz_all[keys[0]], rz_all[keys[0]]
+    lk = _side_kept(lz_all, rz_all, keys) if how in _PRUNE_LEFT else None
+    rk = _side_kept(rz_all, lz_all, keys) if how in _PRUNE_RIGHT else None
     l_rows, r_rows = _rows_kept(lz, lk), _rows_kept(rz, rk)
     # runtime filter: when a side is small enough to broadcast its keys,
     # those keys point-prune (zone IN + dict + bloom) the opposite
@@ -186,7 +214,9 @@ def store_join_plan(spark, left_dir: str, right_dir: str, on: str,
             rf_build = min(cand)[1]
     n_groups = (lambda z: len({(p, c) for p, c, _, _, _ in z}) if z else 0)
     return {
-        "on": on, "how": how, "key_type": lt,
+        "on": on, "how": how,
+        "key_type": lts[keys[0]] if len(keys) == 1
+        else [lts[c] for c in keys],
         "left_total": n_groups(lz) if lz is not None else None,
         "left_kept": len(lk) if lk is not None else None,
         "right_total": n_groups(rz) if rz is not None else None,
@@ -197,7 +227,7 @@ def store_join_plan(spark, left_dir: str, right_dir: str, on: str,
     }
 
 
-def store_join(spark, left_dir: str, right_dir: str, on: str, *,
+def store_join(spark, left_dir: str, right_dir: str, on, *,
                how: str = "inner",
                left_columns: "list[str] | None" = None,
                right_columns: "list[str] | None" = None,
@@ -207,8 +237,11 @@ def store_join(spark, left_dir: str, right_dir: str, on: str, *,
     """Equi-join two encoded stores on ``on``, scan-pruned by each other's
     zone intervals. Returns the joined DataFrame (provenance pid/chunk_id
     columns dropped — they collide across stores and mean nothing after a
-    join). ``left_columns``/``right_columns`` project each side (the key
-    is added automatically); non-key output columns must not collide.
+    join). ``on`` may be one column name or a composite key list — each
+    key column prunes the other side's scan independently, and a chunk
+    must survive every one. ``left_columns``/``right_columns`` project
+    each side (keys are added automatically); non-key output columns
+    must not collide.
 
     ``runtime_filter`` (default ``"auto"``): when one side's kept-row
     estimate is ≤ ``rf_max_rows``, the opposite prunable side decodes via
@@ -232,11 +265,12 @@ def store_join(spark, left_dir: str, right_dir: str, on: str, *,
     plan = store_join_plan(spark, left_dir, right_dir, on, how,
                            runtime_filter=runtime_filter,
                            rf_max_rows=rf_max_rows)
+    on_cols = _norm_on(on)
 
     def side(out_dir, columns, keys):
         cols = None
         if columns is not None:
-            cols = list(dict.fromkeys([on, *columns]))
+            cols = list(dict.fromkeys([*on_cols, *columns]))
         df = decode_job(spark, out_dir, cols,
                         _chunk_keys=keys if prune else None)
         return df.drop("pid", "chunk_id")
@@ -250,10 +284,14 @@ def store_join(spark, left_dir: str, right_dir: str, on: str, *,
         from .decode import decode_semijoin
 
         def rf_probe(out_dir, columns, build_df):
+            # composite keys: probe on the FIRST key column only — a
+            # conservative superset of the true match set (the final
+            # equi-join on all keys stays exact)
+            k0 = on_cols[0]
             cols = None
             if columns is not None:
-                cols = list(dict.fromkeys([on, *columns]))
-            df = decode_semijoin(spark, out_dir, on, build_df.select(on),
+                cols = list(dict.fromkeys([*on_cols, *columns]))
+            df = decode_semijoin(spark, out_dir, k0, build_df.select(k0),
                                  columns=cols,
                                  max_pushdown_keys=rf_max_rows)
             return df.drop("pid", "chunk_id")
@@ -287,10 +325,10 @@ def store_join(spark, left_dir: str, right_dir: str, on: str, *,
             else:
                 right = F.broadcast(right)
     if how not in ("left_semi", "left_anti"):
-        clash = (set(left.columns) & set(right.columns)) - {on}
+        clash = (set(left.columns) & set(right.columns)) - set(on_cols)
         if clash:
             raise ValueError(
                 f"non-key columns {sorted(clash)} exist in both stores; "
                 f"project with left_columns/right_columns or rename before "
                 f"joining")
-    return left.join(right, on=on, how=how)
+    return left.join(right, on=on_cols, how=how)

@@ -201,3 +201,31 @@ def test_small_side_broadcast_hint(spark, tmp_path):
                      broadcast_threshold_bytes=0)
     assert _sorted_rows(off.select(cols), cols) == \
         _sorted_rows(want.select(cols), cols)
+
+
+def test_composite_key_join(spark, tmp_path):
+    """on=[k1, k2]: every key column prunes independently (the chunk must
+    survive both interval tests), the final equi-join matches on BOTH
+    keys, and non-key collision checks exclude all key columns."""
+    l_raw = spark.range(20000).select(
+        (F.col("id") % 100).alias("g"), F.col("id").alias("seq"),
+        (F.col("id") * 3).alias("a"))
+    r_raw = spark.range(19900, 20500).select(
+        (F.col("id") % 100).alias("g"), F.col("id").alias("seq"),
+        F.lit(7).alias("b"))
+    l_dir, r_dir = str(tmp_path / "l"), str(tmp_path / "r")
+    encode_job(spark, l_raw, l_dir, chunk_bytes=2 << 10, resume=False,
+               num_partitions=2, sort_key="seq", unique_col="seq").collect()
+    encode_job(spark, r_raw, r_dir, chunk_bytes=2 << 10, resume=False,
+               num_partitions=1, sort_key="seq", unique_col="seq").collect()
+    plan = store_join_plan(spark, l_dir, r_dir, ["g", "seq"])
+    assert plan["key_type"] == ["int64", "int64"]
+    # the seq column is clustered: most left chunks prune on it alone
+    assert plan["left_kept"] < plan["left_total"]
+    got = store_join(spark, l_dir, r_dir, ["g", "seq"])
+    want = l_raw.join(r_raw, ["g", "seq"], "inner")
+    cols = ["g", "seq", "a", "b"]
+    assert _sorted_rows(got.select(cols), cols) == \
+        _sorted_rows(want.select(cols), cols)
+    with pytest.raises(ValueError, match="duplicate"):
+        store_join_plan(spark, l_dir, r_dir, ["g", "g"])
