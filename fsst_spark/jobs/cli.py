@@ -150,7 +150,10 @@ def main(argv: list[str] | None = None) -> int:
                           "(0 disables; default 10 ≈ 3%% error, 1 KiB/chunk)")
 
     dec = sub.add_parser("decode", help="decode chunks back to a parquet table")
-    dec.add_argument("--data", required=True)
+    dec.add_argument("--data", required=True,
+                     help="store dir, or a comma-separated shard FAMILY "
+                          "(unioned with per-store pruning; composes with "
+                          "--where/--where-any/--columns)")
     dec.add_argument("--out", required=True)
     dec.add_argument("--columns", default=None)
     dec.add_argument("--where", action="append", default=None, metavar="COL:OP:VALUE",
@@ -523,7 +526,8 @@ def main(argv: list[str] | None = None) -> int:
                      "into a parquet table")
     jin.add_argument("--left", required=True, help="left store dir")
     jin.add_argument("--right", required=True, help="right store dir")
-    jin.add_argument("--on", required=True, help="join key column")
+    jin.add_argument("--on", required=True,
+                     help="join key column (comma-separate a composite key)")
     jin.add_argument("--how", default="inner",
                      choices=["inner", "left", "right", "full",
                               "left_semi", "left_anti"])
@@ -634,6 +638,33 @@ def main(argv: list[str] | None = None) -> int:
                                                 decode_filtered, decode_job)
 
             cols = args.columns.split(",") if args.columns else None
+            if "," in args.data:
+                # shard family: --data store1,store2,... unions per-store
+                # selective decodes (decode_stores); snapshot/limit flags
+                # are single-store concepts
+                if args.since is not None or args.as_of is not None \
+                        or args.limit is not None:
+                    raise SystemExit("multi-store decode composes with "
+                                     "--where/--where-any/--columns only")
+                from fsst_spark.jobs.decode import decode_stores
+
+                dirs = [d for d in args.data.split(",") if d]
+                filters = (_parse_where(spark, dirs[0], args.where)
+                           if args.where else None)
+                any_flt = (_parse_where(spark, dirs[0], args.where_any)
+                           if args.where_any else None)
+                df = decode_stores(spark, dirs, columns=cols,
+                                   filters=filters, any_filters=any_flt)
+                w = df.write.mode("overwrite")
+                if args.partition_by:
+                    w = w.partitionBy(*args.partition_by.split(","))
+                w.parquet(args.out)
+                print(json.dumps({"decoded_to": args.out,
+                                  "stores": len(dirs),
+                                  "where": args.where,
+                                  "where_any": args.where_any,
+                                  "partition_by": args.partition_by}))
+                return 0
             if args.since is not None and args.as_of is not None:
                 raise SystemExit("pass --since OR --as-of, not both")
             if args.until is not None and args.since is None:
@@ -1013,15 +1044,16 @@ def main(argv: list[str] | None = None) -> int:
 
             lc = args.left_columns.split(",") if args.left_columns else None
             rc = args.right_columns.split(",") if args.right_columns else None
+            on = args.on.split(",") if "," in args.on else args.on
             if args.plan_only:
                 plan = store_join_plan(spark, args.left, args.right,
-                                       args.on, args.how)
+                                       on, args.how)
                 print(json.dumps({k: v for k, v in plan.items()
                                   if not k.startswith("_")}))
             else:
                 if not args.out:
                     raise SystemExit("join needs --out (or --plan-only)")
-                df = store_join(spark, args.left, args.right, args.on,
+                df = store_join(spark, args.left, args.right, on,
                                 how=args.how, left_columns=lc,
                                 right_columns=rc, prune=not args.no_prune,
                                 runtime_filter=not args.no_prune)

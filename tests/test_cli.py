@@ -316,3 +316,19 @@ def test_cli_join_and_plan(tmp_path):
              "--left-columns", "lang", "--right-columns", "warc_ts",
              "--out", out)
     assert r["rows"] == 300  # synth urls are unique: self-join is 1:1
+
+
+def test_cli_multi_store_decode(tmp_path):
+    src = str(tmp_path / "mc")
+    e0, e1 = str(tmp_path / "m0"), str(tmp_path / "m1")
+    out = str(tmp_path / "mout")
+    _run("synth", "--rows", "200", "--out", src)
+    _run("encode", "--input", src, "--out", e0, "--partitions", "1")
+    _run("encode", "--input", src, "--out", e1, "--partitions", "1")
+    r = _run("decode", "--data", f"{e0},{e1}", "--out", out,
+             "--columns", "url,lang", "--where", "url:prefix:https://")
+    assert r["stores"] == 2
+    import duckdb
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{out}/*.parquet')").fetchone()[0]
+    assert n == 400  # both shards contribute every row
