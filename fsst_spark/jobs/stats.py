@@ -792,3 +792,45 @@ def advise_layout(spark, out_dir: str,
             .withColumn("clustered",
                         F.col("span_frac_x1000") <= 4 * ideal)
             .orderBy("span_frac_x1000", "column"))
+
+
+def stores_column_stats(spark, out_dirs: "list[str]",
+                        columns: list[str]) -> DataFrame:
+    """``encoded_column_stats`` over a FAMILY of shard stores: per-store
+    metadata aggregates (payload-free) re-reduced into one row per
+    column — sum of row counts, min of zone minima, max of zone maxima.
+    Exactness follows from each store's own guarantee (exact int/ts
+    zones); a shard missing the column, lacking zones, or carrying
+    deletes raises exactly as the single-store form does."""
+    if not out_dirs:
+        raise ValueError("stores_column_stats needs at least one store")
+    out = encoded_column_stats(spark, out_dirs[0], columns)
+    for d in out_dirs[1:]:
+        out = out.unionByName(encoded_column_stats(spark, d, columns))
+    return (
+        out.groupBy("column")
+        .agg(F.sum("n_rows").alias("n_rows"),
+             F.min("min_long").alias("min_long"),
+             F.max("max_long").alias("max_long"))
+        .orderBy("column")
+    )
+
+
+def stores_column_minmax(spark, out_dirs: "list[str]", column: str) -> dict:
+    """Exact whole-family min/max of any zoned column: each shard decodes
+    only its OWN zone-boundary chunks (``encoded_column_minmax``), the
+    per-shard scalars reduce driver-side. A year of daily shards answers
+    ``min(url)`` by decoding ~2 chunks per shard, payloads untouched
+    everywhere else."""
+    if not out_dirs:
+        raise ValueError("stores_column_minmax needs at least one store")
+    parts = [encoded_column_minmax(spark, d, column) for d in out_dirs]
+    vals_min = [p["min"] for p in parts if p["min"] is not None]
+    vals_max = [p["max"] for p in parts if p["max"] is not None]
+    return {
+        "min": min(vals_min) if vals_min else None,
+        "max": max(vals_max) if vals_max else None,
+        "n_rows": sum(p["n_rows"] for p in parts),
+        "n_chunks_total": sum(p["n_chunks_total"] for p in parts),
+        "n_chunks_decoded": sum(p["n_chunks_decoded"] for p in parts),
+    }

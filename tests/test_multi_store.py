@@ -80,3 +80,23 @@ def test_all_shards_pruned_keeps_schema(spark, shards):
     got = decode_stores(spark, dirs, filters=[("id", ">", 10_000_000)])
     assert got.count() == 0
     assert set(got.columns) == {"id", "day", "url"}
+
+
+def test_family_stats_and_minmax(spark, shards):
+    dirs, base = shards
+    from fsst_spark.jobs.stats import (stores_column_minmax,
+                                       stores_column_stats)
+
+    rows = {r["column"]: r for r in
+            stores_column_stats(spark, dirs, ["id", "day"]).collect()}
+    sub = base.filter(F.col("day") < 3)
+    want_n = sub.count()
+    assert rows["id"]["n_rows"] == want_n
+    assert rows["id"]["min_long"] == sub.agg(F.min("id")).first()[0]
+    assert rows["id"]["max_long"] == sub.agg(F.max("id")).first()[0]
+    assert rows["day"]["min_long"] == 0 and rows["day"]["max_long"] == 2
+    mm = stores_column_minmax(spark, dirs, "url")
+    urls = [r["url"] for r in sub.select("url").collect()]
+    assert mm["min"] == min(urls) and mm["max"] == max(urls)
+    assert mm["n_rows"] == want_n
+    assert mm["n_chunks_decoded"] < mm["n_chunks_total"]
