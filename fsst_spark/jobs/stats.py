@@ -535,8 +535,6 @@ def encoded_ndv(spark, out_dir: str, columns: list[str]) -> dict:
     under-count, which is worse than telling the caller to decode.
     """
     _require_no_deletes(out_dir, 'encoded_ndv')
-    from ..kernel.hll import hll_estimate, hll_merge
-
     types = column_arrow_types(spark, out_dir)
     for c in columns:
         if c not in types:
@@ -544,7 +542,17 @@ def encoded_ndv(spark, out_dir: str, columns: list[str]) -> dict:
     meta = _chunks_df(spark, out_dir, list(columns))
     if "hll" not in meta.columns:
         raise ValueError("store has no HLL sketches (pre-sketch encode)")
-    src = meta.select("column", "hll")
+    return _ndv_from_src(meta.select("column", "hll"), columns, types)
+
+
+def _ndv_from_src(src: DataFrame, columns: list[str],
+                  types: dict[str, str]) -> dict:
+    """Tree-reduce (column, hll) sketch rows into per-column NDV
+    estimates — the shared tail of ``encoded_ndv`` (one store) and
+    ``stores_ndv`` (a shard family; HLL merge is associative, so sketches
+    from different stores fold exactly like chunks of one store)."""
+    from ..kernel.hll import hll_estimate, hll_merge
+
     # schema must match the DDL exactly (large_binary would crash the
     # JVM ArrowColumnVector against a declared 'binary')
     out_schema = pa.schema([("column", pa.string()), ("hll", pa.binary()),
@@ -834,3 +842,41 @@ def stores_column_minmax(spark, out_dirs: "list[str]", column: str) -> dict:
         "n_chunks_total": sum(p["n_chunks_total"] for p in parts),
         "n_chunks_decoded": sum(p["n_chunks_decoded"] for p in parts),
     }
+
+
+def stores_ndv(spark, out_dirs: "list[str]", columns: list[str]) -> dict:
+    """Whole-family approximate distinct counts from sketches only: every
+    shard's per-chunk HLL blobs union into one metadata frame and
+    tree-reduce exactly like chunks of a single store (register max is
+    associative across stores). Values repeated across shards — the same
+    url re-crawled on many days — count ONCE, matching
+    ``COUNT(DISTINCT)`` over the unioned family: that's HLL's set-union
+    semantics, not an assumption of shard disjointness. No payload byte
+    is read anywhere. Shards must agree on the column's type (a drifted
+    shard hashes the same logical value differently, which would
+    over-count) and every chunk must carry a sketch."""
+    if not out_dirs:
+        raise ValueError("stores_ndv needs at least one store")
+    seen: dict[str, tuple[str, str]] = {}
+    metas = []
+    for d in out_dirs:
+        _require_no_deletes(d, 'stores_ndv')
+        types = column_arrow_types(spark, d)
+        for c in columns:
+            if c not in types:
+                raise KeyError(f"column {c!r} not in encoded data at {d}")
+            if c in seen and seen[c][0] != types[c]:
+                raise TypeError(
+                    f"column {c!r} is {seen[c][0]} in {seen[c][1]} but "
+                    f"{types[c]} in {d}; NDV sketches only merge within "
+                    f"one type — cast and re-encode the drifted store")
+            seen.setdefault(c, (types[c], d))
+        meta = _chunks_df(spark, d, list(columns))
+        if "hll" not in meta.columns:
+            raise ValueError(f"store {d} has no HLL sketches "
+                             f"(pre-sketch encode)")
+        metas.append(meta.select("column", "hll"))
+    src = metas[0]
+    for m in metas[1:]:
+        src = src.unionByName(m)
+    return _ndv_from_src(src, columns, {c: t for c, (t, _) in seen.items()})

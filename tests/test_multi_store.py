@@ -100,3 +100,24 @@ def test_family_stats_and_minmax(spark, shards):
     assert mm["min"] == min(urls) and mm["max"] == max(urls)
     assert mm["n_rows"] == want_n
     assert mm["n_chunks_decoded"] < mm["n_chunks_total"]
+
+
+def test_family_ndv_counts_cross_shard_dupes_once(spark, shards, tmp_path):
+    """stores_ndv merges per-shard HLL sketches: a url re-crawled on two
+    days counts once (set-union semantics), and per-shard estimates stay
+    within HLL tolerance of the true distinct counts."""
+    from fsst_spark.jobs.stats import stores_ndv
+
+    dirs, base = shards
+    # a shard that re-crawls day 0's urls under new ids: distinct url
+    # count must NOT grow
+    recrawl = str(tmp_path / "recrawl")
+    encode_job(spark, base.filter(F.col("day") == 0).select(
+        (F.col("id") + 500_000).alias("id"), F.col("day"), F.col("url")),
+        recrawl, chunk_bytes=2 << 10, resume=False, num_partitions=1,
+        sort_key="id", unique_col="id").collect()
+    est = stores_ndv(spark, dirs, ["url"])["url"]
+    est_re = stores_ndv(spark, dirs + [recrawl], ["url"])["url"]
+    true = base.filter(F.col("day") < 3).select("url").distinct().count()
+    assert abs(est - true) / true < 0.15
+    assert est_re == est  # identical merged registers: same url set
