@@ -175,3 +175,40 @@ def recluster_store(spark, in_dir: str, out_dir: str, sort_key,
         spark, df, out_dir, num_partitions=num_partitions,
         chunk_bytes=chunk_bytes, resume=False, sort_key=list(keys),
         lineage={**(lineage or {}), "recluster_from": in_dir})
+
+
+def merge_stores(spark, in_dirs: "list[str]", out_dir: str,
+                 sort_key=None, columns: "list[str] | None" = None,
+                 num_partitions: int | None = None,
+                 chunk_bytes: int = 16 << 20,
+                 unique_col: str = "url",
+                 lineage: dict | None = None) -> DataFrame:
+    """Consolidate a shard FAMILY into ONE store — the monthly-compaction
+    action for a store-per-crawl-day layout (Iceberg's rewrite across
+    snapshots): ``decode_stores`` unions the shards (schema drift
+    null-fills, type drift fails fast) and ``encode_job`` rewrites,
+    optionally re-clustered on ``sort_key`` so the merged store's zones
+    prune across what used to be shard boundaries. Decode+re-encode by
+    necessity: chunk zones, codec choices and front-coding all change
+    when rows from many shards interleave. Lineage records every source
+    store. Returns the lazy encode metrics frame (``collect()`` to run).
+    """
+    from .decode import decode_stores
+    from .encode import encode_job
+
+    if not in_dirs:
+        raise ValueError("merge_stores needs at least one source store")
+    for d in in_dirs:
+        if os.path.abspath(d) == os.path.abspath(out_dir):
+            raise ValueError("merge_stores writes a NEW store; out_dir "
+                             "must differ from every source")
+    df = decode_stores(spark, in_dirs, columns=columns)
+    keys = None
+    if sort_key is not None:
+        keys = sort_key if isinstance(sort_key, (list, tuple)) else [sort_key]
+        keys = [k(df) if callable(k) else k for k in keys]
+    return encode_job(
+        spark, df, out_dir, num_partitions=num_partitions,
+        chunk_bytes=chunk_bytes, resume=False, unique_col=unique_col,
+        sort_key=list(keys) if keys is not None else None,
+        lineage={**(lineage or {}), "merged_from": list(in_dirs)})

@@ -121,3 +121,37 @@ def test_family_ndv_counts_cross_shard_dupes_once(spark, shards, tmp_path):
     true = base.filter(F.col("day") < 3).select("url").distinct().count()
     assert abs(est - true) / true < 0.15
     assert est_re == est  # identical merged registers: same url set
+
+
+def test_merge_stores_reclusters_family(spark, shards, tmp_path):
+    """merge_stores: a shard family consolidates into one clustered store
+    whose zones prune across former shard boundaries, bit-identical."""
+    from fsst_spark.jobs.compact import merge_stores
+    from fsst_spark.jobs.decode import decode_filtered, decode_job
+
+    dirs, base = shards
+    merged = str(tmp_path / "merged")
+    merge_stores(spark, dirs, merged, sort_key="id", chunk_bytes=2 << 10,
+                 num_partitions=2, unique_col="id").collect()
+    want = base.filter(F.col("day") < 3)
+    got = decode_job(spark, merged).drop("pid", "chunk_id")
+    cols = ["id", "day", "url"]
+    assert _rows(got.select(cols), cols) == _rows(want.select(cols), cols)
+    # clustering across former shard boundaries: a narrow id range prunes
+    narrow = decode_filtered(spark, merged, "id", "<", 40, columns=["id"])
+    assert narrow.count() == want.filter("id < 40").count()
+    # lineage in the manifest names every source shard
+    import glob
+    import json
+
+    mf = glob.glob(f"{merged}/manifest/*.parquet")
+    lin = json.loads(duckdb_lineage(mf[0]))
+    assert set(lin["merged_from"]) == set(dirs)
+
+
+def duckdb_lineage(manifest_file):
+    import duckdb
+
+    return duckdb.sql(
+        f"SELECT lineage FROM read_parquet('{manifest_file}') LIMIT 1"
+    ).fetchone()[0]
