@@ -433,6 +433,19 @@ def main(argv: list[str] | None = None) -> int:
                      help="same grammar as encode --cluster-by")
     rcl.add_argument("--partitions", type=int, default=None)
 
+    mrg = sub.add_parser("merge",
+                         help="consolidate a shard family (store-per-day "
+                              "layout) into one store, optionally "
+                              "re-clustered")
+    mrg.add_argument("--inputs", required=True,
+                     help="comma-separated source store dirs")
+    mrg.add_argument("--out", required=True, help="merged store (new dir)")
+    mrg.add_argument("--cluster-by", default=None,
+                     help="same grammar as encode --cluster-by")
+    mrg.add_argument("--partitions", type=int, default=None)
+    mrg.add_argument("--unique-col", default="url",
+                     help="skew-salting key for the re-encode")
+
     grp = sub.add_parser("group-stats",
                          help="GROUP BY over an encoded store answered from "
                               "codec structure (dict codes / RLE runs) — "
@@ -955,6 +968,20 @@ def main(argv: list[str] | None = None) -> int:
             rows = recluster_store(spark, args.data, args.out, keys,
                                    num_partitions=args.partitions).collect()
             print(json.dumps({"partitions": len(rows),
+                              "rows": sum(r["n_rows"] for r in rows)}))
+        elif args.cmd == "merge":
+            from fsst_spark.jobs.compact import merge_stores
+
+            dirs = [d for d in args.inputs.split(",") if d]
+            keys = None
+            if args.cluster_by:
+                sort_names, sort_exprs = _parse_cluster_by(args.cluster_by)
+                keys = sort_names or sort_exprs
+            rows = merge_stores(spark, dirs, args.out, sort_key=keys,
+                                num_partitions=args.partitions,
+                                unique_col=args.unique_col).collect()
+            print(json.dumps({"merged_to": args.out, "stores": len(dirs),
+                              "partitions": len(rows),
                               "rows": sum(r["n_rows"] for r in rows)}))
         elif args.cmd == "group-stats":
             from fsst_spark.jobs.agg import (encoded_group_count,

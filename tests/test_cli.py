@@ -332,3 +332,18 @@ def test_cli_multi_store_decode(tmp_path):
     n = duckdb.sql(
         f"SELECT count(*) FROM read_parquet('{out}/*.parquet')").fetchone()[0]
     assert n == 400  # both shards contribute every row
+
+
+def test_cli_merge_shard_family(tmp_path):
+    src = str(tmp_path / "ms")
+    e0, e1 = str(tmp_path / "s0"), str(tmp_path / "s1")
+    out = str(tmp_path / "merged")
+    _run("synth", "--rows", "150", "--out", src)
+    _run("encode", "--input", src, "--out", e0, "--partitions", "1")
+    _run("synth", "--rows", "100", "--out", src)
+    _run("encode", "--input", src, "--out", e1, "--partitions", "1")
+    r = _run("merge", "--inputs", f"{e0},{e1}", "--out", out,
+             "--cluster-by", "url", "--partitions", "2")
+    assert r["stores"] == 2 and r["rows"] == 250
+    s = _run("stats", "--data", out, "--columns", "warc_ts")
+    assert s["warc_ts"]["n_rows"] == 250
