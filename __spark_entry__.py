@@ -1027,6 +1027,44 @@ def q_multi_store_decode(spark, sf_dir):
         "lang string, n_rows bigint, sum_ids bigint, sum_chars bigint")
 
 
+def q_family_stats(spark, sf_dir):
+    """Shard-family metadata queries: documents split into two stores,
+    then count/min/max answered from per-shard zone metadata
+    (stores_column_stats, payload-free), exact string min/max from each
+    shard's boundary chunks (stores_column_minmax), and family NDV from
+    merged HLL registers (stores_ndv; exact at lang's tiny cardinality
+    via linear counting) — all verified against the unsharded SQL."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.encode import encode_job
+    from fsst_spark.jobs.stats import (stores_column_minmax,
+                                       stores_column_stats, stores_ndv)
+
+    outs = [tempfile.mkdtemp(prefix=f"fsst_fam{i}_q_") for i in (0, 1)]
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+        for i, out in enumerate(outs):
+            encode_job(spark, docs.where(F.col("doc_id") % 2 == i), out,
+                       chunk_bytes=64 << 10, resume=False,
+                       num_partitions=2, sort_key="doc_id",
+                       unique_col="doc_id").collect()
+        st = {r["column"]: r
+              for r in stores_column_stats(spark, outs,
+                                           ["doc_id", "n_chars"]).collect()}
+        mm = stores_column_minmax(spark, outs, "lang")
+        ndv = stores_ndv(spark, outs, ["lang"])["lang"]
+    finally:
+        for out in outs:
+            shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(st["doc_id"]["n_rows"], st["doc_id"]["min_long"],
+          st["doc_id"]["max_long"], st["n_chars"]["max_long"],
+          mm["min"], mm["max"], ndv)],
+        "n_rows bigint, min_id bigint, max_id bigint, max_chars bigint, "
+        "min_lang string, max_lang string, ndv_lang bigint")
+
+
 def q_encoded_ndv(spark, sf_dir):
     """Metadata-only NDV from mergeable per-chunk HLL sketches: the
     estimates must sit within 6% of the exact distinct counts (the exact
@@ -2838,6 +2876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_semijoin": q_decode_semijoin,
         "store_join": q_store_join,
         "multi_store_decode": q_multi_store_decode,
+        "family_stats": q_family_stats,
         "encoded_ndv": q_encoded_ndv,
         "url_sort_key": q_url_sort_key,
         "extract_roundtrip": q_extract_roundtrip,
@@ -3475,6 +3514,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(doc_id) AS BIGINT) AS sum_ids, "
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
             "FROM documents WHERE n_chars >= 500 GROUP BY lang"
+        ),
+        "family_stats": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(min(doc_id) AS BIGINT) AS min_id, "
+            "CAST(max(doc_id) AS BIGINT) AS max_id, "
+            "CAST(max(n_chars) AS BIGINT) AS max_chars, "
+            "min(lang) AS min_lang, max(lang) AS max_lang, "
+            "CAST(count(DISTINCT lang) AS BIGINT) AS ndv_lang "
+            "FROM documents"
         ),
         "encoded_ndv": (
             "SELECT * FROM (VALUES "
