@@ -1032,6 +1032,11 @@ def decode_stores(spark, out_dirs: "list[str]",
         cols = None
         if columns is not None:
             cols = [c for c in columns if c in have]
+            if not cols:
+                # decode_job treats [] as "all columns"; a shard sharing
+                # NO projected column contributes nothing — skip it
+                # rather than polluting the union schema
+                continue
         flt = [f for f in (filters or []) if f[0] in have]
         dropped = [f for f in (filters or []) if f[0] not in have]
         if dropped:

@@ -155,3 +155,17 @@ def duckdb_lineage(manifest_file):
     return duckdb.sql(
         f"SELECT lineage FROM read_parquet('{manifest_file}') LIMIT 1"
     ).fetchone()[0]
+
+
+def test_shard_sharing_no_projected_column_is_skipped(spark, shards, tmp_path):
+    """A shard carrying none of the projected columns must not leak its
+    own columns into the union (decode_job treats [] as all-columns)."""
+    dirs, base = shards
+    alien = str(tmp_path / "alien")
+    encode_job(spark, spark.range(5).select(
+        F.col("id").alias("other"), F.lit("x").alias("extra")), alien,
+        chunk_bytes=2 << 10, resume=False, num_partitions=1,
+        unique_col="other").collect()
+    got = decode_stores(spark, [dirs[0], alien], columns=["id", "url"])
+    assert set(got.columns) == {"id", "url"}
+    assert got.count() == base.filter(F.col("day") == 0).count()
