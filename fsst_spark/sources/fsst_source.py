@@ -879,6 +879,10 @@ def register_stores_view(spark, stores: "list[str]", name: str,
                 continue  # shard carries none of the projected columns
             reader = reader.option("columns", ",".join(have))
         parts.append(reader.load(s))
+    if not parts:
+        raise KeyError(
+            f"no store in {stores} carries any of the requested columns "
+            f"{wanted}")
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
