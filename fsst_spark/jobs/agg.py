@@ -483,14 +483,11 @@ def _zone_can_pred(arrow_name: str, op: str, value):
     bounds PROVE no row of the chunk satisfies ``op value`` — the same
     conservative keep predicate ``decode._zone_prune`` uses."""
     if op == "in":
-        values = list(value)
-        if not values:
-            raise ValueError("'in' filter needs a non-empty value list")
-        packed = [_zone_key(arrow_name, v) for v in values]
-        pred = packed[0][1]["=="](packed[0][0])
-        for zv, ops in packed[1:]:
-            pred = pred | ops["=="](zv)
-        return pred
+        from .decode import zone_in_keep_pred
+
+        # stack-safe: >16 probes run as one vectorized binary search
+        # instead of a chained OR (see zone_in_keep_pred)
+        return zone_in_keep_pred(arrow_name, value)
     if op == "prefix":
         lo, hi = _prefix_zone_bounds(arrow_name, value)
         return (F.col("zmax_long") >= lo) & (F.col("zmin_long") <= hi)

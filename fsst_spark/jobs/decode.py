@@ -205,6 +205,43 @@ def _zone_key(arrow_name: str, value) -> tuple[int, dict]:
     raise ValueError(f"no zone-map support for column type {arrow_name}")
 
 
+def zone_in_keep_pred(arrow_name: str, value):
+    """Spark Column over (zmin_long, zmax_long): the conservative
+    chunk-keep test for ``col IN (values)`` — true iff the chunk's zone
+    interval could contain ANY probed value. Shared by ``_zone_prune``
+    and ``agg._zone_can_pred``.
+
+    Small lists build the plain OR of per-value containment tests (stays
+    inside codegen/pushdown). Chaining one OR per value grows the
+    Catalyst tree linearly and a few thousand values overflow the JVM
+    analyzer stack, so above 16 probes the test runs as one vectorized
+    binary search (sorted probes, ``np.searchsorted`` per chunk group)
+    in a pandas UDF over the narrow metadata frame — O(log V) per row,
+    constant expression depth."""
+    values = list(value)
+    if not values:
+        raise ValueError("'in' filter needs a non-empty value list")
+    packed = [_zone_key(arrow_name, v) for v in values]
+    if len(packed) <= 16:
+        pred = packed[0][1]["=="](packed[0][0])
+        for zv, ops in packed[1:]:
+            pred = pred | ops["=="](zv)
+        return pred
+    probes = np.array(sorted(zv for zv, _ in packed), dtype=np.int64)
+
+    @F.pandas_udf("boolean")
+    def _contains_any(zmin: pd.Series, zmax: pd.Series) -> pd.Series:
+        # null zones are kept by callers' isNull() arm; make them an
+        # empty interval here so searchsorted stays typed
+        lo_v = zmin.fillna(np.iinfo(np.int64).max).to_numpy(np.int64)
+        hi_v = zmax.fillna(np.iinfo(np.int64).min).to_numpy(np.int64)
+        lo = np.searchsorted(probes, lo_v, side="left")
+        hi = np.searchsorted(probes, hi_v, side="right")
+        return pd.Series(lo < hi)
+
+    return _contains_any(F.col("zmin_long"), F.col("zmax_long"))
+
+
 def _prefix_bytes(arrow_name: str, value, op: str = "prefix") -> bytes:
     """UTF-8 bytes of a ``prefix``/``contains`` filter value, typed by the
     COLUMN: the predicate is only meaningful on string/binary columns (an
@@ -252,34 +289,7 @@ def _zone_prune(chunks: DataFrame, zsrc: DataFrame,
         return chunks
     if op == "in":
         # set membership: a chunk can match iff it can match ANY element
-        values = list(value)
-        if not values:
-            raise ValueError("'in' filter needs a non-empty value list")
-        packed = [_zone_key(arrow_name, v) for v in values]
-        if len(packed) <= 16:
-            pred = packed[0][1]["=="](packed[0][0])
-            for zv, ops in packed[1:]:
-                pred = pred | ops["=="](zv)
-        else:
-            # chaining one OR per value grows the Catalyst tree linearly
-            # and a few thousand values overflow the JVM analyzer stack.
-            # Every "==" zone test is interval containment, so "matches
-            # ANY value" is "the chunk's [zmin, zmax] contains some probe"
-            # — sort the probes once, binary-search per chunk group:
-            # O(log V) per row, vectorized over the narrow metadata frame.
-            probes = np.array(sorted(zv for zv, _ in packed), dtype=np.int64)
-
-            @F.pandas_udf("boolean")
-            def _contains_any(zmin: pd.Series, zmax: pd.Series) -> pd.Series:
-                # null zones are kept by the isNull() arm below; make them
-                # an empty interval here so searchsorted stays typed
-                lo_v = zmin.fillna(np.iinfo(np.int64).max).to_numpy(np.int64)
-                hi_v = zmax.fillna(np.iinfo(np.int64).min).to_numpy(np.int64)
-                lo = np.searchsorted(probes, lo_v, side="left")
-                hi = np.searchsorted(probes, hi_v, side="right")
-                return pd.Series(lo < hi)
-
-            pred = _contains_any(F.col("zmin_long"), F.col("zmax_long"))
+        pred = zone_in_keep_pred(arrow_name, value)
     elif op == "prefix":
         # s LIKE 'p%': every match packs into [pack8(p), pack8(p padded
         # with 0xff)] — both bounds follow from bytewise order, so the

@@ -169,3 +169,21 @@ def test_shard_sharing_no_projected_column_is_skipped(spark, shards, tmp_path):
     got = decode_stores(spark, [dirs[0], alien], columns=["id", "url"])
     assert set(got.columns) == {"id", "url"}
     assert got.count() == base.filter(F.col("day") == 0).count()
+
+
+def test_large_in_list_count_pushdown(spark, shards):
+    """A >16-value IN list must not build a chained-OR Catalyst tree
+    (JVM stack): both the selective decode and the metadata count route
+    through the binary-search keep predicate and stay exact."""
+    from fsst_spark.jobs.agg import encoded_count_filtered
+    from fsst_spark.jobs.decode import decode_filtered
+
+    dirs, base = shards
+    vals = [int(v) for v in range(0, 4000, 7)]  # 572 probes
+    want = base.filter((F.col("day") == 0) & F.col("id").isin(vals)).count()
+    got = decode_filtered(spark, dirs[0], "id", "in", vals,
+                          columns=["id"]).count()
+    assert got == want
+    cnt = encoded_count_filtered(spark, dirs[0],
+                                 filters=[("id", "in", vals)]).collect()[0]
+    assert cnt["n_rows"] == want
