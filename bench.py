@@ -241,7 +241,8 @@ def main() -> None:
                       ("token_stats", entry_mod.q_token_quality_stats),
                       ("ann_topk", entry_mod.q_ann_cosine_topk),
                       ("ann_store", entry_mod.q_ann_store_topk),
-                      ("emb_roundtrip", entry_mod.q_embedding_roundtrip)]:
+                      ("emb_roundtrip", entry_mod.q_embedding_roundtrip),
+                      ("store_join", entry_mod.q_store_join)]:
         try:
             walls = []
             for _ in range(2):  # best-of-2 vs host noise
