@@ -229,3 +229,43 @@ def test_composite_key_join(spark, tmp_path):
         _sorted_rows(want.select(cols), cols)
     with pytest.raises(ValueError, match="duplicate"):
         store_join_plan(spark, l_dir, r_dir, ["g", "g"])
+
+
+def test_runtime_filter_outer_and_anti_semantics(spark, tmp_path):
+    """The runtime filter must preserve outer/anti semantics: left_anti
+    with a small LEFT build (right side semi-filtered to left's keys
+    keeps exactly the keys needed for exclusion) and right-outer with a
+    small RIGHT build (left rows semi-filtered to right's keys; every
+    right row still appears, unmatched ones with NULL left columns)."""
+    l_raw = spark.range(30000).select(
+        F.col("id"), (F.col("id") % 3).alias("x"))
+    r_raw = spark.range(200).select(
+        (F.col("id") * 777).alias("id"), F.lit(5).alias("y"))
+    l_dir, r_dir = str(tmp_path / "l"), str(tmp_path / "r")
+    encode_job(spark, l_raw, l_dir, chunk_bytes=2 << 10, resume=False,
+               num_partitions=2, unique_col="id").collect()
+    encode_job(spark, r_raw, r_dir, chunk_bytes=2 << 10, resume=False,
+               num_partitions=1, unique_col="id").collect()
+    # left_anti, small LEFT build: rf prunes the right scan
+    small_l = spark.range(50).select((F.col("id") * 777).alias("id"),
+                                     F.lit(1).alias("z"))
+    sl_dir = str(tmp_path / "sl")
+    encode_job(spark, small_l, sl_dir, chunk_bytes=2 << 10, resume=False,
+               num_partitions=1, unique_col="id").collect()
+    plan = store_join_plan(spark, sl_dir, r_dir, "id", how="left_anti")
+    assert plan["runtime_filter_build"] == "left"
+    got = store_join(spark, sl_dir, r_dir, "id", how="left_anti")
+    want = small_l.join(r_raw, "id", "left_anti")
+    cols = ["id", "z"]
+    assert _sorted_rows(got.select(cols), cols) == \
+        _sorted_rows(want.select(cols), cols)
+    # right outer, small RIGHT build: rf prunes the left scan; unmatched
+    # right rows survive with NULL left columns
+    got_r = store_join(spark, l_dir, r_dir, "id", how="right")
+    want_r = l_raw.join(r_raw, "id", "right")
+    cols = ["id", "x", "y"]
+    assert _sorted_rows(got_r.select(cols), cols) == \
+        _sorted_rows(want_r.select(cols), cols)
+    n_unmatched = got_r.where(F.col("x").isNull()).count()
+    assert n_unmatched == want_r.where(F.col("x").isNull()).count()
+    assert n_unmatched > 0  # ids past 30000*: genuinely unmatched rows
