@@ -1065,6 +1065,26 @@ def q_family_stats(spark, sf_dir):
         "min_lang string, max_lang string, ndv_lang bigint")
 
 
+def q_mix_sources(spark, sf_dir):
+    """Deterministic dataset mixing to an explicit recipe (the LLM
+    "data mixture" step): three sources weighted 3:1:1, everything else
+    dropped; the survivor SET is content-keyed (md5 hex thresholds) so
+    DuckDB re-derives the exact same rows — pinned by per-source id
+    sums, not just counts."""
+    from fsst_spark.pipeline.sampling import mix_sources
+
+    docs = _docs(spark, sf_dir)
+    kept = mix_sources(docs, {"src1": 3.0, "src2": 1.0, "src3": 1.0},
+                       group_col="source", target_rows=60,
+                       key_col="doc_id", salt="mix")
+    return (
+        kept.groupBy("source")
+        .agg(F.count("*").alias("n_kept"),
+             F.sum("doc_id").alias("sum_ids"))
+        .orderBy("source")
+    )
+
+
 def q_encoded_ndv(spark, sf_dir):
     """Metadata-only NDV from mergeable per-chunk HLL sketches: the
     estimates must sit within 6% of the exact distinct counts (the exact
@@ -2877,6 +2897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_join": q_store_join,
         "multi_store_decode": q_multi_store_decode,
         "family_stats": q_family_stats,
+        "mix_sources": q_mix_sources,
         "encoded_ndv": q_encoded_ndv,
         "url_sort_key": q_url_sort_key,
         "extract_roundtrip": q_extract_roundtrip,
@@ -3323,6 +3344,24 @@ def oracle_sql() -> dict[str, str]:
             "            FROM n, z)), "
             "k AS (SELECT d.source, d.doc_id FROM documents d JOIN t USING (source) "
             "      WHERE substr(md5(d.doc_id || ':temp'), 1, 8) < t.thr) "
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_kept, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_ids "
+            "FROM k GROUP BY source ORDER BY source"
+        ),
+        "mix_sources": (
+            # weights {src1:3, src2:1, src3:1} normalized to {0.6,0.2,0.2};
+            # thresholds + per-row md5 test re-derived in SQL so the
+            # survivor SET matches (sum_ids), not just counts
+            "WITH w AS (SELECT * FROM (VALUES ('src1', 0.6), ('src2', 0.2), "
+            "           ('src3', 0.2)) AS t(source, w)), "
+            "n AS (SELECT source, CAST(count(*) AS DOUBLE) AS n "
+            "      FROM documents GROUP BY source), "
+            "t AS (SELECT source, CASE WHEN q >= 1.0 THEN 'g' ELSE "
+            "      lower(lpad(to_hex(CAST(floor(q * 4294967296.0) AS BIGINT)), 8, '0')) END AS thr "
+            "      FROM (SELECT n.source, least(1.0, 60.0 * w.w / n.n) AS q "
+            "            FROM n JOIN w USING (source))), "
+            "k AS (SELECT d.source, d.doc_id FROM documents d JOIN t USING (source) "
+            "      WHERE substr(md5(d.doc_id || ':mix'), 1, 8) < t.thr) "
             "SELECT source, CAST(count(*) AS BIGINT) AS n_kept, "
             "CAST(sum(doc_id) AS BIGINT) AS sum_ids "
             "FROM k GROUP BY source ORDER BY source"

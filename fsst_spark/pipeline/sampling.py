@@ -156,3 +156,65 @@ def temperature_sample(df: DataFrame, group_col: str = "source",
         .where(h < F.col("_thr"))
         .drop("_thr")
     )
+
+
+def mix_sources(df: DataFrame, weights: dict, group_col: str = "source",
+                target_rows: int = 1000, key_col: str = "doc_id",
+                salt: str = "mix") -> DataFrame:
+    """Deterministic dataset MIXING to explicit target proportions — the
+    "data recipe" step of LLM training pipelines (30% web, 20% reference,
+    ...): keep each row of group ``g`` with probability ``q_g = min(1,
+    target_rows * w_g / n_g)``, ``w`` normalized over ``weights``.
+    Groups without a weight drop entirely (weight 0).
+
+    Selection is content-keyed exactly like ``deterministic_sample`` /
+    ``temperature_sample`` (per-group hex thresholds on md5(key:salt)),
+    so any re-run — different cluster size, different engine — keeps the
+    same survivor SET. One narrow groupBy for counts, thresholds
+    broadcast back, one expression filter on the scan: no second
+    shuffle, no RNG state, no UDF.
+
+    When a group is too small for its slice (``n_g < target_rows *
+    w_g``), ``q_g`` caps at 1: the group is kept in full and the
+    realized mixture under-represents it — deliberately visible in the
+    output proportions rather than silently rescaling other groups.
+    """
+    if not weights:
+        raise ValueError("mix_sources needs a non-empty weights dict")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative")
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive value")
+    if target_rows <= 0:
+        raise ValueError(f"target_rows must be positive, got {target_rows}")
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(k, float(v) / wsum) for k, v in sorted(weights.items())],
+        f"{group_col} string, _w double")
+    counts = df.groupBy(group_col).agg(
+        F.count("*").cast("double").alias("_n"))
+    thr = (
+        counts.join(F.broadcast(wdf), group_col)  # inner: unweighted drop
+        .withColumn("_q", F.least(
+            F.lit(1.0),
+            F.lit(float(target_rows)) * F.col("_w") / F.col("_n")))
+        .withColumn(
+            "_thr",
+            F.when(F.col("_q") >= 1.0, F.lit("g")).otherwise(
+                F.lpad(
+                    F.hex(F.floor(F.col("_q") * F.lit(float(1 << 32)))),
+                    8, "0")),
+        )
+        .select(group_col, F.lower(F.col("_thr")).alias("_thr"))
+    )
+    h = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))
+              .cast("binary")),
+        1, 8,
+    )
+    return (
+        df.join(F.broadcast(thr), group_col)
+        .where(h < F.col("_thr"))
+        .drop("_thr")
+    )

@@ -176,3 +176,34 @@ class TestTemperatureSample:
             temperature_sample(docs, "source", 0.0, 10)
         with _pt.raises(ValueError):
             temperature_sample(docs, "source", 0.5, 0)
+
+
+def test_mix_sources_proportions_and_determinism(spark):
+    from fsst_spark.pipeline.sampling import mix_sources
+
+    df = spark.range(12000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 4 < 2, "web")
+         .when(F.col("id") % 4 == 2, "code")
+         .otherwise("ref").alias("source"))
+    kept = mix_sources(df, {"web": 3.0, "code": 1.0}, group_col="source",
+                       target_rows=800, key_col="doc_id")
+    by = {r["source"]: r["n"] for r in
+          kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert "ref" not in by  # unweighted source drops entirely
+    # expected: web ~600 of 6000, code ~200 of 3000 (binomial, ±5 sigma)
+    assert abs(by["web"] - 600) < 120 and abs(by["code"] - 200) < 75
+    # deterministic: identical survivor ids on a re-run
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(r["doc_id"] for r in
+               mix_sources(df, {"web": 3.0, "code": 1.0},
+                           group_col="source", target_rows=800,
+                           key_col="doc_id").collect())
+    assert a == b
+    # a group smaller than its slice is kept in full (q caps at 1)
+    tiny = df.where("source = 'code' and doc_id < 40").unionByName(
+        df.where("source = 'web'"))
+    kept2 = mix_sources(tiny, {"web": 1.0, "code": 1.0},
+                        group_col="source", target_rows=100)
+    n_code = kept2.where("source = 'code'").count()
+    assert n_code == 10  # all 10 code rows survive (40/4 = 10 rows)
