@@ -154,7 +154,13 @@ def main(argv: list[str] | None = None) -> int:
                      help="store dir, or a comma-separated shard FAMILY "
                           "(unioned with per-store pruning; composes with "
                           "--where/--where-any/--columns)")
-    dec.add_argument("--out", required=True)
+    dec.add_argument("--out", default=None,
+                     help="output dir (required unless --plan-only)")
+    dec.add_argument("--plan-only", action="store_true",
+                     help="print the scan plan (chunks/rows/bytes kept vs "
+                          "total after zone+dict+bloom pruning) as one "
+                          "JSON line and decode nothing — metadata-only, "
+                          "interactive even against a 100 TB store")
     dec.add_argument("--columns", default=None)
     dec.add_argument("--where", action="append", default=None, metavar="COL:OP:VALUE",
                      help="selective decode via zone maps, e.g. doc_id:>=:1000 "
@@ -656,9 +662,11 @@ def main(argv: list[str] | None = None) -> int:
                 # selective decodes (decode_stores); snapshot/limit flags
                 # are single-store concepts
                 if args.since is not None or args.as_of is not None \
-                        or args.limit is not None:
+                        or args.limit is not None or args.plan_only:
                     raise SystemExit("multi-store decode composes with "
                                      "--where/--where-any/--columns only")
+                if not args.out:
+                    raise SystemExit("decode needs --out (or --plan-only)")
                 from fsst_spark.jobs.decode import decode_stores
 
                 dirs = [d for d in args.data.split(",") if d]
@@ -686,6 +694,18 @@ def main(argv: list[str] | None = None) -> int:
                        if args.where else None)
             any_flt = (_parse_where(spark, args.data, args.where_any)
                        if args.where_any else None)
+            if args.plan_only:
+                if args.since is not None or args.limit is not None:
+                    raise SystemExit("--plan-only composes with --where/"
+                                     "--where-any/--columns/--as-of only")
+                from fsst_spark.jobs.decode import decode_plan
+
+                print(json.dumps(decode_plan(
+                    spark, args.data, columns=cols, filters=filters,
+                    any_filters=any_flt, as_of=args.as_of)))
+                return 0
+            if not args.out:
+                raise SystemExit("decode needs --out (or --plan-only)")
             if args.limit is not None:
                 from fsst_spark.jobs.decode import decode_head
 

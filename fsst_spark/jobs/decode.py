@@ -795,6 +795,109 @@ def decode_filtered(spark, out_dir: str, col: str | None = None, op: str | None 
     return df
 
 
+def decode_plan(spark, out_dir: str, columns: list[str] | None = None,
+                filters: list[tuple] | None = None,
+                any_filters: list[tuple] | None = None,
+                as_of: int | None = None) -> dict:
+    """EXPLAIN for a selective decode — what :func:`decode_filtered` WOULD
+    read, from metadata alone (zone/dict/bloom pruning runs for real; no
+    payload chunk is ever decoded). The dry-run costs one narrow metadata
+    scan per pruning stage, so planning a query against a 100 TB store is
+    an interactive operation — the ops surface for "is my store clustered
+    for this predicate?" before committing a cluster-hours decode, and the
+    decode sibling of ``store_join_plan``.
+
+    Returns a JSON-able dict:
+
+    - ``chunks_total`` / ``rows_total`` / ``enc_bytes_total``: the store
+      (for the selected columns, at the ``as_of`` snapshot if given);
+    - ``chunks_after_zones``: survivors of zone pruning alone;
+    - ``chunks_kept`` / ``rows_bound`` / ``enc_bytes_to_read``: survivors
+      of the full stack (zones + dict sections + blooms) — exactly the
+      chunks the real decode would scan. ``rows_bound`` is an upper bound
+      on result rows (chunk pruning is chunk-granular; the exact row
+      predicate trims further);
+    - ``scan_fraction``: ``enc_bytes_to_read / enc_bytes_total`` — the
+      headline number (0.02 = the layout serves this predicate; 1.0 =
+      recluster or add a sketch);
+    - ``has_deletes``: tombstoned rows are NOT subtracted from the bounds
+      (merge-on-read applies them at decode time).
+
+    Filter-column payloads decode too in the real query (the exact row
+    predicate needs them), so ``columns`` here widens exactly like
+    ``decode_filtered``'s scan set."""
+    flt = list(filters or [])
+    any_flt = list(any_filters or [])
+    types = column_arrow_types(spark, out_dir, include_added=True)
+    for c in list(columns or []) + [f[0] for f in flt + any_flt]:
+        if c not in types:
+            raise KeyError(f"column {c!r} not in encoded data")
+    scan_cols = columns
+    if scan_cols is not None:
+        fcols = [f[0] for f in flt + any_flt]
+        scan_cols = list(scan_cols) + [c for c in fcols
+                                       if c not in scan_cols]
+
+    pids = _as_of_pids(out_dir, as_of) if as_of is not None else None
+
+    def _restrict(chunks: DataFrame) -> DataFrame:
+        if pids is None:
+            return chunks
+        if not pids:
+            return chunks.where(F.lit(False))
+        return chunks.where(F.col("pid").isin(pids))
+
+    def _measure(chunks: DataFrame) -> tuple[int, int, int]:
+        """(n_chunks, n_rows, enc_bytes) — chunk count and row total are
+        per (pid, chunk_id) [every column of a chunk shares n_rows]; bytes
+        sum over all selected column rows (what the decode reads)."""
+        r = _restrict(chunks).agg(
+            F.count_distinct("pid", "chunk_id").alias("c"),
+            F.sum("enc_bytes").alias("b"),
+        ).collect()[0]
+        rows = (_restrict(chunks)
+                .select("pid", "chunk_id", "n_rows").distinct()
+                .agg(F.sum("n_rows")).collect()[0][0])
+        return int(r["c"] or 0), int(rows or 0), int(r["b"] or 0)
+
+    total_c, total_r, total_b = _measure(
+        _chunks_df(spark, out_dir, scan_cols))
+
+    def _keep(dict_prune: bool) -> DataFrame:
+        chunks = pruned_chunks(spark, out_dir, scan_cols, flt, dict_prune)
+        if any_flt:
+            any_keep = (pruned_chunks_any(spark, out_dir, scan_cols,
+                                          any_flt, dict_prune)
+                        .select("pid", "chunk_id").distinct())
+            chunks = chunks.join(any_keep, ["pid", "chunk_id"], "left_semi")
+        return chunks
+
+    if flt or any_flt:
+        zone_c, _, _ = _measure(_keep(dict_prune=False))
+        kept_c, kept_r, kept_b = _measure(_keep(dict_prune=True))
+    else:
+        zone_c, (kept_c, kept_r, kept_b) = total_c, (total_c, total_r,
+                                                     total_b)
+    from .deletes import has_deletes
+
+    return {
+        "store": out_dir,
+        "columns": sorted(scan_cols) if scan_cols is not None else None,
+        "filters": [list(f) for f in flt],
+        "any_filters": [list(f) for f in any_flt],
+        "as_of": as_of,
+        "chunks_total": total_c,
+        "chunks_after_zones": zone_c,
+        "chunks_kept": kept_c,
+        "rows_total": total_r,
+        "rows_bound": kept_r,
+        "enc_bytes_total": total_b,
+        "enc_bytes_to_read": kept_b,
+        "scan_fraction": round(kept_b / total_b, 6) if total_b else 0.0,
+        "has_deletes": has_deletes(out_dir),
+    }
+
+
 def decode_changes(spark, out_dir: str, since: int, until: int | None = None,
                    columns: list[str] | None = None,
                    filters: list[tuple] | None = None,
