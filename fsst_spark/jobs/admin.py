@@ -172,6 +172,149 @@ def vacuum_store(store: str, hard: bool = False) -> dict:
     return entry
 
 
+def fsck_store(store: str, deep: bool = False) -> dict:
+    """Driver-side structural integrity audit of an encoded store — the
+    cross-FILE consistency complement of the cluster ``verify`` job (which
+    re-decodes payloads against per-chunk checksums). Spark-free and
+    payload-free: footers and small JSON only, so it runs in seconds from
+    a laptop against a store of any size.
+
+    Shallow checks (always): chunk/manifest pid pairing both ways, commit
+    log contiguity (``00000000.json..`` with no gaps), commit entries
+    naming pids with no chunk file, tombstone files referencing pids that
+    don't exist. Chunk files no commit entry names are reported as
+    ``uncommitted_pids`` info, NOT an issue — on a commit-log store they
+    are invisible torn-write leftovers (``vacuum`` cleans them); on a
+    job-API store the listing IS the data and the field stays empty.
+
+    ``deep=True`` additionally opens every chunk and delete file: all
+    columns of one chunk must agree on ``n_rows``, every column present
+    in all chunks must total the manifest's per-pid ``n_rows``, and every
+    tombstone's (chunk_id, pos) must land inside a real chunk's row range.
+
+    Returns a JSON-able report; ``ok`` is True iff no issues were found.
+    Never mutates the store."""
+    import pyarrow.parquet as _pq
+
+    issues: list[dict] = []
+    chunk_pids = _on_disk_pids(store, "chunks")
+    man_pids = _on_disk_pids(store, "manifest")
+    if not chunk_pids and not man_pids:
+        issues.append({"kind": "not_a_store",
+                       "detail": "no chunks/ or manifest/ files"})
+    for pid in sorted(man_pids - chunk_pids):
+        issues.append({"kind": "manifest_without_chunks", "pid": pid})
+    for pid in sorted(chunk_pids - man_pids):
+        issues.append({"kind": "chunks_without_manifest", "pid": pid})
+
+    n_commits = commit_count(store)
+    uncommitted: list[int] = []
+    if n_commits:
+        names = sorted(f for f in os.listdir(_commits_dir(store))
+                       if f.endswith(".json"))
+        want = [f"{i:08d}.json" for i in range(len(names))]
+        if names != want:
+            issues.append({"kind": "commit_gap",
+                           "entries": [n for n in names
+                                       if n not in want][:20]})
+        # read the entries that EXIST (never by index — a gap must be a
+        # reported issue, not an fsck crash)
+        committed: set[int] = set()
+        for n in names:
+            try:
+                with open(os.path.join(_commits_dir(store), n)) as fh:
+                    committed.update(json.load(fh)["pids"])
+            except (OSError, ValueError, KeyError) as e:
+                issues.append({"kind": "unreadable_commit_entry",
+                               "entry": n, "error": str(e)[:200]})
+        for pid in sorted(committed - chunk_pids):
+            issues.append({"kind": "commit_names_missing_pid", "pid": pid})
+        uncommitted = sorted(chunk_pids - committed)
+
+    delete_files = _delete_files(store)
+    tomb_keys: dict[int, set[tuple[int, int]]] = {}
+    for f in delete_files:
+        tbl = _pq.read_table(f, columns=["pid", "chunk_id", "pos"])
+        pids = tbl.column("pid").to_pylist()
+        cids = tbl.column("chunk_id").to_pylist()
+        poss = tbl.column("pos").to_pylist()
+        for pid in sorted(set(pids) - chunk_pids):
+            issues.append({"kind": "tombstone_dangling_pid", "pid": pid,
+                           "file": os.path.basename(f)})
+        if deep:
+            for pid, cid, pos in zip(pids, cids, poss):
+                tomb_keys.setdefault(pid, set()).add((cid, pos))
+
+    if deep:
+        man_rows: dict[int, int] = {}
+        for p in sorted(glob.glob(os.path.join(store, "manifest",
+                                               "part-*.parquet"))):
+            t = _pq.read_table(p, columns=["pid", "n_rows"])
+            for pid, n in zip(t.column("pid").to_pylist(),
+                              t.column("n_rows").to_pylist()):
+                man_rows[int(pid)] = int(n)
+        for pid in sorted(chunk_pids):
+            cp = os.path.join(store, "chunks", f"part-{pid:05d}.parquet")
+            if not os.path.exists(cp):  # >5-digit pids keep full stems
+                cands = glob.glob(os.path.join(store, "chunks",
+                                               f"part-{pid}.parquet"))
+                cp = cands[0] if cands else cp
+            try:
+                t = _pq.read_table(cp, columns=["chunk_id", "column",
+                                                "n_rows"])
+            except OSError as e:
+                issues.append({"kind": "unreadable_chunk_file", "pid": pid,
+                               "error": str(e)[:200]})
+                continue
+            per_chunk: dict[int, dict[str, int]] = {}
+            for cid, col, n in zip(t.column("chunk_id").to_pylist(),
+                                   t.column("column").to_pylist(),
+                                   t.column("n_rows").to_pylist()):
+                per_chunk.setdefault(int(cid), {})[col] = int(n)
+            for cid, cols in sorted(per_chunk.items()):
+                if len(set(cols.values())) > 1:
+                    issues.append({"kind": "chunk_row_disagreement",
+                                   "pid": pid, "chunk_id": cid,
+                                   "rows_by_column": cols})
+            all_cids = set(per_chunk)
+            totals: dict[str, int] = {}
+            presence: dict[str, int] = {}
+            for cols in per_chunk.values():
+                for col, n in cols.items():
+                    totals[col] = totals.get(col, 0) + n
+                    presence[col] = presence.get(col, 0) + 1
+            want_rows = man_rows.get(pid)
+            if want_rows is not None:
+                for col, tot in sorted(totals.items()):
+                    if presence[col] == len(per_chunk) and tot != want_rows:
+                        issues.append({"kind": "rows_mismatch", "pid": pid,
+                                       "column": col, "chunk_total": tot,
+                                       "manifest_n_rows": want_rows})
+            rows_of = {cid: max(cols.values(), default=0)
+                       for cid, cols in per_chunk.items()}
+            for cid, pos in sorted(tomb_keys.get(pid, ())):
+                if cid not in all_cids:
+                    issues.append({"kind": "tombstone_dangling_chunk",
+                                   "pid": pid, "chunk_id": cid})
+                elif not (0 <= pos < rows_of[cid]):
+                    issues.append({"kind": "tombstone_pos_out_of_range",
+                                   "pid": pid, "chunk_id": cid, "pos": pos,
+                                   "chunk_rows": rows_of[cid]})
+
+    return {
+        "store": store,
+        "ok": not issues,
+        "deep": deep,
+        "n_chunk_files": len(chunk_pids),
+        "n_manifest_pids": len(man_pids),
+        "n_commits": n_commits,
+        "n_delete_files": len(delete_files),
+        "uncommitted_pids": uncommitted[:100],
+        "n_issues": len(issues),
+        "issues": issues[:100],
+    }
+
+
 def empty_trash(store: str) -> dict:
     """Permanently delete everything rollback/vacuum parked in
     ``<store>/trash/``."""

@@ -298,6 +298,15 @@ def main(argv: list[str] | None = None) -> int:
              "(driver-side, no cluster)")
     hst.add_argument("--data", required=True)
 
+    fsk = sub.add_parser(
+        "fsck",
+        help="structural integrity audit: chunk/manifest pairing, commit "
+             "log contiguity, dangling tombstones (driver-side, no "
+             "cluster; --deep opens footers for row-count cross-checks — "
+             "payload checksums are the cluster `verify` job)")
+    fsk.add_argument("--data", required=True)
+    fsk.add_argument("--deep", action="store_true")
+
     sts = sub.add_parser(
         "status",
         help="one-line store status: schema, mode, files/bytes, commits, "
@@ -580,6 +589,12 @@ def main(argv: list[str] | None = None) -> int:
 
         print(json.dumps(store_history(args.data)))
         return 0
+    if args.cmd == "fsck":
+        from fsst_spark.jobs.admin import fsck_store
+
+        res = fsck_store(args.data, deep=args.deep)
+        print(json.dumps(res))
+        return 0 if res["ok"] else 3
     if args.cmd == "rollback":
         from fsst_spark.jobs.admin import rollback_store
 
