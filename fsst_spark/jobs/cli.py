@@ -677,10 +677,10 @@ def main(argv: list[str] | None = None) -> int:
                 # selective decodes (decode_stores); snapshot/limit flags
                 # are single-store concepts
                 if args.since is not None or args.as_of is not None \
-                        or args.limit is not None or args.plan_only:
+                        or args.limit is not None:
                     raise SystemExit("multi-store decode composes with "
                                      "--where/--where-any/--columns only")
-                if not args.out:
+                if not args.out and not args.plan_only:
                     raise SystemExit("decode needs --out (or --plan-only)")
                 from fsst_spark.jobs.decode import decode_stores
 
@@ -689,6 +689,13 @@ def main(argv: list[str] | None = None) -> int:
                            if args.where else None)
                 any_flt = (_parse_where(spark, dirs[0], args.where_any)
                            if args.where_any else None)
+                if args.plan_only:
+                    from fsst_spark.jobs.decode import decode_stores_plan
+
+                    print(json.dumps(decode_stores_plan(
+                        spark, dirs, columns=cols, filters=filters,
+                        any_filters=any_flt)))
+                    return 0
                 df = decode_stores(spark, dirs, columns=cols,
                                    filters=filters, any_filters=any_flt)
                 w = df.write.mode("overwrite")

@@ -1185,3 +1185,71 @@ def decode_stores(spark, out_dirs: "list[str]",
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
     return out
+
+
+def decode_stores_plan(spark, out_dirs: "list[str]",
+                       columns: list[str] | None = None,
+                       filters: list[tuple] | None = None,
+                       any_filters: list[tuple] | None = None) -> dict:
+    """Family-level EXPLAIN: :func:`decode_plan` for each shard of a
+    ``decode_stores`` read, mirroring its skip rules exactly — a shard
+    lacking a conjunct's column (or every OR branch's column, or every
+    projected column) contributes zero and is listed under
+    ``stores_skipped`` with the reason, so the report shows WHOLE-STORE
+    pruning (the per-shard predicate skipping a year of daily dumps)
+    alongside the per-chunk kind. Totals sum over scanned shards only;
+    ``scan_fraction`` is family-wide (bytes to read / family bytes,
+    skipped shards' bytes included in the denominator — that is the
+    fraction of the family's encoded bytes the query touches)."""
+    if not out_dirs:
+        raise ValueError("decode_stores_plan needs at least one store dir")
+    plans, skipped = [], []
+    denom_bytes = 0
+    for d in out_dirs:
+        have = set(column_arrow_types(spark, d, include_added=True))
+        cols = None
+        if columns is not None:
+            cols = [c for c in columns if c in have]
+            if not cols:
+                # carries nothing we project: contributes 0 to numerator
+                # AND denominator (its bytes were never in question)
+                skipped.append({"store": d,
+                                "reason": "no projected column"})
+                continue
+        denom_cols = cols
+        if denom_cols is not None:
+            # keep the denominator comparable to the numerator: filter
+            # columns widen the real scan set (decode_plan does the same)
+            fcols = [f[0] for f in (filters or []) + (any_filters or [])]
+            denom_cols = denom_cols + [c for c in fcols
+                                       if c in have and c not in denom_cols]
+        full = decode_plan(spark, d, columns=denom_cols)
+        denom_bytes += full["enc_bytes_total"]
+        flt = [f for f in (filters or []) if f[0] in have]
+        if len(flt) != len(filters or []):
+            skipped.append({"store": d,
+                            "reason": "conjunct on absent column"})
+            continue
+        anyf = [f for f in (any_filters or []) if f[0] in have]
+        if (any_filters or []) and not anyf:
+            skipped.append({"store": d,
+                            "reason": "no OR branch column present"})
+            continue
+        plans.append(decode_plan(spark, d, columns=cols,
+                                 filters=flt or None,
+                                 any_filters=anyf or None))
+    tot = lambda k: sum(p[k] for p in plans)  # noqa: E731
+    return {
+        "stores": len(out_dirs),
+        "stores_scanned": len(plans),
+        "stores_skipped": skipped,
+        "chunks_total": tot("chunks_total"),
+        "chunks_kept": tot("chunks_kept"),
+        "rows_total": tot("rows_total"),
+        "rows_bound": tot("rows_bound"),
+        "enc_bytes_family": denom_bytes,
+        "enc_bytes_to_read": tot("enc_bytes_to_read"),
+        "scan_fraction": (round(tot("enc_bytes_to_read") / denom_bytes, 6)
+                          if denom_bytes else 0.0),
+        "per_store": plans,
+    }

@@ -87,6 +87,74 @@ def test_plan_unknown_column_raises(spark, store):
         decode_plan(spark, store, columns=["nope"])
 
 
+@pytest.fixture(scope="module")
+def family(spark, tmp_path_factory):
+    """Two daily shards: disjoint doc_id ranges; only shard b has `score`."""
+    base = tmp_path_factory.mktemp("family")
+    a, b = str(base / "a"), str(base / "b")
+    da = (spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+          .withColumn("txt", F.concat(F.lit("a-"), F.col("doc_id"))))
+    db = (spark.range(5000, 10000).withColumnRenamed("id", "doc_id")
+          .withColumn("txt", F.concat(F.lit("b-"), F.col("doc_id")))
+          .withColumn("score", (F.col("doc_id") % 100).cast("int")))
+    for df, out in ((da, a), (db, b)):
+        encode_job(spark, df, out, num_partitions=2, chunk_bytes=8 << 10,
+                   resume=False, unique_col="doc_id",
+                   sort_key="doc_id").collect()
+    return a, b
+
+
+def test_family_plan_whole_store_skip(spark, family):
+    from fsst_spark.jobs.decode import decode_stores, decode_stores_plan
+
+    a, b = family
+    # conjunct on `score` (absent from shard a): shard a skips entirely
+    plan = decode_stores_plan(spark, [a, b], filters=[("score", "<", 10)])
+    assert plan["stores_scanned"] == 1
+    assert plan["stores_skipped"] == [
+        {"store": a, "reason": "conjunct on absent column"}]
+    got = decode_stores(spark, [a, b], filters=[("score", "<", 10)]).count()
+    assert 0 < got <= plan["rows_bound"]
+    # shard a's bytes never enter the denominator question? they DO for an
+    # unprojected read: denominator is family-wide
+    assert plan["enc_bytes_family"] > plan["enc_bytes_to_read"]
+
+
+def test_family_plan_zone_range_prunes_one_shard(spark, family):
+    from fsst_spark.jobs.decode import decode_stores_plan
+
+    a, b = family
+    # doc_id < 100 lives wholly in shard a: shard b scans 0 chunks
+    plan = decode_stores_plan(spark, [a, b],
+                              filters=[("doc_id", "<", 100)])
+    assert plan["stores_scanned"] == 2 and not plan["stores_skipped"]
+    per = {p["store"]: p for p in plan["per_store"]}
+    assert per[b]["chunks_kept"] == 0
+    assert per[a]["chunks_kept"] > 0
+    assert plan["rows_bound"] >= 100
+    assert plan["scan_fraction"] < 0.5
+
+
+def test_family_plan_projection_skip(spark, family):
+    from fsst_spark.jobs.decode import decode_stores_plan
+
+    a, b = family
+    plan = decode_stores_plan(spark, [a, b], columns=["score"])
+    assert plan["stores_scanned"] == 1
+    assert plan["stores_skipped"][0]["reason"] == "no projected column"
+
+
+def test_cli_family_plan_only(family):
+    a, b = family
+    r = subprocess.run(
+        [sys.executable, "-m", "fsst_spark.jobs.cli", "decode",
+         "--data", f"{a},{b}", "--where", "doc_id:<:100", "--plan-only"],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    plan = json.loads(r.stdout.strip().splitlines()[-1])
+    assert plan["stores"] == 2 and plan["chunks_kept"] > 0
+
+
 def test_cli_plan_only(store):
     r = subprocess.run(
         [sys.executable, "-m", "fsst_spark.jobs.cli", "decode",
