@@ -321,6 +321,20 @@ def main(argv: list[str] | None = None) -> int:
     adv.add_argument("--data", required=True)
     adv.add_argument("--columns", default=None, help="comma-separated subset")
 
+    adc = sub.add_parser(
+        "advise-codecs",
+        help="pre-encode codec advisor: predict per-column codec choice "
+             "and compression ratio from a sample (the encoder's own "
+             "selector on sample data) before running the full job")
+    adc.add_argument("--input", required=True,
+                     help="input parquet path or iceberg:<catalog.db.table>")
+    adc.add_argument("--columns", default=None, help="comma-separated subset")
+    adc.add_argument("--sample-rows", type=int, default=20000)
+    adc.add_argument("--key-col", default=None,
+                     help="content-keyed unbiased sampling on this column "
+                          "(default: head sample — cheaper, but biased "
+                          "under value clustering)")
+
     sta = sub.add_parser("stats",
                          help="column stats from an encoded store: count/min/max "
                               "from chunk metadata (zero payload reads for "
@@ -844,6 +858,15 @@ def main(argv: list[str] | None = None) -> int:
             out = [r.asDict() for r in
                    advise_layout(spark, args.data, cols).collect()]
             print(json.dumps(out))
+        elif args.cmd == "advise-codecs":
+            from fsst_spark.jobs.stats import advise_codecs
+            from fsst_spark.sources import read_table
+
+            cols = args.columns.split(",") if args.columns else None
+            df = read_table(spark, args.input)
+            print(json.dumps(advise_codecs(
+                df, columns=cols, sample_rows=args.sample_rows,
+                key_col=args.key_col)))
         elif args.cmd == "stats":
             from fsst_spark.jobs.stats import (encoded_column_minmax,
                                                encoded_column_stats,

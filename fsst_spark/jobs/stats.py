@@ -880,3 +880,78 @@ def stores_ndv(spark, out_dirs: "list[str]", columns: list[str]) -> dict:
     for m in metas[1:]:
         src = src.unionByName(m)
     return _ndv_from_src(src, columns, {c: t for c, (t, _) in seen.items()})
+
+
+def advise_codecs(df: DataFrame, columns: list[str] | None = None,
+                  sample_rows: int = 20_000,
+                  key_col: str | None = None) -> list[dict]:
+    """Pre-encode codec advisor: predict each column's codec choice and
+    compression ratio from a SAMPLE, before paying for the full encode
+    job — the write-side sibling of :func:`advise_layout` (which reads a
+    store's metadata after the fact).
+
+    The sample runs the real selector (``kernel.codecs.chunk_stats`` +
+    ``encode_column``) driver-side on one sample-sized chunk per column,
+    so the prediction is the encoder's own arithmetic, not a model. With
+    ``key_col`` the sample is content-keyed (``deterministic_sample``:
+    engine-reproducible, unbiased under any clustering) at fraction
+    ``~sample_rows / count``; without it the plain ``limit(sample_rows)``
+    head is used — cheaper (no count, no full scan) but unrepresentative
+    when the input is value-clustered, exactly like the in-encoder NDV
+    sampling caveat (``chunk_stats``).
+
+    Caveats the report carries implicitly: the full job selects PER
+    CHUNK (a heterogeneous column may mix codecs; the sample predicts
+    the dominant choice); FSST tables retrain per partition (sample
+    ratio ≈ one partition's table on sample-sized data); and ORDER-
+    SENSITIVE codecs (delta, RLE) predict relative to the sample's row
+    order — a job that hash-repartitions or re-clusters changes the
+    order and therefore the achieved ratio (the codec choice itself is
+    far more stable). Accuracy against a real encode is test-pinned to
+    ±20% for order-insensitive columns on the synthetic web corpus.
+    """
+    if sample_rows <= 0:
+        raise ValueError(f"sample_rows must be positive, got {sample_rows}")
+    from ..kernel.codecs import chunk_stats, encode_column
+    from .encode import raw_size_of
+
+    cols = columns or df.columns
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise KeyError(f"columns not in DataFrame: {missing}")
+    proj = df.select(*cols)
+    if key_col is not None:
+        from ..pipeline.sampling import deterministic_sample
+
+        if key_col not in df.columns:
+            raise KeyError(f"key_col {key_col!r} not in DataFrame")
+        n = df.count()
+        frac = min(1.0, 1.25 * sample_rows / max(n, 1))
+        proj = df.select(*dict.fromkeys([*cols, key_col]))
+        sample = (deterministic_sample(proj, frac, key_col=key_col,
+                                       salt="advise")
+                  .limit(2 * sample_rows).toArrow())
+    else:
+        sample = proj.limit(sample_rows).toArrow()
+    out = []
+    for c in cols:
+        arr = sample.column(c).combine_chunks()
+        stats = chunk_stats(arr)
+        raw = raw_size_of(arr)
+        if len(arr) == 0 or raw == 0:
+            out.append({"column": c, "type": str(arr.type),
+                        "codec": None, "sample_rows": len(arr),
+                        "raw_bytes": raw, "enc_bytes": 0,
+                        "predicted_ratio": None})
+            continue
+        enc = encode_column(arr, stats)
+        out.append({
+            "column": c,
+            "type": str(arr.type),
+            "codec": enc["codec"],
+            "sample_rows": len(arr),
+            "raw_bytes": raw,
+            "enc_bytes": len(enc["payload"]),
+            "predicted_ratio": round(raw / max(len(enc["payload"]), 1), 3),
+        })
+    return out
