@@ -190,6 +190,15 @@ def main(argv: list[str] | None = None) -> int:
     dec.add_argument("--limit", type=int, default=None, metavar="N",
                      help="LIMIT pushdown: return N rows decoding only the "
                           "chunks the limit needs (composes with --where)")
+    dec.add_argument("--sample", type=int, default=None, metavar="N",
+                     help="uniform deterministic row sample of ~N rows "
+                          "decoding only the chunks the sample needs "
+                          "(two-stage content-keyed selection; needs "
+                          "--sample-key; excludes --where/--limit/"
+                          "--since/--as-of)")
+    dec.add_argument("--sample-key", default=None, metavar="COL",
+                     help="distinct-per-row column keying the row stage "
+                          "of --sample")
     dec.add_argument("--partition-by", default=None, metavar="COL[,COL]",
                      help="write the decoded parquet partitioned by these "
                           "columns (hive layout: <out>/col=value/...)")
@@ -742,7 +751,18 @@ def main(argv: list[str] | None = None) -> int:
                 return 0
             if not args.out:
                 raise SystemExit("decode needs --out (or --plan-only)")
-            if args.limit is not None:
+            if args.sample is not None:
+                from fsst_spark.jobs.decode import decode_sample
+
+                if (filters or any_flt or args.limit is not None
+                        or args.since is not None or args.as_of is not None):
+                    raise SystemExit("--sample composes with --columns/"
+                                     "--partition-by only")
+                if not args.sample_key:
+                    raise SystemExit("--sample needs --sample-key COL")
+                df = decode_sample(spark, args.data, args.sample,
+                                   args.sample_key, columns=cols)
+            elif args.limit is not None:
                 from fsst_spark.jobs.decode import decode_head
 
                 if args.since is not None or args.as_of is not None \

@@ -1020,6 +1020,89 @@ def decode_head(spark, out_dir: str, n: int,
         k *= 2
 
 
+def decode_sample(spark, out_dir: str, target_rows: int, key_col: str,
+                  columns: list[str] | None = None,
+                  salt: str = "sample") -> DataFrame:
+    """Uniform deterministic row sample of a store whose IO cost scales
+    with the SAMPLE, not the store — "show me ~1,000 representative rows
+    of 100 TB" without a full scan.
+
+    Two-stage selection, both stages content-keyed (md5 thresholds, the
+    same engine-reproducible trick as ``pipeline.sampling``):
+
+    1. CHUNKS at fraction ``f``: keep chunks where
+       ``md5(pid:chunk_id:salt)`` clears a threshold, ``f`` sized from
+       metadata so the selected chunks' exact summed ``n_rows`` covers
+       the target (doubling until it does — each probe is one narrow
+       metadata aggregate). Only these chunks ever decode.
+    2. ROWS within selected chunks at rate ``r = target_rows /
+       selected_rows``: keep rows where ``md5(key_col:salt)`` clears
+       ``r``'s threshold.
+
+    Every chunk is selected with the same probability ``f`` regardless
+    of size, and every row of a selected chunk passes with the same
+    ``r``, so each row's inclusion probability is the uniform ``f·r``
+    — an unbiased sample with E[rows] = ``target_rows``, exact count
+    binomial (the deterministic-SET contract of ``mix_sources`` /
+    ``deterministic_sample``: the same call always returns the same
+    rows, any engine, any cluster size). Rows are clumped by chunk
+    (that is where the IO saving comes from) — fine for eyeballing and
+    aggregate estimation; use ``pipeline.sampling`` post-decode when
+    you need row-level independence. Tombstones thin the result below
+    target like any decode; ``key_col`` must be a stored column with
+    distinct-per-row values for the set to be well-defined."""
+    if target_rows <= 0:
+        raise ValueError(f"target_rows must be positive, got {target_rows}")
+    types = column_arrow_types(spark, out_dir)
+    if key_col not in types:
+        raise KeyError(f"key_col {key_col!r} not in encoded data")
+    cols = columns
+    if cols is not None:
+        for c in cols:
+            if c not in column_arrow_types(spark, out_dir,
+                                           include_added=True):
+                raise KeyError(f"column {c!r} not in encoded data")
+        if key_col not in cols:
+            cols = list(cols) + [key_col]
+    meta = (_chunks_df(spark, out_dir, [key_col])
+            .where(F.col("column") == key_col)
+            .select("pid", "chunk_id", "n_rows"))
+    tot = meta.agg(F.count("*"), F.sum("n_rows")).collect()[0]
+    n_chunks, rows_total = int(tot[0] or 0), int(tot[1] or 0)
+    if rows_total == 0:
+        return decode_job(spark, out_dir, cols)
+
+    def _hex_thr(frac: float) -> str:
+        return "g" if frac >= 1.0 else format(int(frac * (1 << 32)), "08x")
+
+    chunk_hash = F.substring(
+        F.md5(F.concat_ws(":", F.col("pid"), F.col("chunk_id"),
+                          F.lit(salt))), 1, 8)
+    # size f so the EXPECTED selected rows cover the target with slack,
+    # then verify against the exact metadata counts and double on shortfall
+    frac = min(1.0, 1.5 * target_rows / rows_total)
+    while True:
+        sel = meta.where(chunk_hash < F.lit(_hex_thr(frac)))
+        selected_rows = int(sel.agg(F.sum("n_rows")).collect()[0][0] or 0)
+        if selected_rows >= min(target_rows, rows_total) or frac >= 1.0:
+            break
+        frac = min(1.0, frac * 2)
+    if frac >= 1.0:  # every chunk selected: skip the whitelist entirely
+        df = decode_job(spark, out_dir, cols)
+    else:
+        keys = [(r["pid"], r["chunk_id"])
+                for r in sel.select("pid", "chunk_id").collect()]
+        df = decode_job(spark, out_dir, cols, _chunk_keys=keys)
+    r_rate = min(1.0, target_rows / max(selected_rows, 1))
+    row_hash = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))
+              .cast("binary")), 1, 8)
+    out = df.where(row_hash < F.lit(_hex_thr(r_rate)))
+    if columns is not None and key_col not in columns:
+        out = out.drop(key_col)
+    return out
+
+
 def _emit(key: tuple[int, int], cols: dict[str, pa.Array], ordered: list[str],
           dmask=None) -> pa.RecordBatch | None:
     import numpy as np
