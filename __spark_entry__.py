@@ -1065,6 +1065,22 @@ def q_family_stats(spark, sf_dir):
         "min_lang string, max_lang string, ndv_lang bigint")
 
 
+def q_advise_codecs(spark, sf_dir):
+    """Pre-encode codec advisor: the encoder's own selector run on a
+    content-keyed sample predicts each column's codec. The choices are
+    content properties of the corpus (sequential ids -> delta, low-NDV
+    strings -> dict, text -> FSST), identical at every sf, so the oracle
+    pins them as VALUES — regression-pinning the selector's behavior on
+    real data the same way codec_selection_detail does."""
+    from fsst_spark.jobs.stats import advise_codecs
+
+    adv = advise_codecs(_docs(spark, sf_dir), key_col="doc_id",
+                        sample_rows=300)
+    return spark.createDataFrame(
+        [(a["column"], a["codec"]) for a in adv],
+        "column string, codec string").orderBy("column")
+
+
 def q_mix_sources(spark, sf_dir):
     """Deterministic dataset mixing to an explicit recipe (the LLM
     "data mixture" step): three sources weighted 3:1:1, everything else
@@ -2897,6 +2913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_join": q_store_join,
         "multi_store_decode": q_multi_store_decode,
         "family_stats": q_family_stats,
+        "advise_codecs": q_advise_codecs,
         "mix_sources": q_mix_sources,
         "encoded_ndv": q_encoded_ndv,
         "url_sort_key": q_url_sort_key,
@@ -3347,6 +3364,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, CAST(count(*) AS BIGINT) AS n_kept, "
             "CAST(sum(doc_id) AS BIGINT) AS sum_ids "
             "FROM k GROUP BY source ORDER BY source"
+        ),
+        "advise_codecs": (
+            # the selector's choices are content properties of the corpus,
+            # stable across sf — pinned literally (see q_advise_codecs)
+            "SELECT * FROM (VALUES ('doc_id', 'int_delta'), "
+            "('lang', 'str_dict'), ('n_chars', 'int_for'), "
+            "('source', 'str_dict'), ('text', 'str_fsst')) "
+            "AS t(\"column\", codec) ORDER BY \"column\""
         ),
         "mix_sources": (
             # weights {src1:3, src2:1, src3:1} normalized to {0.6,0.2,0.2};
