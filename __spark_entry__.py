@@ -990,6 +990,46 @@ def q_store_join(spark, sf_dir):
         "sum_score bigint, n_left bigint, n_unmatched bigint")
 
 
+def q_store_join_df(spark, sf_dir):
+    """Encoded-store x plain-DataFrame join (store_join_df): a probe
+    batch's observed keys prune the store's scan via the IN-list
+    zone/dict/bloom stack, then the exact equi-join runs — pinned here
+    against the plain SQL join for inner, left (NULL fill), and anti
+    row sets."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.encode import encode_job
+    from fsst_spark.jobs.join import store_join_df
+
+    out = tempfile.mkdtemp(prefix="fsst_sjdf_q_")
+    try:
+        docs = _docs(spark, sf_dir)
+        encode_job(spark, docs.select("doc_id", "lang", "n_chars"), out,
+                   chunk_bytes=64 << 10, resume=False, num_partitions=4,
+                   sort_key="doc_id", unique_col="doc_id").collect()
+        probe = docs.where((F.col("doc_id") % 7) == 0).select(
+            "doc_id", (F.col("doc_id") * 3).alias("tag"))
+        inner = store_join_df(spark, out, probe, "doc_id").agg(
+            F.count("*").alias("n_inner"),
+            F.sum("doc_id").alias("sum_ids"),
+            F.sum("tag").alias("sum_tags"),
+        ).collect()[0]
+        left = store_join_df(spark, out, probe, "doc_id", how="left").agg(
+            F.count("*").alias("n_left"),
+            F.sum(F.col("tag").isNull().cast("long")).alias("n_nullfill"),
+        ).collect()[0]
+        anti = store_join_df(spark, out, probe, "doc_id",
+                             how="left_anti").count()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(inner["n_inner"], inner["sum_ids"], inner["sum_tags"],
+          left["n_left"], left["n_nullfill"], anti)],
+        "n_inner bigint, sum_ids bigint, sum_tags bigint, "
+        "n_left bigint, n_nullfill bigint, n_anti bigint")
+
+
 def q_multi_store_decode(spark, sf_dir):
     """A family of daily-shard stores read as ONE DataFrame via
     decode_stores: documents split by doc_id parity into two encoded
@@ -2911,6 +2951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "decode_semijoin": q_decode_semijoin,
         "store_join": q_store_join,
+        "store_join_df": q_store_join_df,
         "multi_store_decode": q_multi_store_decode,
         "family_stats": q_family_stats,
         "advise_codecs": q_advise_codecs,
@@ -3572,6 +3613,22 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_left, "
             "(SELECT CAST(count(*) AS BIGINT) FROM documents l "
             " WHERE l.doc_id NOT IN (SELECT doc_id FROM r)) AS n_unmatched"
+        ),
+        "store_join_df": (
+            "WITH p AS (SELECT doc_id, CAST(doc_id * 3 AS BIGINT) AS tag "
+            "FROM documents WHERE doc_id % 7 = 0) "
+            "SELECT "
+            "(SELECT CAST(count(*) AS BIGINT) FROM documents d "
+            " JOIN p USING (doc_id)) AS n_inner, "
+            "(SELECT CAST(sum(d.doc_id) AS BIGINT) FROM documents d "
+            " JOIN p USING (doc_id)) AS sum_ids, "
+            "(SELECT CAST(sum(p.tag) AS BIGINT) FROM documents d "
+            " JOIN p USING (doc_id)) AS sum_tags, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_left, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM documents d "
+            " WHERE d.doc_id NOT IN (SELECT doc_id FROM p)) AS n_nullfill, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM documents d "
+            " WHERE d.doc_id NOT IN (SELECT doc_id FROM p)) AS n_anti"
         ),
         "multi_store_decode": (
             "SELECT lang, CAST(count(*) AS BIGINT) AS n_rows, "

@@ -332,3 +332,75 @@ def store_join(spark, left_dir: str, right_dir: str, on, *,
                 f"project with left_columns/right_columns or rename before "
                 f"joining")
     return left.join(right, on=on_cols, how=how)
+
+
+def store_join_df(spark, store_dir: str, df, on, *, how: str = "inner",
+                  store_columns: "list[str] | None" = None,
+                  max_pushdown_keys: int = 100_000) -> "DataFrame":
+    """Equi-join an encoded store (left side) against an arbitrary
+    DataFrame — the mixed form of ``store_join`` for the everyday case
+    where one side never was a store (a fresh crawl batch, a driver-built
+    dimension, the output of another pipeline stage).
+
+    The DataFrame's observed keys prune the store's SCAN before any
+    payload decodes, whenever dropping non-matching store rows is sound
+    (``inner`` / ``left_semi``): each key column's distinct values (up to
+    ``max_pushdown_keys``, collected exactly like Spark's InSubqueryExec
+    runtime filter) become an IN-list ``decode_filtered`` — zone maps,
+    dict membership, and per-chunk blooms all apply, so a small batch
+    probing a clustered or bloom-equipped 100 TB store touches a chunk
+    handful. Composite keys prune per column (conjunction of per-column
+    IN-lists — a superset of the composite match; the exact join
+    re-applies the tuple equality). Past the cap, or for ``left`` /
+    ``left_anti`` (every store row must reach the output), the store
+    decodes unpruned — correct, just unfiltered; at that cardinality the
+    keys were not going to prune anyway.
+
+    ``left_semi``/``left_anti`` return store rows only; other joins
+    return the usual combined frame (non-key column collisions refused,
+    as in ``store_join``). Broadcast is left to AQE — the pruned store
+    side and the DataFrame side both carry real sizes by join time.
+    """
+    from .decode import column_arrow_types, decode_filtered, decode_job
+
+    on_cols = [on] if isinstance(on, str) else list(on)
+    if not on_cols:
+        raise ValueError("store_join_df needs at least one join column")
+    if how not in ("inner", "left", "left_semi", "left_anti"):
+        raise ValueError(f"unsupported how={how!r} (store is the left "
+                         "side; use inner/left/left_semi/left_anti)")
+    types = column_arrow_types(spark, store_dir, include_added=True)
+    for c in on_cols:
+        if c not in types:
+            raise KeyError(f"join column {c!r} not in encoded data")
+        if c not in df.columns:
+            raise KeyError(f"join column {c!r} not in DataFrame")
+    cols = store_columns
+    if cols is not None:
+        cols = list(cols) + [c for c in on_cols if c not in cols]
+
+    can_prune = how in ("inner", "left_semi")
+    filters = []
+    if can_prune:
+        for c in on_cols:
+            vals = [r[0] for r in df.select(c).where(F.col(c).isNotNull())
+                    .distinct().limit(max_pushdown_keys + 1).collect()]
+            if len(vals) > max_pushdown_keys:
+                filters = []
+                break  # one unbounded column: pruning cannot be trusted
+            filters.append((c, "in", sorted(vals)))
+    # cols (projection + keys) — NOT store_columns: decode_filtered would
+    # drop filter columns outside its columns=, and the join needs the keys
+    store = (decode_filtered(spark, store_dir, filters=filters,
+                             columns=cols)
+             if filters else decode_job(spark, store_dir, cols))
+    store = store.drop("pid", "chunk_id")
+    if how in ("left_semi", "left_anti"):
+        return store.join(df.select(*on_cols).distinct(), on=on_cols,
+                          how=how)
+    clash = (set(store.columns) & set(df.columns)) - set(on_cols)
+    if clash:
+        raise ValueError(
+            f"non-key columns {sorted(clash)} exist in both sides; "
+            f"project with store_columns or rename before joining")
+    return store.join(df, on=on_cols, how=how)
