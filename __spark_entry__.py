@@ -1754,6 +1754,39 @@ def q_count_where(spark, sf_dir):
         [(r["n_rows"],) for r in rows], "n_rows bigint")
 
 
+def q_count_where_any(spark, sf_dir):
+    """Tri-state metadata count with one OR clause (CNF like
+    decode_filtered): disjoint doc_id ranges over a doc_id-clustered
+    store — interior chunks of each branch answer from metadata, the
+    middle of the store prunes entirely, and the combined AND+OR form
+    stays exact."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.agg import encoded_count_filtered
+    from fsst_spark.jobs.encode import encode_job
+
+    out = tempfile.mkdtemp(prefix="fsst_cwa_q_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+        encode_job(spark, docs, out, num_partitions=4, chunk_bytes=32 << 10,
+                   resume=False, unique_col="doc_id",
+                   sort_key="doc_id").collect()
+        a = encoded_count_filtered(
+            spark, out, [],
+            any_filters=[("doc_id", "<", 120),
+                         ("doc_id", ">=", 380)]).collect()[0]
+        b = encoded_count_filtered(
+            spark, out, [("n_chars", ">=", 500)],
+            any_filters=[("lang", "==", "de"),
+                         ("lang", "==", "fr")]).collect()[0]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(a["n_rows"], b["n_rows"])],
+        "n_or bigint, n_and_or bigint")
+
+
 def q_zorder_count(spark, sf_dir):
     """Z-order layout: encode clustered on the interleaved (n_chars,
     doc_id) Morton key, then a conjunctive two-dimension range count —
@@ -2979,6 +3012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_minmax": q_group_minmax,
         "filtered_group_sum": q_filtered_group_sum,
         "count_where": q_count_where,
+        "count_where_any": q_count_where_any,
         "zorder_count": q_zorder_count,
         "encoded_topk": q_encoded_topk,
         "pii_scrub": q_pii_scrub,
@@ -3768,6 +3802,14 @@ def oracle_sql() -> dict[str, str]:
         "count_where": (
             "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM documents "
             "WHERE doc_id >= 100 AND doc_id < 400"
+        ),
+        "count_where_any": (
+            "SELECT "
+            "(SELECT CAST(count(*) AS BIGINT) FROM documents "
+            " WHERE doc_id < 120 OR doc_id >= 380) AS n_or, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM documents "
+            " WHERE n_chars >= 500 AND (lang = 'de' OR lang = 'fr')) "
+            "AS n_and_or"
         ),
         "zorder_count": (
             "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM documents "

@@ -540,7 +540,8 @@ def _zone_all_pred(arrow_name: str, op: str, value):
 
 
 def encoded_count_filtered(spark, out_dir: str,
-                           filters: list[tuple]) -> DataFrame:
+                           filters: list[tuple],
+                           any_filters: list[tuple] | None = None) -> DataFrame:
     """``SELECT count(*) WHERE <conjunction>`` answered tri-state from the
     encoded store: chunks whose zone maps prove NO row matches are pruned
     (no payload read), chunks whose zone maps prove EVERY row matches
@@ -558,12 +559,22 @@ def encoded_count_filtered(spark, out_dir: str,
     count (a narrow metadata join on the deletes parquet — still no
     payload read), boundary chunks subtract tombstoned-AND-matching
     positions in-task. Pruned chunks need no correction — zero rows
-    match, deleted or not."""
-    if not filters:
-        raise ValueError("encoded_count_filtered needs filters=[(col, op, value), ...]")
+    match, deleted or not.
+
+    ``any_filters`` adds one OR clause — the count of ``AND(filters) AND
+    OR(any_filters)``, CNF like ``decode_filtered``. Tri-state logic per
+    chunk: PRUNED when the conjunction prunes or EVERY branch's zones
+    prune; METADATA-ONLY when the conjunction full-matches and SOME
+    branch full-matches every row (a sound under-approximation — a chunk
+    that satisfies the OR only as a mixture of branches is conservatively
+    demoted to the decode path, which is exact); BOUNDARY otherwise."""
+    any_flt = list(any_filters or [])
+    if not filters and not any_flt:
+        raise ValueError("encoded_count_filtered needs filters=[(col, op, "
+                         "value), ...] and/or any_filters=[...]")
     types = column_arrow_types(spark, out_dir)
     fcols: list[str] = []
-    for f in filters:
+    for f in list(filters) + any_flt:
         if f[0] not in types:
             raise KeyError(f"column {f[0]!r} not in encoded data")
         if f[0] not in fcols:
@@ -578,7 +589,9 @@ def encoded_count_filtered(spark, out_dir: str,
     # demotes the chunk to the decode path — conservative, never wrong
     z = base.select(*zsel, F.col("params").contains('"n_total"').alias("has_nulls"))
     joined = None
-    for i, (c, op, v) in enumerate(filters):
+
+    def _pred_cols(c, op, v, tag):
+        nonlocal joined
         zi = z.filter(F.col("column") == c)
         if has_zones:
             can = F.col("zmin_long").isNull() | _zone_can_pred(types[c], op, v)
@@ -587,14 +600,29 @@ def encoded_count_filtered(spark, out_dir: str,
         else:  # pre-zone-map store: everything is a boundary chunk
             can, alm = F.lit(True), F.lit(False)
         zi = zi.select("pid", "chunk_id", "n_rows",
-                       can.alias(f"can{i}"), alm.alias(f"all{i}"))
+                       can.alias(f"can{tag}"), alm.alias(f"all{tag}"))
         joined = zi if joined is None else joined.join(
             zi.drop("n_rows"), ["pid", "chunk_id"])
+
+    for i, (c, op, v) in enumerate(filters):
+        _pred_cols(c, op, v, str(i))
+    for j, (c, op, v) in enumerate(any_flt):
+        _pred_cols(c, op, v, f"o{j}")
     can_all = F.lit(True)
     alm_all = F.lit(True)
     for i in range(len(filters)):
         can_all = can_all & F.col(f"can{i}")
         alm_all = alm_all & F.col(f"all{i}")
+    if any_flt:
+        # OR clause: chunk can match if ANY branch can; full-matches when
+        # SOME branch full-matches (sound under-approximation, see above)
+        can_or = F.lit(False)
+        alm_or = F.lit(False)
+        for j in range(len(any_flt)):
+            can_or = can_or | F.col(f"cano{j}")
+            alm_or = alm_or | F.col(f"allo{j}")
+        can_all = can_all & can_or
+        alm_all = alm_all & alm_or
     cls = joined.select("pid", "chunk_id", "n_rows",
                         can_all.alias("can"), alm_all.alias("all_rows"))
 
@@ -629,6 +657,12 @@ def encoded_count_filtered(spark, out_dir: str,
         for key, cols in _assembled_chunks(batches, fcols, with_keys=True):
             decoded: dict[str, pa.Array] = {}
             mask = _conj_mask(cols, flt, types, decoded)
+            if any_flt:
+                omask = None
+                for br in any_flt:
+                    m = _conj_mask(cols, [br], types, decoded)
+                    omask = m if omask is None else (omask | m)
+                mask = omask if mask is None else (mask & omask)
             n = int(mask.sum())
             if dmask is not None and n:
                 pos = dmask.positions(*key)

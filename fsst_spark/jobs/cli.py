@@ -529,8 +529,13 @@ def main(argv: list[str] | None = None) -> int:
                               "from n_rows without decoding; only boundary "
                               "chunks decode (filter columns only)")
     cnt.add_argument("--data", required=True)
-    cnt.add_argument("--where", action="append", required=True,
+    cnt.add_argument("--where", action="append", default=None,
                      metavar="COL:OP:VALUE")
+    cnt.add_argument("--where-any", action="append", default=None,
+                     metavar="COL:OP:VALUE",
+                     help="disjunctive predicates (at least ONE must "
+                          "hold); combines with --where as "
+                          "AND(--where) AND OR(--where-any)")
 
     hst = sub.add_parser("histogram",
                          help="exact equi-width histogram of an int column "
@@ -1118,8 +1123,14 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "count":
             from fsst_spark.jobs.agg import encoded_count_filtered
 
-            filters = _parse_where(spark, args.data, args.where)
-            row = encoded_count_filtered(spark, args.data, filters).collect()[0]
+            if not args.where and not args.where_any:
+                raise SystemExit("count needs --where and/or --where-any")
+            filters = (_parse_where(spark, args.data, args.where)
+                       if args.where else [])
+            any_flt = (_parse_where(spark, args.data, args.where_any)
+                       if args.where_any else None)
+            row = encoded_count_filtered(spark, args.data, filters,
+                                         any_filters=any_flt).collect()[0]
             print(json.dumps(row.asDict()))
         elif args.cmd == "stream-encode":
             from pyspark.sql import functions as F

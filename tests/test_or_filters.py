@@ -86,3 +86,50 @@ def test_columns_projection_with_any_filters(spark, store):
                           any_filters=[("lang", "==", "fr")])
     assert "lang" not in out.columns
     assert out.count() == 2000
+
+
+class TestCountPushdownOr:
+    """encoded_count_filtered with one OR clause: tri-state stays sound
+    (metadata-only via a full-matching branch, boundary via mixtures) and
+    the count equals SQL CNF semantics exactly."""
+
+    def test_or_of_disjoint_ranges(self, spark, store):
+        from fsst_spark.jobs.agg import encoded_count_filtered
+
+        r = encoded_count_filtered(
+            spark, store, [],
+            any_filters=[("doc_id", "<", 500),
+                         ("doc_id", ">=", 7500)]).collect()[0].asDict()
+        assert r["n_rows"] == 1000
+        assert r["chunks_pruned"] > 0          # mid-range chunks never decode
+        assert r["chunks_metadata_only"] > 0   # fully-inside chunks count free
+
+    def test_and_combined_with_or(self, spark, store):
+        from fsst_spark.jobs.agg import encoded_count_filtered
+
+        r = encoded_count_filtered(
+            spark, store, [("doc_id", "<", 4000)],
+            any_filters=[("lang", "==", "de"),
+                         ("lang", "==", "fr")]).collect()[0].asDict()
+        # langs cycle mod 4: half of the first 4000 rows match the OR
+        assert r["n_rows"] == 2000
+        assert r["chunks_pruned"] > 0          # doc_id >= 4000 chunks
+
+    def test_no_branch_matches(self, spark, store):
+        from fsst_spark.jobs.agg import encoded_count_filtered
+
+        r = encoded_count_filtered(
+            spark, store, [],
+            any_filters=[("lang", "==", "zz")]).collect()[0].asDict()
+        assert r["n_rows"] == 0
+
+    def test_guards(self, spark, store):
+        import pytest as _pt
+
+        from fsst_spark.jobs.agg import encoded_count_filtered
+
+        with _pt.raises(ValueError):
+            encoded_count_filtered(spark, store, [])
+        with _pt.raises(KeyError):
+            encoded_count_filtered(spark, store, [],
+                                   any_filters=[("nope", "==", 1)])
