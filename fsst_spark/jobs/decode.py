@@ -550,7 +550,8 @@ def pruned_chunks_any(spark, out_dir: str, columns: list[str] | None,
     return chunks.join(keep.distinct(), ["pid", "chunk_id"], "left_semi")
 
 
-def chunk_repartition(spark, chunks: DataFrame, out_dir: str) -> DataFrame:
+def chunk_repartition(spark, chunks: DataFrame, out_dir: str,
+                      ordered: bool = False) -> DataFrame:
     """Shuffle chunk rows so all column rows of one chunk land in one task.
 
     Chunk rows are few and fat (payload ~MBs), so the shuffle moves encoded
@@ -558,13 +559,27 @@ def chunk_repartition(spark, chunks: DataFrame, out_dir: str) -> DataFrame:
     minimal. Partition count tracks the store size (one manifest file per
     encode partition — a driver-side listing, no data read): a small encode
     gets a few real tasks instead of defaultParallelism near-empty ones, a
-    big store still fans out to full parallelism."""
+    big store still fans out to full parallelism.
+
+    ``ordered=True`` swaps the hash shuffle for a RANGE partition on
+    (pid, chunk_id) plus an in-partition sort of the (few, fat) chunk
+    rows: task i then holds chunks strictly before task i+1's, each task
+    decodes its chunks in order, and the decoded output is globally
+    ordered by (pid, chunk_id, row) WITHOUT any row-level sort — on a
+    store clustered by ``sort_key`` that IS key order, so a sorted
+    100 TB export costs the same chunk-metadata shuffle as a plain
+    decode."""
     import glob as _glob
     import os as _os
 
     n_pids = len(_glob.glob(_os.path.join(out_dir, "manifest", "*.parquet")))
     n_part = min(spark.sparkContext.defaultParallelism * 2,
                  max(1, n_pids * 4)) if n_pids else None
+    if ordered:
+        rng = (chunks.repartitionByRange(n_part, "pid", "chunk_id")
+               if n_part else
+               chunks.repartitionByRange("pid", "chunk_id"))
+        return rng.sortWithinPartitions("pid", "chunk_id")
     if n_part:
         return chunks.repartition(n_part, F.col("pid"), F.col("chunk_id"))
     # non-globbable store: keep the default-parallelism shuffle
@@ -586,6 +601,7 @@ def decode_job(spark, out_dir: str, columns: list[str] | None = None,
                zone_filters_any: list[tuple[str, str, int | str]] | None = None,
                dict_prune: bool = True,
                as_of: int | None = None,
+               ordered: bool = False,
                _pids: list[int] | None = None,
                _chunk_keys: list[tuple[int, int]] | None = None) -> DataFrame:
     """DataFrame of the decoded table (plus pid/chunk_id provenance cols).
@@ -604,7 +620,17 @@ def decode_job(spark, out_dir: str, columns: list[str] | None = None,
 
     ``as_of=N`` time-travels: only chunks committed by log entries 0..N
     decode (a pid filter pushed into the metadata scan — commit entries
-    are immutable, so the same N always yields the same rows)."""
+    are immutable, so the same N always yields the same rows).
+
+    ``ordered=True`` returns the rows globally ordered by
+    (pid, chunk_id, row position) — partition i strictly precedes
+    partition i+1 and rows within a partition are in chunk order — via a
+    RANGE partition of the chunk metadata, never a row-level sort (see
+    :func:`chunk_repartition`). On a store clustered with
+    ``encode_job(sort_key=K)`` this is K-order: a sorted export for the
+    price of a plain decode. Caveat: a store with UNMATERIALIZED
+    schema-log-added columns buffers its pre-add chunks to end-of-stream,
+    which breaks in-partition chunk order — materialize first."""
     ddl, ordered = decoded_schema_ddl(spark, out_dir, columns)
     filters = list(zone_filters or [])
     if zone_filter is not None:
@@ -647,7 +673,8 @@ def decode_job(spark, out_dir: str, columns: list[str] | None = None,
             .select("pid", "chunk_id").distinct()
         chunks = chunks.join(any_keep, ["pid", "chunk_id"], "left_semi")
     # sketches served their purpose at pruning time; don't shuffle them
-    chunks = chunk_repartition(spark, chunks.drop("bloom", "hll"), out_dir)
+    chunks = chunk_repartition(spark, chunks.drop("bloom", "hll"), out_dir,
+                               ordered=ordered)
     # row tombstones (jobs.deletes) apply executor-side: the flag is read
     # once on the driver, each task lazily loads its pids' positions
     from .deletes import has_deletes
