@@ -588,7 +588,13 @@ def main(argv: list[str] | None = None) -> int:
                      "pruning, runtime filter, small-side broadcast) "
                      "into a parquet table")
     jin.add_argument("--left", required=True, help="left store dir")
-    jin.add_argument("--right", required=True, help="right store dir")
+    jin.add_argument("--right", default=None, help="right store dir")
+    jin.add_argument("--right-parquet", default=None, metavar="PATH",
+                     help="join the left STORE against a plain parquet "
+                          "table instead of a second store "
+                          "(store_join_df: the parquet side's keys prune "
+                          "the store's scan for inner/left_semi; how is "
+                          "limited to inner/left/left_semi/left_anti)")
     jin.add_argument("--on", required=True,
                      help="join key column (comma-separate a composite key)")
     jin.add_argument("--how", default="inner",
@@ -1183,6 +1189,29 @@ def main(argv: list[str] | None = None) -> int:
             lc = args.left_columns.split(",") if args.left_columns else None
             rc = args.right_columns.split(",") if args.right_columns else None
             on = args.on.split(",") if "," in args.on else args.on
+            if bool(args.right) == bool(args.right_parquet):
+                raise SystemExit("join needs --right STORE or "
+                                 "--right-parquet PATH (exactly one)")
+            if args.right_parquet:
+                from fsst_spark.jobs.join import store_join_df
+
+                if args.plan_only:
+                    raise SystemExit("--plan-only needs two stores "
+                                     "(zone intervals); a parquet side "
+                                     "has none")
+                if not args.out:
+                    raise SystemExit("join needs --out")
+                probe = spark.read.parquet(args.right_parquet)
+                if rc:
+                    probe = probe.select(*dict.fromkeys(
+                        rc + (on if isinstance(on, list) else [on])))
+                df = store_join_df(spark, args.left, probe, on,
+                                   how=args.how, store_columns=lc)
+                df.write.mode("overwrite").parquet(args.out)
+                n = spark.read.parquet(args.out).count()
+                print(json.dumps({"joined_to": args.out, "how": args.how,
+                                  "on": args.on, "rows": n}))
+                return 0
             if args.plan_only:
                 plan = store_join_plan(spark, args.left, args.right,
                                        on, args.how)

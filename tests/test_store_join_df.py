@@ -91,3 +91,27 @@ def test_guards(spark, setup):
     clash = batch.withColumn("txt", F.lit("boom"))
     with pytest.raises(ValueError):
         store_join_df(spark, out, clash, "doc_id")
+
+
+def test_cli_join_right_parquet(spark, setup, tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    out_store, raw, batch = setup
+    probe_path = str(tmp_path / "probe")
+    batch.write.mode("overwrite").parquet(probe_path)
+    out = str(tmp_path / "joined")
+    r = subprocess.run(
+        [sys.executable, "-m", "fsst_spark.jobs.cli", "join",
+         "--left", out_store, "--right-parquet", probe_path,
+         "--on", "doc_id", "--out", out],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.strip().splitlines()[-1])["rows"] == 200
+    # exactly one right side must be given
+    bad = subprocess.run(
+        [sys.executable, "-m", "fsst_spark.jobs.cli", "join",
+         "--left", out_store, "--on", "doc_id", "--out", out],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo")
+    assert bad.returncode != 0
