@@ -320,7 +320,10 @@ def main(argv: list[str] | None = None) -> int:
              "log contiguity, dangling tombstones (driver-side, no "
              "cluster; --deep opens footers for row-count cross-checks — "
              "payload checksums are the cluster `verify` job)")
-    fsk.add_argument("--data", required=True)
+    fsk.add_argument("--data", required=True,
+                     help="store dir, or a comma-separated shard family "
+                          "(each store audits independently; exit 3 if "
+                          "any has damage)")
     fsk.add_argument("--deep", action="store_true")
 
     sts = sub.add_parser(
@@ -633,7 +636,15 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "fsck":
         from fsst_spark.jobs.admin import fsck_store
 
-        res = fsck_store(args.data, deep=args.deep)
+        dirs = [d for d in args.data.split(",") if d]
+        if len(dirs) == 1:
+            res = fsck_store(dirs[0], deep=args.deep)
+        else:  # shard family: audit each store, aggregate the verdict
+            per = [fsck_store(d, deep=args.deep) for d in dirs]
+            res = {"ok": all(r["ok"] for r in per),
+                   "stores": len(per),
+                   "n_issues": sum(r["n_issues"] for r in per),
+                   "per_store": per}
         print(json.dumps(res))
         return 0 if res["ok"] else 3
     if args.cmd == "rollback":

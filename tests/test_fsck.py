@@ -127,3 +127,31 @@ def test_cli_fsck_exit_codes(store):
     assert bad.returncode == 3
     rep = json.loads(bad.stdout.strip().splitlines()[-1])
     assert rep["n_issues"] > 0
+
+
+def test_cli_fsck_family(spark, tmp_path):
+    """Comma-separated family: per-store reports, aggregate verdict."""
+    stores = []
+    for i in range(2):
+        out = str(tmp_path / f"s{i}")
+        df = (spark.range(i * 100, (i + 1) * 100)
+              .withColumnRenamed("id", "doc_id"))
+        encode_job(spark, df, out, num_partitions=2, resume=False,
+                   unique_col="doc_id").collect()
+        stores.append(out)
+    ok = subprocess.run(
+        [sys.executable, "-m", "fsst_spark.jobs.cli", "fsck",
+         "--data", ",".join(stores)],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo")
+    assert ok.returncode == 0, ok.stderr[-2000:]
+    rep = json.loads(ok.stdout.strip().splitlines()[-1])
+    assert rep["ok"] is True and rep["stores"] == 2
+    os.remove(os.path.join(stores[1], "chunks", "part-00000.parquet"))
+    bad = subprocess.run(
+        [sys.executable, "-m", "fsst_spark.jobs.cli", "fsck",
+         "--data", ",".join(stores)],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo")
+    assert bad.returncode == 3
+    rep = json.loads(bad.stdout.strip().splitlines()[-1])
+    assert rep["n_issues"] == 1
+    assert rep["per_store"][0]["ok"] and not rep["per_store"][1]["ok"]
