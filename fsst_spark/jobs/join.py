@@ -382,18 +382,29 @@ def store_join_df(spark, store_dir: str, df, on, *, how: str = "inner",
     can_prune = how in ("inner", "left_semi")
     filters = []
     if can_prune:
-        for c in on_cols:
-            vals = [r[0] for r in df.select(c).where(F.col(c).isNotNull())
-                    .distinct().limit(max_pushdown_keys + 1).collect()]
-            if len(vals) > max_pushdown_keys:
-                filters = []
-                break  # one unbounded column: pruning cannot be trusted
-            filters.append((c, "in", sorted(vals)))
+        # two single-pass aggregations however many key columns there are
+        # (the probe side may be an expensive upstream pipeline — never
+        # re-evaluate it once per column): first a cardinality guard, then
+        # the actual distinct sets only if every column fits the cap
+        ndv = df.agg(*[F.count_distinct(c).alias(c)
+                       for c in on_cols]).collect()[0]
+        empty_probe = any(ndv[c] == 0 for c in on_cols)
+        if not empty_probe and all(ndv[c] <= max_pushdown_keys
+                                   for c in on_cols):
+            sets = df.agg(*[F.collect_set(c).alias(c)
+                            for c in on_cols]).collect()[0]
+            filters = [(c, "in", sorted(sets[c])) for c in on_cols]
+    else:
+        empty_probe = False
     # cols (projection + keys) — NOT store_columns: decode_filtered would
     # drop filter columns outside its columns=, and the join needs the keys
     store = (decode_filtered(spark, store_dir, filters=filters,
                              columns=cols)
              if filters else decode_job(spark, store_dir, cols))
+    if empty_probe:
+        # empty (or all-null-key) probe: the inner/semi join is provably
+        # empty — keep the schema, scan nothing
+        store = store.where(F.lit(False))
     store = store.drop("pid", "chunk_id")
     if how in ("left_semi", "left_anti"):
         return store.join(df.select(*on_cols).distinct(), on=on_cols,

@@ -115,3 +115,9 @@ def test_cli_join_right_parquet(spark, setup, tmp_path):
          "--left", out_store, "--on", "doc_id", "--out", out],
         capture_output=True, text=True, timeout=600, cwd="/root/repo")
     assert bad.returncode != 0
+
+
+def test_empty_probe(spark, setup):
+    out, raw, batch = setup
+    got = store_join_df(spark, out, batch.where("doc_id < 0"), "doc_id")
+    assert got.count() == 0
