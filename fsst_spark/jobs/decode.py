@@ -1067,12 +1067,14 @@ def decode_sample(spark, out_dir: str, target_rows: int, key_col: str,
        ``r``'s threshold.
 
     Every chunk is selected with the same probability ``f`` regardless
-    of size, and every row of a selected chunk passes with the same
-    ``r``, so each row's inclusion probability is the uniform ``f·r``
-    — an unbiased sample with E[rows] = ``target_rows``, exact count
-    binomial (the deterministic-SET contract of ``mix_sources`` /
-    ``deterministic_sample``: the same call always returns the same
-    rows, any engine, any cluster size). Rows are clumped by chunk
+    of size, and within a realization every row of every selected chunk
+    passes at the SAME rate ``r`` — rows are weighted equally across the
+    whole sample (``r`` adapts to the selected chunks' exact row count,
+    so E[rows] = ``target_rows``; with strongly varying chunk sizes the
+    marginal per-row inclusion probability deviates slightly from
+    ``f·r``, a standard two-stage-sampling property). The set contract
+    matches ``mix_sources`` / ``deterministic_sample``: the same call
+    always returns the same rows, any engine, any cluster size. Rows are clumped by chunk
     (that is where the IO saving comes from) — fine for eyeballing and
     aggregate estimation; use ``pipeline.sampling`` post-decode when
     you need row-level independence. Tombstones thin the result below
