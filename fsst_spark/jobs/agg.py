@@ -51,6 +51,7 @@ from .decode import (
     chunk_repartition,
     column_arrow_types,
     pruned_chunks,
+    pruned_chunks_any,
 )
 _INT_LIKE = ("int8", "int16", "int32", "int64")
 
@@ -1065,7 +1066,8 @@ def encoded_group_topk(spark, out_dir: str, key_col: str, val_col: str,
 
 
 def encoded_histogram(spark, out_dir: str, column: str, bucket_width: int,
-                      filters: list[tuple] | None = None) -> DataFrame:
+                      filters: list[tuple] | None = None,
+                      any_filters: list[tuple] | None = None) -> DataFrame:
     """Exact equi-width histogram ``SELECT floor(col / w) AS bucket,
     count(*) AS cnt GROUP BY bucket`` over an int column of an encoded
     store, answered tri-state from zone metadata wherever possible.
@@ -1084,8 +1086,10 @@ def encoded_histogram(spark, out_dir: str, column: str, bucket_width: int,
     ``floor(x / w)`` for positive ``w``). Delete-aware: a full-bucket
     chunk subtracts its tombstone count from metadata (every tombstoned
     row was in that same bucket); decoded chunks mask positions. With
-    ``filters`` the metadata arm is skipped (every surviving chunk
-    decodes — the conjunction needs exact row masks anyway)."""
+    ``filters`` (and/or the OR clause ``any_filters``, CNF like
+    ``decode_filtered``) the metadata arm is skipped (every surviving
+    chunk decodes — the predicates need exact row masks anyway), but
+    zone/dict/bloom CHUNK pruning still applies per branch."""
     if bucket_width <= 0:
         raise ValueError("bucket_width must be a positive int")
     types = column_arrow_types(spark, out_dir)
@@ -1100,19 +1104,24 @@ def encoded_histogram(spark, out_dir: str, column: str, bucket_width: int,
     # timestamps bucket over their storage-unit ticks (timestamp[us] with
     # w=3_600_000_000 = hourly crawl counts) — zones already store ticks
     flt = list(filters or [])
+    any_flt = list(any_filters or [])
     needed = [column]
-    for f in flt:
+    for f in flt + any_flt:
         if f[0] not in types:
             raise KeyError(f"column {f[0]!r} not in encoded data")
         if f[0] not in needed:
             needed.append(f[0])
     chunks = pruned_chunks(spark, out_dir, needed, flt)
+    if any_flt:
+        any_keep = (pruned_chunks_any(spark, out_dir, needed, any_flt)
+                    .select("pid", "chunk_id").distinct())
+        chunks = chunks.join(any_keep, ["pid", "chunk_id"], "left_semi")
     from .deletes import _deletes_dir, has_deletes
 
     deletes_on = has_deletes(out_dir)
     w = int(bucket_width)
 
-    if not flt and "zmin_long" in chunks.columns:
+    if not flt and not any_flt and "zmin_long" in chunks.columns:
         z = chunks.filter(F.col("column") == column).select(
             "pid", "chunk_id", "n_rows", "zmin_long", "zmax_long",
             F.col("params").contains('"n_total"').alias("has_nulls"))
@@ -1155,6 +1164,12 @@ def encoded_histogram(spark, out_dir: str, column: str, bucket_width: int,
         for key, cols in _assembled_chunks(batches, needed, with_keys=True):
             decoded: dict[str, pa.Array] = {}
             mask = _conj_mask(cols, flt, types, decoded)
+            if any_flt:
+                omask = None
+                for br in any_flt:
+                    m = _conj_mask(cols, [br], types, decoded)
+                    omask = m if omask is None else (omask | m)
+                mask = omask if mask is None else (mask & omask)
             arr = decoded.get(column)
             if arr is None:
                 arr = decode_column(cols[column])

@@ -561,6 +561,10 @@ def main(argv: list[str] | None = None) -> int:
                      metavar="COL:OP:VALUE",
                      help="conjunctive WHERE (disables the metadata arm; "
                           "every surviving chunk decodes)")
+    hst.add_argument("--where-any", action="append", default=None,
+                     metavar="COL:OP:VALUE",
+                     help="disjunctive predicates; combines with --where "
+                          "as AND(--where) AND OR(--where-any)")
 
     stm = sub.add_parser("stream-encode",
                          help="Structured-Streaming encode: drain new files into chunks+manifest")
@@ -1148,8 +1152,11 @@ def main(argv: list[str] | None = None) -> int:
 
             filters = (_parse_where(spark, args.data, args.where)
                        if args.where else None)
+            any_flt = (_parse_where(spark, args.data, args.where_any)
+                       if args.where_any else None)
             rows = (encoded_histogram(spark, args.data, args.column,
-                                      args.width, filters=filters)
+                                      args.width, filters=filters,
+                                      any_filters=any_flt)
                     .orderBy(F.col("bucket").asc_nulls_last()).collect())
             print(json.dumps([r.asDict() for r in rows]))
         elif args.cmd == "count":

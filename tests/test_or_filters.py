@@ -133,3 +133,19 @@ class TestCountPushdownOr:
         with _pt.raises(KeyError):
             encoded_count_filtered(spark, store, [],
                                    any_filters=[("nope", "==", 1)])
+
+
+def test_histogram_with_or_clause(spark, store):
+    from fsst_spark.jobs.agg import encoded_histogram
+    from fsst_spark.jobs.decode import decode_job
+
+    got = {r["bucket"]: r["cnt"] for r in encoded_histogram(
+        spark, store, "doc_id", 1000,
+        filters=[("doc_id", "<", 6000)],
+        any_filters=[("lang", "==", "de"), ("lang", "==", "fr")]).collect()}
+    src = decode_job(spark, store).where(
+        "doc_id < 6000 AND lang IN ('de','fr')")
+    want = {r["b"]: r["n"] for r in src.selectExpr(
+        "doc_id div 1000 as b").groupBy("b").count()
+        .withColumnRenamed("count", "n").collect()}
+    assert got == want and sum(got.values()) == 3000
