@@ -1754,6 +1754,35 @@ def q_count_where(spark, sf_dir):
         [(r["n_rows"],) for r in rows], "n_rows bigint")
 
 
+def q_rlike_decode(spark, sf_dir):
+    """Regex (RLIKE) selective decode: rows are decided by Spark's own
+    Java regex engine; dict-coded chunks whose dictionary matches nothing
+    prune first (pattern screened for Java/Python alignment —
+    decode._rlike_prunable). Oracle: DuckDB regexp_matches on the same
+    anchored-alternation pattern, where RE2/Java/Python all agree."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.decode import decode_filtered
+    from fsst_spark.jobs.encode import encode_job
+
+    out = tempfile.mkdtemp(prefix="fsst_rlike_q_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+        encode_job(spark, docs, out, chunk_bytes=16 << 10, resume=False,
+                   num_partitions=4, unique_col="doc_id").collect()
+        got = decode_filtered(spark, out, "lang", "rlike", "^(de|fr|pt)$")
+        res = (got.groupBy("lang")
+               .agg(F.count("*").alias("n_rows"),
+                    F.sum("doc_id").alias("sum_ids"))
+               .orderBy("lang").collect())
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["lang"], r["n_rows"], r["sum_ids"]) for r in res],
+        "lang string, n_rows bigint, sum_ids bigint")
+
+
 def q_count_where_any(spark, sf_dir):
     """Tri-state metadata count with one OR clause (CNF like
     decode_filtered): disjoint doc_id ranges over a doc_id-clustered
@@ -3013,6 +3042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_group_sum": q_filtered_group_sum,
         "count_where": q_count_where,
         "count_where_any": q_count_where_any,
+        "rlike_decode": q_rlike_decode,
         "zorder_count": q_zorder_count,
         "encoded_topk": q_encoded_topk,
         "pii_scrub": q_pii_scrub,
@@ -3802,6 +3832,12 @@ def oracle_sql() -> dict[str, str]:
         "count_where": (
             "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM documents "
             "WHERE doc_id >= 100 AND doc_id < 400"
+        ),
+        "rlike_decode": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_ids FROM documents "
+            "WHERE regexp_matches(lang, '^(de|fr|pt)$') "
+            "GROUP BY lang ORDER BY lang"
         ),
         "count_where_any": (
             "SELECT "

@@ -167,7 +167,9 @@ def main(argv: list[str] | None = None) -> int:
                           "or lang:in:de,fr; repeatable (conjunction: every "
                           "predicate must hold). Ops: >= > <= < == in "
                           "(comma-separated values) prefix (string LIKE "
-                          "'VALUE%%'). VALUE is coerced to the "
+                          "'VALUE%%') contains rlike (Java regex, "
+                          "dictionary-pruned when the pattern is "
+                          "alignment-safe). VALUE is coerced to the "
                           "COLUMN's type (int/float/timestamp-ISO/string) — a "
                           "string column keeps numeric-looking text as text")
     dec.add_argument("--where-any", action="append", default=None,

@@ -12,6 +12,7 @@ payload bytes are never read.
 from __future__ import annotations
 
 import json
+import re
 from typing import Iterator
 
 import numpy as np
@@ -287,6 +288,14 @@ def _zone_prune(chunks: DataFrame, zsrc: DataFrame,
         # (below, in pruned_chunks) is the only chunk-level lever
         _prefix_bytes(arrow_name, value, op)  # type check only
         return chunks
+    if op == "rlike":
+        # regex predicates likewise carry no zone information; dictionary
+        # pruning (when the pattern is Java/Python-alignment-safe) is the
+        # chunk-level lever
+        if arrow_name not in ("string", "large_string"):
+            raise ValueError(
+                f"'rlike' needs a string column; {col!r} is {arrow_name}")
+        return chunks
     if op == "in":
         # set membership: a chunk can match iff it can match ANY element
         pred = zone_in_keep_pred(arrow_name, value)
@@ -336,12 +345,14 @@ def _dict_probes(value: "str | bytes | list",
 def dict_payload_has_value(params: dict, payload: bytes,
                            by_len: dict[int, set],
                            pfx: bytes | None,
-                           sub: bytes | None = None) -> bool:
+                           sub: bytes | None = None,
+                           rx=None) -> bool:
     """True iff a ``str_dict`` chunk's DICTIONARY contains any probed value
     (with ``pfx``: any value starting with those bytes; with ``sub``: any
-    value containing those bytes). Decodes only the dictionary section —
-    codes stay encoded. ``by_len``/``pfx``/``sub`` come from
-    ``_dict_probes``."""
+    value containing those bytes; with ``rx``: any value the compiled
+    regex matches — partial match, Spark ``rlike`` semantics). Decodes
+    only the dictionary section — codes stay encoded. ``by_len``/``pfx``/
+    ``sub`` come from ``_dict_probes``; ``rx`` from ``_rlike_prunable``."""
     from ..kernel.codecs import _split_sections, decode_bytes_like
 
     if "n_total" in params:  # strip the appended validity bits
@@ -352,6 +363,11 @@ def dict_payload_has_value(params: dict, payload: bytes,
          "params": params["values"]["params"], "payload": up},
         kind="str")
     lens = off[1:] - off[:-1]
+    if rx is not None:
+        return any(
+            rx.search(buf[off[i]: off[i + 1]].tobytes()
+                      .decode("utf-8", "surrogatepass")) is not None
+            for i in range(len(lens)))
     if sub is not None:
         # fast reject on the concatenated buffer, then confirm each hit
         # lies within ONE value (a match spanning two adjacent dictionary
@@ -388,6 +404,8 @@ def zone_keep(arrow_name: str, op: str, value, zmin, zmax) -> bool:
     if op == "contains":
         _prefix_bytes(arrow_name, value, op)  # type check only
         return True  # substring predicates carry no zone information
+    if op == "rlike":
+        return True  # regex predicates carry no zone information
     if op == "prefix":
         lo, hi = _prefix_zone_bounds(arrow_name, value)
         return zmax >= lo and zmin <= hi
@@ -405,6 +423,63 @@ def zone_keep(arrow_name: str, op: str, value, zmin, zmax) -> bool:
     if op in ("<", "<="):
         return zmin < zval if (op == "<" and exact) else zmin <= zval
     raise ValueError(f"zone op must be one of {sorted(_ZONE_OPS) + ['in', 'prefix']}, got {op!r}")
+
+
+# escapes whose Java-regex meaning is BROADER than (or absent from)
+# Python's: \v \h \R \H \V unicode-whitespace classes, \p{...}/\P{...}
+# properties, \Q..\E quoting, \k named backrefs, \G, \X graphemes. A
+# pattern using any of them (or one Python cannot compile) disables
+# dictionary pruning — conservative: the chunk decodes and Spark's own
+# Java rlike decides row membership.
+_RLIKE_DIVERGENT = re.compile(r"\\[vhVHRGXpPQEk]")
+
+
+def _rlike_prunable(pattern: str):
+    """Compiled Python regex safe for DICTIONARY pruning of a Spark
+    ``rlike`` predicate, or None when pruning must be skipped. Soundness
+    rule: pruning may never drop a chunk whose dictionary contains a
+    value Java's ``rlike`` would match — ``re.ASCII`` aligns
+    ``\\d \\w \\s \\b`` with Java's ASCII defaults, the divergent-escape
+    screen above handles the rest, and Python-only match SURPLUS (never
+    deficit) is fine because a spurious has-value only keeps a chunk."""
+    if _RLIKE_DIVERGENT.search(pattern):
+        return None
+    try:
+        return re.compile(pattern, re.ASCII)
+    except re.error:
+        return None
+
+
+def _dict_regex_drop(spark, out_dir: str, col: str,
+                     pattern: str) -> DataFrame:
+    """(pid, chunk_id) DROP-set for ``col RLIKE pattern``: ``str_dict``
+    chunks whose dictionary contains NO value matching the (alignment-
+    safe, see ``_rlike_prunable``) pattern. Same scan shape as
+    ``_dict_value_drop`` — only dict-coded chunk rows of the filter
+    column are read, only the dictionary section decodes."""
+    src = (
+        _chunks_df(spark, out_dir, [col])
+        .filter(F.col("codec") == "str_dict")
+        .select("pid", "chunk_id", "params", "payload")
+    )
+
+    def task(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        rx = re.compile(pattern, re.ASCII)
+        for batch in batches:
+            pids, cids = [], []
+            for pid_s, cid_s, params_s, payload_s in zip(
+                    batch.column("pid"), batch.column("chunk_id"),
+                    batch.column("params"), batch.column("payload")):
+                if not dict_payload_has_value(
+                        json.loads(params_s.as_py()), payload_s.as_py(),
+                        {}, None, None, rx=rx):
+                    pids.append(pid_s.as_py())
+                    cids.append(cid_s.as_py())
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(pids, pa.int32()), pa.array(cids, pa.int32())],
+                names=["pid", "chunk_id"])
+
+    return src.mapInArrow(task, "pid int, chunk_id int")
 
 
 def _dict_value_drop(spark, out_dir: str, col: str,
@@ -520,6 +595,12 @@ def pruned_chunks(spark, out_dir: str, columns: list[str] | None,
                                         prefix=zf[1] == "prefix",
                                         contains=zf[1] == "contains")
                 chunks = chunks.join(drop, ["pid", "chunk_id"], "left_anti")
+            if (dict_prune and zf[1] == "rlike"
+                    and types[zf[0]] in ("string", "large_string")
+                    and _rlike_prunable(zf[2]) is not None):
+                rdrop = _dict_regex_drop(spark, out_dir, zf[0], zf[2])
+                chunks = chunks.join(rdrop, ["pid", "chunk_id"],
+                                     "left_anti")
             if (dict_prune and zf[1] in ("==", "in")
                     and "bloom" in chunks.columns):
                 bdrop = _bloom_value_drop(spark, out_dir, zf[0], zf[2],
@@ -746,6 +827,11 @@ def _row_predicate(col: str, op: str, value, arrow_name: str):
 
     lhs = (F.unix_micros(F.col(col)) if arrow_name.startswith("timestamp[")
            else F.col(col))
+    if op == "rlike":
+        if arrow_name not in ("string", "large_string"):
+            raise ValueError(
+                f"'rlike' needs a string column; {col!r} is {arrow_name}")
+        return F.col(col).rlike(value)
     if op == "prefix":
         _prefix_bytes(arrow_name, value)  # type check only
         pv = value.decode("utf-8") if isinstance(value, bytes) else value
