@@ -1783,6 +1783,34 @@ def q_rlike_decode(spark, sf_dir):
         "lang string, n_rows bigint, sum_ids bigint")
 
 
+def q_suffix_decode(spark, sf_dir):
+    """Suffix (endswith) selective decode — the third of the substring
+    family (prefix/contains/suffix): rows via Spark endswith, dict-coded
+    chunks pruned by probing decoded dictionary value TAILS; oracle is
+    plain SQL LIKE '%1'."""
+    import shutil
+    import tempfile
+
+    from fsst_spark.jobs.decode import decode_filtered
+    from fsst_spark.jobs.encode import encode_job
+
+    out = tempfile.mkdtemp(prefix="fsst_sfx_q_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+        encode_job(spark, docs, out, chunk_bytes=16 << 10, resume=False,
+                   num_partitions=4, unique_col="doc_id").collect()
+        got = decode_filtered(spark, out, "source", "suffix", "1")
+        res = got.agg(
+            F.count("*").alias("n_rows"),
+            F.sum("doc_id").alias("sum_ids"),
+            F.count_distinct("source").alias("n_sources")).collect()[0]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(res["n_rows"], res["sum_ids"], res["n_sources"])],
+        "n_rows bigint, sum_ids bigint, n_sources bigint")
+
+
 def q_count_where_any(spark, sf_dir):
     """Tri-state metadata count with one OR clause (CNF like
     decode_filtered): disjoint doc_id ranges over a doc_id-clustered
@@ -3043,6 +3071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_where": q_count_where,
         "count_where_any": q_count_where_any,
         "rlike_decode": q_rlike_decode,
+        "suffix_decode": q_suffix_decode,
         "zorder_count": q_zorder_count,
         "encoded_topk": q_encoded_topk,
         "pii_scrub": q_pii_scrub,
@@ -3832,6 +3861,12 @@ def oracle_sql() -> dict[str, str]:
         "count_where": (
             "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM documents "
             "WHERE doc_id >= 100 AND doc_id < 400"
+        ),
+        "suffix_decode": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_ids, "
+            "CAST(count(DISTINCT source) AS BIGINT) AS n_sources "
+            "FROM documents WHERE source LIKE '%1'"
         ),
         "rlike_decode": (
             "SELECT lang, CAST(count(*) AS BIGINT) AS n_rows, "

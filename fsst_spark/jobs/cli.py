@@ -167,7 +167,8 @@ def main(argv: list[str] | None = None) -> int:
                           "or lang:in:de,fr; repeatable (conjunction: every "
                           "predicate must hold). Ops: >= > <= < == in "
                           "(comma-separated values) prefix (string LIKE "
-                          "'VALUE%%') contains rlike (Java regex, "
+                          "'VALUE%%') contains suffix (string LIKE "
+                          "'%%VALUE') rlike (Java regex, "
                           "dictionary-pruned when the pattern is "
                           "alignment-safe). VALUE is coerced to the "
                           "COLUMN's type (int/float/timestamp-ISO/string) — a "

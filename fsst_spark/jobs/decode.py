@@ -282,10 +282,11 @@ def _zone_prune(chunks: DataFrame, zsrc: DataFrame,
     arrow type, never the Python type of the value (a numeric-looking
     string id must still use prefix zones)."""
     col, op, value = zone_filter
-    if op == "contains":
-        # substring predicates carry no zone information (any 8-byte
-        # prefix interval can hold a match); dict/FSST-dictionary pruning
-        # (below, in pruned_chunks) is the only chunk-level lever
+    if op in ("contains", "suffix"):
+        # substring/suffix predicates carry no zone information (zones
+        # are PREFIXES; any 8-byte prefix interval can hold a match);
+        # dict/FSST-dictionary pruning (below, in pruned_chunks) is the
+        # only chunk-level lever
         _prefix_bytes(arrow_name, value, op)  # type check only
         return chunks
     if op == "rlike":
@@ -325,12 +326,13 @@ def _zone_prune(chunks: DataFrame, zsrc: DataFrame,
 
 def _dict_probes(value: "str | bytes | list",
                  prefix: bool = False,
-                 contains: bool = False) -> tuple[dict[int, set], bytes | None, bytes | None]:
+                 contains: bool = False,
+                 suffix: bool = False):
     """(length-bucketed probe byte-sets, prefix bytes or None, substring
-    bytes or None) for a dictionary membership test — shared prep of
-    ``_dict_value_drop`` and the ``fsst`` DataSource's executor-side
-    pruning. Exactly one of ``prefix``/``contains`` may be set; both modes
-    are single-value."""
+    bytes or None, suffix bytes or None) for a dictionary membership test
+    — shared prep of ``_dict_value_drop`` and the ``fsst`` DataSource's
+    executor-side pruning. At most one of ``prefix``/``contains``/
+    ``suffix`` may be set; those modes are single-value."""
     vals = value if isinstance(value, (list, tuple, set)) else [value]
     probes = {v.encode("utf-8", "surrogatepass") if isinstance(v, str) else bytes(v)
               for v in vals}
@@ -339,20 +341,23 @@ def _dict_probes(value: "str | bytes | list",
         by_len.setdefault(len(vb), set()).add(vb)
     pfx = sorted(probes)[0] if prefix else None  # prefix mode is single-value
     sub = sorted(probes)[0] if contains else None
-    return by_len, pfx, sub
+    sfx = sorted(probes)[0] if suffix else None
+    return by_len, pfx, sub, sfx
 
 
 def dict_payload_has_value(params: dict, payload: bytes,
                            by_len: dict[int, set],
                            pfx: bytes | None,
                            sub: bytes | None = None,
+                           sfx: bytes | None = None,
                            rx=None) -> bool:
     """True iff a ``str_dict`` chunk's DICTIONARY contains any probed value
     (with ``pfx``: any value starting with those bytes; with ``sub``: any
-    value containing those bytes; with ``rx``: any value the compiled
-    regex matches — partial match, Spark ``rlike`` semantics). Decodes
-    only the dictionary section — codes stay encoded. ``by_len``/``pfx``/
-    ``sub`` come from ``_dict_probes``; ``rx`` from ``_rlike_prunable``."""
+    value containing those bytes; with ``sfx``: any value ending with
+    those bytes; with ``rx``: any value the compiled regex matches —
+    partial match, Spark ``rlike`` semantics). Decodes only the
+    dictionary section — codes stay encoded. ``by_len``/``pfx``/``sub``/
+    ``sfx`` come from ``_dict_probes``; ``rx`` from ``_rlike_prunable``."""
     from ..kernel.codecs import _split_sections, decode_bytes_like
 
     if "n_total" in params:  # strip the appended validity bits
@@ -381,6 +386,11 @@ def dict_payload_has_value(params: dict, payload: bytes,
                 return True
             p = blob.find(sub, p + 1)
         return False
+    if sfx is not None:
+        ls = len(sfx)
+        return any(
+            buf[off[i + 1] - ls: off[i + 1]].tobytes() == sfx
+            for i in (lens >= ls).nonzero()[0])
     if pfx is not None:
         lp = len(pfx)
         return any(
@@ -401,9 +411,9 @@ def zone_keep(arrow_name: str, op: str, value, zmin, zmax) -> bool:
     ops compare non-strictly (same rule as ``_ZONE_OPS_PREFIX``)."""
     if zmin is None or zmax is None:
         return True
-    if op == "contains":
+    if op in ("contains", "suffix"):
         _prefix_bytes(arrow_name, value, op)  # type check only
-        return True  # substring predicates carry no zone information
+        return True  # substring/suffix predicates carry no zone info
     if op == "rlike":
         return True  # regex predicates carry no zone information
     if op == "prefix":
@@ -485,10 +495,12 @@ def _dict_regex_drop(spark, out_dir: str, col: str,
 def _dict_value_drop(spark, out_dir: str, col: str,
                      value: "str | bytes | list",
                      prefix: bool = False,
-                     contains: bool = False) -> DataFrame:
+                     contains: bool = False,
+                     suffix: bool = False) -> DataFrame:
     """(pid, chunk_id) DROP-set for ``col == value`` (or ``col IN values``
     when a list is given; ``col LIKE value%`` when ``prefix``; ``col LIKE
-    %value%`` when ``contains``): the ``str_dict`` chunks whose dictionary
+    %value%`` when ``contains``; ``col LIKE %value`` when ``suffix``):
+    the ``str_dict`` chunks whose dictionary
     provably lacks EVERY probed value — they contain no
     matching row, so none of their columns need be read or decoded. The
     pass scans only the filter column's DICT-CODED chunk rows (both the
@@ -498,7 +510,7 @@ def _dict_value_drop(spark, out_dir: str, col: str,
     columns (lang, source, content-type) this turns a value probe into a
     near-metadata scan at 100 TB; on columns with no dict chunks the scan
     matches zero rows and costs footer reads only."""
-    by_len, pfx, sub = _dict_probes(value, prefix, contains)
+    by_len, pfx, sub, sfx = _dict_probes(value, prefix, contains, suffix)
     src = (
         _chunks_df(spark, out_dir, [col])
         .filter(F.col("codec") == "str_dict")  # pushed: plain/fsst payloads unread
@@ -515,7 +527,7 @@ def _dict_value_drop(spark, out_dir: str, col: str,
                     batch.column("params"), batch.column("payload")):
                 has_value = dict_payload_has_value(
                     json.loads(params_s.as_py()), payload_s.as_py(),
-                    by_len, pfx, sub)
+                    by_len, pfx, sub, sfx)
                 if not has_value:
                     pids.append(pid_s.as_py())
                     cids.append(cid_s.as_py())
@@ -589,11 +601,13 @@ def pruned_chunks(spark, out_dir: str, columns: list[str] | None,
             # each keep-set reads its own (narrow, zone-only) projection
             zsrc = _chunks_df(spark, out_dir, [zf[0]])
             chunks = _zone_prune(chunks, zsrc, zf, types[zf[0]])
-            if (dict_prune and zf[1] in ("==", "in", "prefix", "contains")
+            if (dict_prune and zf[1] in ("==", "in", "prefix", "contains",
+                                         "suffix")
                     and types[zf[0]] in _STRINGY):
                 drop = _dict_value_drop(spark, out_dir, zf[0], zf[2],
                                         prefix=zf[1] == "prefix",
-                                        contains=zf[1] == "contains")
+                                        contains=zf[1] == "contains",
+                                        suffix=zf[1] == "suffix")
                 chunks = chunks.join(drop, ["pid", "chunk_id"], "left_anti")
             if (dict_prune and zf[1] == "rlike"
                     and types[zf[0]] in ("string", "large_string")
@@ -844,6 +858,14 @@ def _row_predicate(col: str, op: str, value, arrow_name: str):
                 if isinstance(value, str) else bytes(value)))
         pv = value.decode("utf-8") if isinstance(value, bytes) else value
         return F.col(col).contains(pv)
+    if op == "suffix":
+        _prefix_bytes(arrow_name, value, op)  # type check only
+        if arrow_name in ("binary", "large_binary"):
+            return F.endswith(F.col(col), F.lit(
+                value.encode("utf-8", "surrogatepass")
+                if isinstance(value, str) else bytes(value)))
+        pv = value.decode("utf-8") if isinstance(value, bytes) else value
+        return F.col(col).endswith(pv)
     if op == "in":
         return lhs.isin(*[coerce(v) for v in value])
     rhs = F.lit(coerce(value))

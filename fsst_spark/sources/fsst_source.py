@@ -76,6 +76,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     StringContains,
+    StringEndsWith,
     StringStartsWith,
     WriterCommitMessage,
 )
@@ -96,6 +97,7 @@ _FILTER_OPS = {
     In: "in",
     StringStartsWith: "prefix",
     StringContains: "contains",
+    StringEndsWith: "suffix",
 }
 
 
@@ -244,7 +246,7 @@ def _translate_filter(f: Filter, col_types: dict[str, str]):
     try:
         from ..jobs.decode import _prefix_bytes, _zone_key
 
-        if op in ("prefix", "contains"):
+        if op in ("prefix", "contains", "suffix"):
             _prefix_bytes(col_types[col], value, op)
         else:
             for v in (value if op == "in" else [value]):
@@ -294,7 +296,7 @@ def _file_survivors(path: str, filters: list[tuple],
         if not live:
             break
         if col_types[col] in _STRINGY and op in ("==", "in", "prefix",
-                                                 "contains"):
+                                                 "contains", "suffix"):
             live = _dict_survivors(path, meta, col, op, value, live)
         if op in ("==", "in"):
             live = _bloom_survivors(path, meta, col, value, col_types[col], live)
@@ -360,15 +362,17 @@ def _dict_survivors(path: str, meta: "pa.Table", col: str, op: str, value,
     ]
     if not rows:
         return live
-    by_len, pfx, sub = _dict_probes(value, prefix=op == "prefix",
-                                    contains=op == "contains")
+    by_len, pfx, sub, sfx = _dict_probes(value, prefix=op == "prefix",
+                                         contains=op == "contains",
+                                         suffix=op == "suffix")
     full = pq.read_table(path, columns=["pid", "chunk_id", "params", "payload"])
     out = set(live)
     for i in rows:
         key = (meta.column("pid")[i].as_py(), meta.column("chunk_id")[i].as_py())
         params = json.loads(full.column("params")[i].as_py())
         payload = full.column("payload")[i].as_py()
-        if not dict_payload_has_value(params, payload, by_len, pfx, sub):
+        if not dict_payload_has_value(params, payload, by_len, pfx, sub,
+                                      sfx):
             out.discard(key)
     return out
 

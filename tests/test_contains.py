@@ -86,12 +86,17 @@ def test_dict_payload_boundary_kernel():
     assert enc["codec"] == "str_dict"
     params = (json.loads(enc["params"]) if isinstance(enc["params"], str)
               else enc["params"])
-    by_len, pfx, sub = _dict_probes("cd", contains=True)
+    by_len, pfx, sub, sfx = _dict_probes("cd", contains=True)
     assert not dict_payload_has_value(params, enc["payload"], by_len, pfx, sub)
-    by_len, pfx, sub = _dict_probes("bc", contains=True)
+    by_len, pfx, sub, sfx = _dict_probes("bc", contains=True)
     assert dict_payload_has_value(params, enc["payload"], by_len, pfx, sub)
-    by_len, pfx, sub = _dict_probes("abc", contains=True)
+    by_len, pfx, sub, sfx = _dict_probes("abc", contains=True)
     assert dict_payload_has_value(params, enc["payload"], by_len, pfx, sub)
+    # suffix mode on the same dictionary: "bc" ends abc, "ab" ends nothing
+    by_len, pfx, sub, sfx = _dict_probes("bc", suffix=True)
+    assert dict_payload_has_value(params, enc["payload"], by_len, pfx, sub, sfx)
+    by_len, pfx, sub, sfx = _dict_probes("ab", suffix=True)
+    assert not dict_payload_has_value(params, enc["payload"], by_len, pfx, sub, sfx)
 
 
 def test_contains_type_guards(spark, store):
@@ -131,3 +136,53 @@ def test_source_contains_pushdown(spark, store):
     assert got.count() == want.count() > 0
     # a dict-prunable miss through the source returns nothing
     assert back.filter(F.col("lang").contains("cd")).count() == 0
+
+
+class TestSuffix:
+    """``suffix`` (endswith) predicate — the third of the substring
+    family: exact rows via Spark endswith, dictionary pruning on the
+    decoded value tails, StringEndsWith DataSource pushdown."""
+
+    def test_suffix_decode_exact(self, spark, store):
+        out, df = store
+        got = decode_filtered(spark, out, "url", "suffix", "-77")
+        want = df.filter(F.col("url").endswith("-77"))
+        assert got.count() == want.count() > 0
+        assert (got.select("doc_id").exceptAll(want.select("doc_id"))
+                .count() == 0)
+
+    def test_suffix_dict_prunes(self, spark, store):
+        out, df = store
+        # no lang value ends with 'ab' (values: abc, def): every DICT
+        # chunk drops without decoding codes (non-dict stragglers are
+        # conservatively kept, same as the contains tests)
+        n_kept = pruned_chunks(spark, out, ["lang"],
+                               [("lang", "suffix", "ab")]).count()
+        n_all = pruned_chunks(spark, out, ["lang"], []).count()
+        assert n_kept < n_all
+        assert decode_filtered(spark, out, "lang", "suffix", "ab").count() == 0
+        # a real suffix keeps chunks and returns exact rows
+        got = decode_filtered(spark, out, "lang", "suffix", "bc")
+        assert got.count() == 10000
+
+    def test_suffix_probe_kernel(self):
+        by_len, pfx, sub, sfx = _dict_probes("xyz", suffix=True)
+        assert sfx == b"xyz" and pfx is None and sub is None
+
+    def test_suffix_type_guard(self, spark, store):
+        out, _ = store
+        with pytest.raises(TypeError):
+            decode_filtered(spark, out, "doc_id", "suffix", "1").count()
+
+    def test_source_endswith_pushdown(self, spark, store):
+        out, df = store
+        from fsst_spark.sources.fsst_source import register
+
+        register(spark)
+        back = spark.read.format("fsst").load(out)
+        got = back.filter(F.col("url").endswith("-42")).select("doc_id")
+        want = df.filter(F.col("url").endswith("-42")).select("doc_id")
+        assert got.exceptAll(want).count() == 0
+        assert got.count() == want.count() > 0
+        # dict-prunable miss through the source
+        assert back.filter(F.col("lang").endswith("zz")).count() == 0
