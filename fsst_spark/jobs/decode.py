@@ -370,9 +370,11 @@ def dict_payload_has_value(params: dict, payload: bytes,
     lens = off[1:] - off[:-1]
     if rx is not None:
         return any(
-            rx.search(buf[off[i]: off[i + 1]].tobytes()
-                      .decode("utf-8", "surrogatepass")) is not None
-            for i in range(len(lens)))
+            rx.search(view) is not None
+            for i in range(len(lens))
+            for view in _java_anchor_views(
+                buf[off[i]: off[i + 1]].tobytes()
+                .decode("utf-8", "surrogatepass")))
     if sub is not None:
         # fast reject on the concatenated buffer, then confirm each hit
         # lies within ONE value (a match spanning two adjacent dictionary
@@ -437,11 +439,35 @@ def zone_keep(arrow_name: str, op: str, value, zmin, zmax) -> bool:
 
 # escapes whose Java-regex meaning is BROADER than (or absent from)
 # Python's: \v \h \R \H \V unicode-whitespace classes, \p{...}/\P{...}
-# properties, \Q..\E quoting, \k named backrefs, \G, \X graphemes. A
-# pattern using any of them (or one Python cannot compile) disables
-# dictionary pruning — conservative: the chunk decodes and Spark's own
-# Java rlike decides row membership.
-_RLIKE_DIVERGENT = re.compile(r"\\[vhVHRGXpPQEk]")
+# properties, \Q..\E quoting, \k named backrefs, \G, \X graphemes. Also
+# '[a&&[b]]' class intersection (parses as literal '&'/'[' in Python,
+# which can match LESS than Java) and any inline flag group enabling
+# MULTILINE ('(?m)' — Java's '$' then anchors before EVERY line
+# terminator incl. \r/\u0085/\u2028, which Python's does not). A pattern
+# using any of them (or one Python cannot compile) disables dictionary
+# pruning — conservative: the chunk decodes and Spark's own Java rlike
+# decides row membership. Non-MULTILINE '$'/'\Z' divergence (Java
+# matches before one FINAL terminator, Python only before a final \n)
+# is handled by probing the terminator-stripped value too — see
+# _java_anchor_views.
+_RLIKE_DIVERGENT = re.compile(
+    r"\\[vhVHRGXpPQEk]|&&|\(\?[a-zA-Z-]*m[a-zA-Z-]*[:)]")
+
+
+# Java line terminators ('$'/'\Z' match just before one FINAL occurrence;
+# order matters: \r\n must strip as one sequence)
+_JAVA_LINE_TERM = ("\r\n", "\n", "\r", "\u0085", "\u2028", "\u2029")
+
+
+def _java_anchor_views(s: str) -> "list[str]":
+    """The value plus (when it ends with a line terminator) the value with
+    that one final terminator stripped. Probing both makes the Python
+    regex probe a SUPERSET of Java's non-MULTILINE '$'/'\\Z' match set —
+    extra positives only keep more chunks, which is sound."""
+    for t in _JAVA_LINE_TERM:
+        if s.endswith(t):
+            return [s, s[: -len(t)]]
+    return [s]
 
 
 def _rlike_prunable(pattern: str):
@@ -456,7 +482,9 @@ def _rlike_prunable(pattern: str):
         return None
     try:
         return re.compile(pattern, re.ASCII)
-    except re.error:
+    except (re.error, ValueError):
+        # ValueError: Java-valid inline flags like '(?u)' make re.compile
+        # raise ('ASCII and UNICODE flags are incompatible') — skip pruning
         return None
 
 
@@ -726,7 +754,7 @@ def decode_job(spark, out_dir: str, columns: list[str] | None = None,
     price of a plain decode. Caveat: a store with UNMATERIALIZED
     schema-log-added columns buffers its pre-add chunks to end-of-stream,
     which breaks in-partition chunk order — materialize first."""
-    ddl, ordered = decoded_schema_ddl(spark, out_dir, columns)
+    ddl, out_cols = decoded_schema_ddl(spark, out_dir, columns)
     filters = list(zone_filters or [])
     if zone_filter is not None:
         filters.append(zone_filter)
@@ -738,7 +766,7 @@ def decode_job(spark, out_dir: str, columns: list[str] | None = None,
         # (dropped before emit; its decode is the price of the corner)
         from .schema import added_columns as _added
 
-        if set(ordered) <= set(_added(out_dir)):
+        if set(out_cols) <= set(_added(out_dir)):
             # carrier must exist in EVERY chunk: a materialized added
             # column is physical in new files but absent from pre-add
             # chunks, so exclude everything in the added log
@@ -784,7 +812,7 @@ def decode_job(spark, out_dir: str, columns: list[str] | None = None,
     # input share — rewrite via recluster/materialize to restore
     # chunk-at-a-time emit everywhere).
     added_types = {c: t for c, t in added_columns(out_dir).items()
-                   if c in ordered}
+                   if c in out_cols}
 
     def decode_task(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from ..env import madvise_hugepages
@@ -804,21 +832,21 @@ def decode_job(spark, out_dir: str, columns: list[str] | None = None,
                      "payload": row["payload"]}
                 )
                 # membership, not count: the row-count-carrier column of the
-                # all-added corner is scanned but not in `ordered`
-                if all(c in slot["cols"] for c in ordered):
-                    out = _emit(key, slot["cols"], ordered, dmask)
+                # all-added corner is scanned but not in `out_cols`
+                if all(c in slot["cols"] for c in out_cols):
+                    out = _emit(key, slot["cols"], out_cols, dmask)
                     if out is not None:
                         yield out
                     del pending[key]
         for key in sorted(pending):  # pre-add chunks: fill virtual NULLs
             cols = pending[key]["cols"]
-            missing = set(ordered) - set(cols)
+            missing = set(out_cols) - set(cols)
             assert missing and missing <= set(added_types), \
                 f"incomplete chunk {key}: missing non-added columns {missing}"
             n = len(next(iter(cols.values())))
             for c in missing:
                 cols[c] = pa.nulls(n, parse_arrow_type(added_types[c]))
-            out = _emit(key, cols, ordered, dmask)
+            out = _emit(key, cols, out_cols, dmask)
             if out is not None:
                 yield out
 
@@ -1210,7 +1238,10 @@ def decode_sample(spark, out_dir: str, target_rows: int, key_col: str,
         return decode_job(spark, out_dir, cols)
 
     def _hex_thr(frac: float) -> str:
-        return "g" if frac >= 1.0 else format(int(frac * (1 << 32)), "08x")
+        # min(): frac < 1.0 can still round up to exactly 2^32 in double
+        # precision — 9 hex digits would defeat the 8-char comparison
+        return ("g" if frac >= 1.0
+                else format(min(int(frac * (1 << 32)), 0xffffffff), "08x"))
 
     chunk_hash = F.substring(
         F.md5(F.concat_ws(":", F.col("pid"), F.col("chunk_id"),

@@ -203,7 +203,12 @@ def mix_sources(df: DataFrame, weights: dict, group_col: str = "source",
             "_thr",
             F.when(F.col("_q") >= 1.0, F.lit("g")).otherwise(
                 F.lpad(
-                    F.hex(F.floor(F.col("_q") * F.lit(float(1 << 32)))),
+                    # clamp: _q < 1.0 can still round up to exactly 2^32 in
+                    # double precision, whose 9-digit hex would be lpad-
+                    # truncated to '10000000' (~6% retention)
+                    F.hex(F.least(
+                        F.floor(F.col("_q") * F.lit(float(1 << 32))),
+                        F.lit((1 << 32) - 1))),
                     8, "0")),
         )
         .select(group_col, F.lower(F.col("_thr")).alias("_thr"))
