@@ -957,6 +957,8 @@ def q_store_join(spark, sf_dir):
     from fsst_spark.jobs.encode import encode_job
     from fsst_spark.jobs.join import store_join
 
+    from concurrent.futures import ThreadPoolExecutor
+
     l_out = tempfile.mkdtemp(prefix="fsst_join_l_q_")
     r_out = tempfile.mkdtemp(prefix="fsst_join_r_q_")
     try:
@@ -964,22 +966,43 @@ def q_store_join(spark, sf_dir):
         left = docs.select("doc_id", "lang", "n_chars")
         right = docs.where(F.col("doc_id") < 500).select(
             "doc_id", (F.col("n_chars") * 2).cast("long").alias("score"))
-        encode_job(spark, left, l_out, chunk_bytes=64 << 10, resume=False,
-                   num_partitions=4, sort_key="doc_id",
-                   unique_col="doc_id").collect()
-        encode_job(spark, right, r_out, chunk_bytes=64 << 10, resume=False,
-                   num_partitions=2, sort_key="doc_id",
-                   unique_col="doc_id").collect()
-        inner = store_join(spark, l_out, r_out, "doc_id").agg(
-            F.count("*").alias("n_rows"),
-            F.sum("doc_id").alias("sum_ids"),
-            F.sum("n_chars").alias("sum_n_chars"),
-            F.sum("score").alias("sum_score"),
-        ).collect()[0]
-        outer = store_join(spark, l_out, r_out, "doc_id", how="left").agg(
-            F.count("*").alias("n_left"),
-            F.sum(F.col("score").isNull().cast("long")).alias("n_unmatched"),
-        ).collect()[0]
+
+        def run_inner():
+            return store_join(spark, l_out, r_out, "doc_id").agg(
+                F.count("*").alias("n_rows"),
+                F.sum("doc_id").alias("sum_ids"),
+                F.sum("n_chars").alias("sum_n_chars"),
+                F.sum("score").alias("sum_score"),
+            ).collect()[0]
+
+        def run_outer():
+            return store_join(spark, l_out, r_out, "doc_id",
+                              how="left").agg(
+                F.count("*").alias("n_left"),
+                F.sum(F.col("score").isNull().cast("long"))
+                .alias("n_unmatched"),
+            ).collect()[0]
+
+        # the two encodes are independent, as are the two join
+        # aggregates: overlap them so the tail of one job back-fills the
+        # cluster the other left idle (optimization-guide §2.6)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fe_l = pool.submit(
+                lambda: encode_job(spark, left, l_out,
+                                   chunk_bytes=64 << 10, resume=False,
+                                   num_partitions=4, sort_key="doc_id",
+                                   unique_col="doc_id").collect())
+            fe_r = pool.submit(
+                lambda: encode_job(spark, right, r_out,
+                                   chunk_bytes=64 << 10, resume=False,
+                                   num_partitions=2, sort_key="doc_id",
+                                   unique_col="doc_id").collect())
+            fe_l.result()
+            fe_r.result()
+            f_inner = pool.submit(run_inner)
+            f_outer = pool.submit(run_outer)
+            inner = f_inner.result()
+            outer = f_outer.result()
     finally:
         shutil.rmtree(l_out, ignore_errors=True)
         shutil.rmtree(r_out, ignore_errors=True)

@@ -66,6 +66,69 @@ def _key_zones(spark, out_dir: str, on: str):
             for r in rows]
 
 
+def _side_meta(spark, out_dir: str, keys: "list[str]") -> dict:
+    """ONE metadata collect per store covering everything the join planner
+    needs: per chunk group, each key column's zone bounds + row count and
+    every column's raw_bytes. Replaces one Spark job per key column
+    (``_key_zones``) plus one aggregate per side (``_kept_bytes``) with a
+    single metadata-scale groupBy collect — still one row per chunk group
+    on the driver (per-column bytes ride along as a small struct list,
+    #columns entries each).
+
+    Returns ``{"zones": {key: zones-list | None}, "col_bytes":
+    [(pid, chunk_id, {column: raw_bytes}), ...]}`` with ``zones``
+    semantics identical to ``_key_zones`` (None when the store predates
+    zone maps; groups missing a key column's row are absent from that
+    key's list)."""
+    ch = _chunks_df(spark, out_dir, None)
+    has_zones = "zmin_long" in ch.columns
+    aggs = [F.collect_list(F.struct("column", "raw_bytes")).alias("_rb")]
+    for i, k in enumerate(keys):
+        kmatch = F.col("column") == k
+        aggs.append(F.max(F.when(kmatch, F.col("n_rows"))).alias(f"_n{i}"))
+        aggs.append(F.max(F.when(kmatch, 1)).alias(f"_has{i}"))
+        if has_zones:
+            aggs.append(F.min(F.when(kmatch, F.col("zmin_long")))
+                        .alias(f"_zmin{i}"))
+            aggs.append(F.min(F.when(kmatch, F.col("zmax_long")))
+                        .alias(f"_zmax{i}"))
+    rows = ch.groupBy("pid", "chunk_id").agg(*aggs).collect()
+    zones: dict = {}
+    for i, k in enumerate(keys):
+        if not has_zones:
+            zones[k] = None
+            continue
+        zones[k] = [
+            (r["pid"], r["chunk_id"], r[f"_zmin{i}"], r[f"_zmax{i}"],
+             r[f"_n{i}"])
+            for r in rows if r[f"_has{i}"]
+        ]
+    col_bytes = [(r["pid"], r["chunk_id"],
+                  {e["column"]: e["raw_bytes"] for e in r["_rb"]})
+                 for r in rows]
+    return {"zones": zones, "col_bytes": col_bytes}
+
+
+def _kept_bytes_local(meta: dict, columns: "list[str] | None",
+                      kept, rows_kept: "int | None") -> "int | None":
+    """Driver-side twin of ``_kept_bytes`` computed from the already
+    collected ``_side_meta`` — no extra Spark job. Same contract: upper
+    bound on decoded bytes (raw_bytes of the projected columns over kept
+    chunk groups, plus 16 bytes/row slack); None when rows are unknown."""
+    if rows_kept is None:
+        return None
+    ks = set(kept) if kept is not None else None
+    want = set(columns) if columns is not None else None
+    total = 0
+    for pid, cid, by_col in meta["col_bytes"]:
+        if ks is not None and (pid, cid) not in ks:
+            continue
+        for c, b in by_col.items():
+            if want is None or c in want:
+                total += b or 0
+    return total + rows_kept * 16
+
+
 def _interval_union(zones) -> "tuple[np.ndarray, np.ndarray] | None":
     """Disjoint sorted (starts, ends) covering every chunk's key interval.
     Any chunk with NULL zone bounds makes the union unbounded (returns
@@ -191,8 +254,9 @@ def store_join_plan(spark, left_dir: str, right_dir: str, on,
                 f"join key {c!r} is {lts[c]} in {left_dir} but {rts[c]} in "
                 f"{right_dir}; packed zone keys are only comparable within "
                 f"one arrow type — cast and re-encode one side")
-    lz_all = {c: _key_zones(spark, left_dir, c) for c in keys}
-    rz_all = {c: _key_zones(spark, right_dir, c) for c in keys}
+    lmeta = _side_meta(spark, left_dir, keys)
+    rmeta = _side_meta(spark, right_dir, keys)
+    lz_all, rz_all = lmeta["zones"], rmeta["zones"]
     lz, rz = lz_all[keys[0]], rz_all[keys[0]]
     lk = _side_kept(lz_all, rz_all, keys) if how in _PRUNE_LEFT else None
     rk = _side_kept(rz_all, lz_all, keys) if how in _PRUNE_RIGHT else None
@@ -224,6 +288,7 @@ def store_join_plan(spark, left_dir: str, right_dir: str, on,
         "left_rows_kept": l_rows, "right_rows_kept": r_rows,
         "runtime_filter_build": rf_build,
         "_left_keys": lk, "_right_keys": rk,
+        "_left_meta": lmeta, "_right_meta": rmeta,
     }
 
 
@@ -281,6 +346,27 @@ def store_join(spark, left_dir: str, right_dir: str, on, *,
     right = side(right_dir, right_columns, plan["_right_keys"])
     rf_build = plan["runtime_filter_build"] if prune else None
     if rf_build is not None:
+        # The runtime filter is a pure pruning aid (the final equi-join is
+        # exact either way), so skip it when it cannot beat the interval
+        # pruning already applied: the probed side must still be scanning
+        # most of its groups (intervals did not bite — the unclustered
+        # case the filter exists for) AND more rows than the build side
+        # holds (probing a scan already smaller than the build side costs
+        # a key-collect job for nothing).
+        t_keys, t_zones, t_rows = (
+            ("_right_keys", plan["right_total"], plan["right_rows_kept"])
+            if rf_build == "left"
+            else ("_left_keys", plan["left_total"], plan["left_rows_kept"]))
+        kept_t = plan[t_keys]
+        build_rows = plan["left_rows_kept" if rf_build == "left"
+                          else "right_rows_kept"]
+        frac = (1.0 if kept_t is None or not t_zones
+                else len(kept_t) / t_zones)
+        if (frac <= 0.5
+                or (t_rows is not None and build_rows is not None
+                    and t_rows <= build_rows)):
+            rf_build = None
+    if rf_build is not None:
         from .decode import decode_semijoin
 
         def rf_probe(out_dir, columns, build_df):
@@ -305,17 +391,18 @@ def store_join(spark, left_dir: str, right_dir: str, on, *,
         can_b_right = how in ("inner", "left", "left_semi", "left_anti")
         can_b_left = how in ("inner", "right")
 
-        def side_bytes(ok, out_dir, columns, keys, rows):
-            # rows*16 is _kept_bytes' own slack floor: a side that fails
-            # on rows alone can never pass, so skip its metadata agg
+        def side_bytes(ok, meta, columns, keys, rows):
+            # rows*16 is the slack floor: a side that fails on rows alone
+            # can never pass. Bytes come from the plan's already-collected
+            # metadata (_side_meta) — no Spark job here.
             if not ok or rows is None or rows * 16 > broadcast_threshold_bytes:
                 return None
-            return _kept_bytes(spark, out_dir, columns,
-                               keys if prune else None, rows)
+            return _kept_bytes_local(meta, columns,
+                                     keys if prune else None, rows)
 
-        lb = side_bytes(can_b_left, left_dir, left_columns,
+        lb = side_bytes(can_b_left, plan["_left_meta"], left_columns,
                         plan["_left_keys"], plan["left_rows_kept"])
-        rb = side_bytes(can_b_right, right_dir, right_columns,
+        rb = side_bytes(can_b_right, plan["_right_meta"], right_columns,
                         plan["_right_keys"], plan["right_rows_kept"])
         cand = [(b, s) for b, s in ((lb, "left"), (rb, "right"))
                 if b is not None and b <= broadcast_threshold_bytes]
