@@ -43,6 +43,16 @@ def get_spark(master: str | None = None, app_name: str = "fsst_spark",
         .config("spark.sql.files.maxPartitionBytes",
                 os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "33554432"))
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        # The bypass-merge shuffle writer creates M x R physical files per
+        # shuffle (map tasks x reduce partitions) whenever R <= 200; the
+        # serialized sort writer writes ONE file per map task. File
+        # creation is expensive on this host class (and M x R file counts
+        # are exactly the §2.2 small-block blow-up at scale), and with
+        # production-sized R (> 200) the bypass path never fires anyway —
+        # so prefer the sort writer everywhere (measured: halves the
+        # fixed cost of every small shuffle, identical results).
+        .config("spark.shuffle.sort.bypassMergeThreshold",
+                os.environ.get("SPARK_GRAFT_BYPASS_MERGE_THRESHOLD", "8"))
         # pass malloc tuning to the python workers (see fsst_spark.env)
         .config("spark.executorEnv.MALLOC_MMAP_MAX_", "0")
         .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "-1")
