@@ -2350,12 +2350,24 @@ def q_ann_store_topk(spark, sf_dir):
 
     from fsst_spark.pipeline.ann_store import ann_store_topk, build_ann_store
 
+    from concurrent.futures import ThreadPoolExecutor
+
     out = tempfile.mkdtemp(prefix="fsst_anns_q_")
     try:
         emb = _t(spark, sf_dir, "embeddings")
-        build_ann_store(spark, emb.filter(F.col("vec_id") != 0), out,
-                        n_cells=8, num_partitions=4, chunk_bytes=64 << 10)
-        query = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        # the query-vector collect is independent of the store build:
+        # overlap the two jobs (optimization-guide §2.6)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_build = pool.submit(
+                lambda: build_ann_store(spark,
+                                        emb.filter(F.col("vec_id") != 0),
+                                        out, n_cells=8, num_partitions=4,
+                                        chunk_bytes=64 << 10))
+            f_query = pool.submit(
+                lambda: emb.filter(F.col("vec_id") == 0)
+                .select("embedding").collect()[0][0])
+            query = f_query.result()
+            f_build.result()
         rows = ann_store_topk(spark, out, [float(x) for x in query],
                               k=10, nprobe=8).collect()
     finally:

@@ -129,21 +129,30 @@ def ann_store_topk(spark, out_dir: str, query: list[float], k: int = 10,
     re-rank. Recall depends on m like faiss SQ8+refine: the pool must
     contain the true top-k; m=4 is ~exact on real embeddings and the
     recall gate in tests pins it."""
-    from ..jobs.decode import decode_filtered, decode_semijoin
+    from ..jobs.decode import decode_filtered, decode_job, decode_semijoin
 
     C, side = load_centroids(out_dir)
     q = np.asarray(query, dtype=np.float32)
     q = q / max(float(np.linalg.norm(q)), 1e-12)
     order = np.argsort(-(C @ q), kind="stable")
     probe = [int(x) for x in order[: max(int(nprobe), 1)]]
+    full_probe = len(probe) >= len(C)
+
+    def cells_decode(columns):
+        # full probe == every cell: the IN-list filter (and its whole
+        # zone/dict/bloom pruning stack) can prune nothing and every row
+        # passes — decode the projection directly and skip the ivf_cell
+        # column entirely (§1.2: don't compute what you throw away)
+        if full_probe:
+            return decode_job(spark, out_dir, columns)
+        return decode_filtered(spark, out_dir, CELL_COL, "in", probe,
+                               columns=columns)
     if refine is not None:
         if not side.get("quantized"):
             raise ValueError(
                 "refine= needs a quantized store; rebuild with "
                 "build_ann_store(quantize=True)")
-        pool = decode_filtered(
-            spark, out_dir, CELL_COL, "in", probe,
-            columns=[side["id_col"], QCOL])
+        pool = cells_decode([side["id_col"], QCOL])
         approx = cosine_topk(pool, query, k=int(k) * max(int(refine), 1),
                              vec_col=QCOL, id_col=side["id_col"])
         ids = [r[side["id_col"]] for r in approx.collect()]  # <= k*m rows
@@ -151,9 +160,7 @@ def ann_store_topk(spark, out_dir: str, query: list[float], k: int = 10,
                                 columns=[side["id_col"], side["vec_col"]])
         return cosine_topk(exact, query, k=k,
                            vec_col=side["vec_col"], id_col=side["id_col"])
-    cand = decode_filtered(
-        spark, out_dir, CELL_COL, "in", probe,
-        columns=[side["id_col"], side["vec_col"]])
+    cand = cells_decode([side["id_col"], side["vec_col"]])
     return cosine_topk(cand, query, k=k,
                        vec_col=side["vec_col"], id_col=side["id_col"])
 
@@ -172,7 +179,7 @@ def ann_store_topk_batch(spark, out_dir: str, queries: DataFrame,
     the cell column, shuffle-free per-partition top-k combine, final
     per-query rank window). Returns (query_id, id, rank). ``nprobe >=
     n_cells`` decodes everything = exact brute-force k-NN join."""
-    from ..jobs.decode import decode_filtered
+    from ..jobs.decode import decode_filtered, decode_job
 
     C, side = load_centroids(out_dir)
     np_eff = max(1, min(int(nprobe), len(C)))
@@ -186,12 +193,19 @@ def ann_store_topk_batch(spark, out_dir: str, queries: DataFrame,
         order = np.argsort(-(M @ C.T), axis=1, kind="stable")[:, :np_eff]
         return pd.Series(list(order.astype(np.int32)))
 
-    cells = (queries.select(F.explode(probes(F.col(q_vec_col))).alias("c"))
-             .distinct().collect())
-    probe = sorted(int(r["c"]) for r in cells)
-    cand = decode_filtered(
-        spark, out_dir, CELL_COL, "in", probe,
-        columns=[side["id_col"], side["vec_col"], CELL_COL])
+    if np_eff >= len(C):
+        # every query probes every cell: skip the probe-union collect AND
+        # the IN-list pruning stack — nothing can be pruned
+        cand = decode_job(spark, out_dir,
+                          [side["id_col"], side["vec_col"], CELL_COL])
+    else:
+        cells = (queries.select(
+            F.explode(probes(F.col(q_vec_col))).alias("c"))
+            .distinct().collect())
+        probe = sorted(int(r["c"]) for r in cells)
+        cand = decode_filtered(
+            spark, out_dir, CELL_COL, "in", probe,
+            columns=[side["id_col"], side["vec_col"], CELL_COL])
     cand = cand.withColumnRenamed(CELL_COL, "centroid")
     return ivf_topk_batch(cand, C, queries, k=k, nprobe=np_eff,
                           vec_col=side["vec_col"], id_col=side["id_col"],
