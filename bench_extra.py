@@ -96,6 +96,8 @@ def main() -> None:
                                       "seed": SEED}).collect()
 
         run("web_encode", enc)
+        if only and "web_encode" not in only:
+            enc()  # verify/decode need the store even when encode is untimed
 
         corpus = spark.read.parquet(corpus_dir)
 

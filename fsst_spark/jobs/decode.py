@@ -774,34 +774,10 @@ def decode_job(spark, out_dir: str, columns: list[str] | None = None,
                           - set(_added(out_dir)))
             if phys:
                 scan_columns = list(columns) + [phys[0]]
-    chunks = pruned_chunks(spark, out_dir, scan_columns, filters, dict_prune)
-    if as_of is not None and _pids is not None:
-        raise ValueError("pass as_of OR a pid whitelist, not both")
-    pids = _as_of_pids(out_dir, as_of) if as_of is not None else _pids
-    if pids is not None:
-        if not pids:  # valid empty commit range: no chunks visible
-            chunks = chunks.where(F.lit(False))
-        elif len(pids) <= 100_000:
-            chunks = chunks.where(F.col("pid").isin(pids))
-        else:  # snapshot spans many writes: semi join beats a giant IN plan
-            pdf = spark.createDataFrame([(p,) for p in pids], "pid int")
-            chunks = chunks.join(F.broadcast(pdf), "pid", "left_semi")
-    if _chunk_keys is not None:  # LIMIT pushdown: exactly these chunks
-        kdf = spark.createDataFrame(_chunk_keys, "pid int, chunk_id int")
-        chunks = chunks.join(F.broadcast(kdf), ["pid", "chunk_id"],
-                             "left_semi")
-    if zone_filters_any:
-        any_keep = pruned_chunks_any(spark, out_dir, columns,
-                                     list(zone_filters_any), dict_prune) \
-            .select("pid", "chunk_id").distinct()
-        chunks = chunks.join(any_keep, ["pid", "chunk_id"], "left_semi")
-    # sketches served their purpose at pruning time; don't shuffle them
-    chunks = chunk_repartition(spark, chunks.drop("bloom", "hll"), out_dir,
-                               ordered=ordered)
     # row tombstones (jobs.deletes) apply executor-side: the flag is read
     # once on the driver, each task lazily loads its pids' positions
     from .deletes import has_deletes
-    from .schema import added_columns
+    from .schema import added_columns, dropped_columns
 
     deletes_on = has_deletes(out_dir)
     # schema-log-added columns: chunks written before the add have no row
@@ -850,6 +826,80 @@ def decode_job(spark, out_dir: str, columns: list[str] | None = None,
             if out is not None:
                 yield out
 
+    if (not filters and not zone_filters_any and as_of is None
+            and _pids is None and _chunk_keys is None and not ordered):
+        # FILE-GRANULAR fast path (the decode mirror of the encode-side
+        # reroute): an unfiltered decode needs no chunk pruning and no
+        # grouping shuffle — every (pid, chunk_id) group already lives
+        # whole inside its pid's single chunk file, so one task per file
+        # reads it columnar-natively with pyarrow. This removes BOTH the
+        # payload shuffle (encoded bytes never cross an Exchange) and the
+        # JVM->Python hop of the chunk-metadata scan (only file paths
+        # cross), and reads just the six columns the decode needs —
+        # zones/bloom/hll/checksum bytes stay on disk.
+        import glob as _glob
+        import os as _os
+
+        files = sorted(_glob.glob(_os.path.join(out_dir, "chunks",
+                                                "*.parquet")))
+        if files:
+            if scan_columns is not None:
+                col_keep, col_drop = list(scan_columns), None
+            else:
+                col_keep = None
+                col_drop = sorted(dropped_columns(out_dir)) or None
+            task_df = spark.createDataFrame(
+                list(enumerate(files)), "i int, path string") \
+                .repartitionByRange(len(files), "i")
+
+            def read_files(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+                import pyarrow.compute as _pc
+                import pyarrow.parquet as _pq
+
+                def file_batches():
+                    for batch in batches:
+                        for path in batch.column("path").to_pylist():
+                            t = _pq.read_table(
+                                path, columns=["pid", "chunk_id", "column",
+                                               "codec", "params", "payload"])
+                            if col_keep is not None:
+                                t = t.filter(_pc.is_in(
+                                    t.column("column"),
+                                    pa.array(col_keep, pa.string())))
+                            elif col_drop is not None:
+                                t = t.filter(_pc.invert(_pc.is_in(
+                                    t.column("column"),
+                                    pa.array(col_drop, pa.string()))))
+                            yield from t.to_batches()
+
+                yield from decode_task(file_batches())
+
+            return task_df.mapInArrow(read_files, ddl)
+
+    chunks = pruned_chunks(spark, out_dir, scan_columns, filters, dict_prune)
+    if as_of is not None and _pids is not None:
+        raise ValueError("pass as_of OR a pid whitelist, not both")
+    pids = _as_of_pids(out_dir, as_of) if as_of is not None else _pids
+    if pids is not None:
+        if not pids:  # valid empty commit range: no chunks visible
+            chunks = chunks.where(F.lit(False))
+        elif len(pids) <= 100_000:
+            chunks = chunks.where(F.col("pid").isin(pids))
+        else:  # snapshot spans many writes: semi join beats a giant IN plan
+            pdf = spark.createDataFrame([(p,) for p in pids], "pid int")
+            chunks = chunks.join(F.broadcast(pdf), "pid", "left_semi")
+    if _chunk_keys is not None:  # LIMIT pushdown: exactly these chunks
+        kdf = spark.createDataFrame(_chunk_keys, "pid int, chunk_id int")
+        chunks = chunks.join(F.broadcast(kdf), ["pid", "chunk_id"],
+                             "left_semi")
+    if zone_filters_any:
+        any_keep = pruned_chunks_any(spark, out_dir, columns,
+                                     list(zone_filters_any), dict_prune) \
+            .select("pid", "chunk_id").distinct()
+        chunks = chunks.join(any_keep, ["pid", "chunk_id"], "left_semi")
+    # sketches served their purpose at pruning time; don't shuffle them
+    chunks = chunk_repartition(spark, chunks.drop("bloom", "hll"), out_dir,
+                               ordered=ordered)
     return chunks.mapInArrow(decode_task, ddl)
 
 

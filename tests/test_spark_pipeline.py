@@ -72,7 +72,20 @@ def test_decode_column_pruning(spark, encoded_dir):
     dec = decode_job(spark, encoded_dir, columns=["lang", "url"])
     assert dec.columns == ["pid", "chunk_id", "lang", "url"]
     assert dec.count() == N_ROWS
-    # the physical scan must push the column filter into parquet
+    # unfiltered decode takes the file-granular path: no Exchange of
+    # payload bytes anywhere in the plan (tasks read their own chunk file
+    # with pyarrow; the only shuffled rows are (i, path) pairs), and the
+    # column projection is a pyarrow-side filter inside the task
+    plan = dec._jdf.queryExecution().executedPlan().toString()
+    assert "read_files" in plan
+    assert "payload" not in plan
+
+
+def test_decode_filtered_scan_pushdown(spark, encoded_dir):
+    # the pruned (zone-filter) path still scans chunk metadata through the
+    # JVM with the column filter pushed into parquet
+    dec = decode_job(spark, encoded_dir, columns=["lang", "url"],
+                     zone_filter=("lang", "==", "en"))
     plan = dec._jdf.queryExecution().executedPlan().toString()
     assert "column" in plan
 
