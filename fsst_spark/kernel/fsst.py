@@ -123,7 +123,13 @@ class CompressorBuilder:
         self.n_symbols = 0
         self.len_hist = [0] * 8
         self.codes_one_byte: list[int] = [_code_new_escape(b) for b in range(256)]
-        self.codes_two_byte: list[int] = [_code_new_escape(i & 0xFF) for i in range(65536)]
+        # one uint32 per 2-byte prefix; kept as a numpy array (values are
+        # exactly _code_new_escape(i & 0xFF) for each i) so the 65536-entry
+        # init/finalize sweeps vectorize and the native counting kernel
+        # reads it zero-copy
+        self.codes_two_byte = (
+            (np.arange(65536, dtype=np.uint32) & np.uint32(0xFF))
+            | np.uint32(1 << LEN_SHIFT))
         # Lossy PHT for symbols of >= 3 bytes (lossy_pht.rs:59-122).
         self.pht_sym = [0] * PHT_SIZE
         self.pht_code = [CODE_UNUSED] * PHT_SIZE
@@ -179,7 +185,7 @@ class CompressorBuilder:
         pcode = self.pht_code[slot]
         if pcode != CODE_UNUSED and (word & (M64 >> self.pht_ign[slot])) == self.pht_sym[slot]:
             return pcode
-        two = self.codes_two_byte[word & 0xFFFF]
+        two = int(self.codes_two_byte[word & 0xFFFF])  # np.uint32 -> int
         if (two & CODE_MASK) >= CODE_BASE:
             return two
         return self.codes_one_byte[word & 0xFF]
@@ -322,13 +328,15 @@ class CompressorBuilder:
             else:
                 self.codes_one_byte[b] = CODE_UNUSED
         # Rewrite the two-byte index: real codes remapped, else the (possibly
-        # UNUSED) one-byte entry for the first char.
-        for w in range(65536):
-            two = self.codes_two_byte[w]
-            if (two & CODE_MASK) >= CODE_BASE:
-                self.codes_two_byte[w] = _code_new_symbol(new_codes[two & 0xFF], 2)
-            else:
-                self.codes_two_byte[w] = self.codes_one_byte[w & 0xFF]
+        # UNUSED) one-byte entry for the first char — one vectorized sweep.
+        two = self.codes_two_byte
+        nc = np.zeros(256, dtype=np.uint32)
+        nc[: len(new_codes)] = new_codes
+        ones = np.array(self.codes_one_byte, dtype=np.uint32)
+        real = (two & np.uint32(CODE_MASK)) >= np.uint32(CODE_BASE)
+        mapped = nc[(two & np.uint32(0xFF)).astype(np.intp)] \
+            + np.uint32(2 << LEN_SHIFT)
+        self.codes_two_byte = np.where(real, mapped, np.tile(ones, 256))
         # Renumber the PHT.
         for slot in range(PHT_SIZE):
             pcode = self.pht_code[slot]
@@ -388,17 +396,42 @@ def make_sample(values: list[bytes]) -> list[bytes]:
 
 def train(values: list[bytes]) -> "Compressor":
     """Train a compressor: 5 generations of compress_count + optimize over a
-    <=16 KiB sample (reference src/builder.rs:604-628)."""
+    <=16 KiB sample (reference src/builder.rs:604-628).
+
+    The per-generation greedy counting walk runs in the native C kernel
+    when a compiler is available (property-tested to produce identical
+    counters, hence an identical table); the scalar loop below is the
+    oracle and the no-compiler fallback."""
     builder = CompressorBuilder()
     if not values:
         return builder.build()
     counter = _Counter()
     sample = make_sample(values)
+    native = None
+    if sample:
+        from .native import make_native_counter
+
+        native = make_native_counter(sample)
     for frac in GENERATIONS:
-        for i, line in enumerate(sample):
-            if frac < 128 and (fsst_hash(i) & 127) > frac:
-                continue
-            builder.compress_count(line, counter)
+        if native is not None:
+            mask = np.fromiter(
+                ((frac >= 128) or ((fsst_hash(i) & 127) <= frac)
+                 for i in range(len(sample))),
+                dtype=bool, count=len(sample))
+            c1, c2 = native.run_generation(builder, mask)
+            nz1 = np.nonzero(c1)[0]
+            counter.counts1 = {int(c): int(c1[c]) for c in nz1}
+            rows, cols = np.nonzero(c2)
+            vals = c2[rows, cols]
+            counts2: dict[int, dict[int, int]] = {}
+            for r, c, v in zip(rows.tolist(), cols.tolist(), vals.tolist()):
+                counts2.setdefault(r, {})[c] = v
+            counter.counts2 = counts2
+        else:
+            for i, line in enumerate(sample):
+                if frac < 128 and (fsst_hash(i) & 127) > frac:
+                    continue
+                builder.compress_count(line, counter)
         builder.optimize(counter, frac)
         counter.clear()
     return builder.build()
@@ -437,7 +470,7 @@ class Compressor:
                 word = from_bytes(plaintext[pos : pos + 8], "little")
             else:
                 word = from_bytes(plaintext[pos:].ljust(8, b"\x00"), "little")
-            two = codes_two_byte[word & 0xFFFF]
+            two = int(codes_two_byte[word & 0xFFFF])  # np.uint32 -> int
             if (two & 0xFF) < has_suffix:
                 append(two & 0xFF)
                 pos += 2

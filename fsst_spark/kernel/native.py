@@ -73,6 +73,77 @@ int64_t fsst_encode_bulk(
     return opos;
 }
 
+/* One training generation of CompressorBuilder.compress_count over the
+   selected sample lines: greedy longest-match walk in BUILDING code space
+   (one/two-byte indexes + lossy PHT), tallying counts1[512] and
+   counts2[512*512]. Exactly mirrors the Python loop (same word loads,
+   same tail handling) so the resulting counters — and therefore the
+   trained symbol table — are identical. */
+void fsst_count_bulk(
+    const uint8_t* data, const int64_t* starts, const int64_t* ends,
+    int64_t n_lines,
+    const uint32_t* codes_one,   /* 256 packed building codes */
+    const uint32_t* codes_two,   /* 65536 */
+    const uint64_t* pht_sym, const uint32_t* pht_code,
+    const uint8_t* pht_ign,      /* 2048 each */
+    const uint64_t* symbols,     /* 511: escapes 0..255 + building 256.. */
+    uint32_t* counts1, uint32_t* counts2)
+{
+    const uint64_t M64 = ~0ULL;
+    const uint32_t CODE_UNUSED = 511u + (1u << 12);
+    for (int64_t r = 0; r < n_lines; r++) {
+        int64_t pos = starts[r], end = ends[r];
+        if (pos >= end) continue;
+        uint32_t prev = 511;
+        int64_t end_main = end - 8;
+        uint64_t word;
+        while (pos < end_main) {
+            memcpy(&word, data + pos, 8);
+            uint64_t v = word & 0xFFFFFF;
+            uint32_t slot = (uint32_t)(((v * 2971215073ULL) ^ (v >> 15)) & 2047);
+            uint32_t code, pcode = pht_code[slot];
+            if (pcode != CODE_UNUSED
+                    && (word & (M64 >> pht_ign[slot])) == pht_sym[slot]) {
+                code = pcode;
+            } else {
+                uint32_t two = codes_two[word & 0xFFFF];
+                code = ((two & 511u) >= 256u) ? two : codes_one[word & 0xFF];
+            }
+            uint32_t ext = code & 511u, ln = code >> 12;
+            counts1[ext]++; counts2[prev * 512u + ext]++;
+            if (ln > 1) {
+                uint32_t fb = (uint32_t)(symbols[ext] & 0xFF);
+                counts1[fb]++; counts2[prev * 512u + fb]++;
+            }
+            pos += ln;
+            prev = ext;
+        }
+        int64_t rem = end - pos;
+        word = load_word(data + pos, rem);
+        while (rem > 0) {
+            uint64_t v = word & 0xFFFFFF;
+            uint32_t slot = (uint32_t)(((v * 2971215073ULL) ^ (v >> 15)) & 2047);
+            uint32_t code, pcode = pht_code[slot];
+            if (pcode != CODE_UNUSED
+                    && (word & (M64 >> pht_ign[slot])) == pht_sym[slot]) {
+                code = pcode;
+            } else {
+                uint32_t two = codes_two[word & 0xFFFF];
+                code = ((two & 511u) >= 256u) ? two : codes_one[word & 0xFF];
+            }
+            uint32_t ext = code & 511u, ln = code >> 12;
+            counts1[ext]++; counts2[prev * 512u + ext]++;
+            if (ln > 1) {
+                uint32_t fb = (uint32_t)(symbols[ext] & 0xFF);
+                counts1[fb]++; counts2[prev * 512u + fb]++;
+            }
+            rem -= ln;
+            word >>= 8 * ln;
+            prev = ext;
+        }
+    }
+}
+
 /* Decode n FSST streams. out must have 8 bytes of slack beyond worst case.
    Returns total decoded bytes, or -1 on a corrupt stream (escape byte at
    end of input, or a code >= n_symbols) — matching the reference's
@@ -137,6 +208,8 @@ def _compile() -> ctypes.CDLL | None:
     lib.fsst_encode_bulk.argtypes = [p, p, i64, p, u32, p, p, p, p, p, p, p]
     lib.fsst_decode_bulk.restype = i64
     lib.fsst_decode_bulk.argtypes = [p, p, i64, p, p, u32, p, p]
+    lib.fsst_count_bulk.restype = None
+    lib.fsst_count_bulk.argtypes = [p, p, p, i64, p, p, p, p, p, p, p, p]
     return lib
 
 
@@ -257,6 +330,56 @@ def decode_chunk_native(codes: np.ndarray, offsets: np.ndarray, sym_mat: np.ndar
             "corrupt FSST stream: escape at end of input or code outside the symbol table"
         )
     return out[:sz].copy(), out_off
+
+
+class NativeCounter:
+    """Per-training-run native ``compress_count`` driver.
+
+    Holds the concatenated sample buffer plus per-line (start, end) spans;
+    ``run_generation`` exports the builder's CURRENT building-code state
+    (it changes after every ``optimize``) as contiguous arrays, runs one
+    generation of greedy counting in C, and returns dense count arrays.
+    ``None`` from :func:`make_native_counter` means no compiler —
+    callers fall back to the scalar Python loop."""
+
+    def __init__(self, lib, sample: "list[bytes]") -> None:
+        self.lib = lib
+        self.data = np.frombuffer(b"".join(sample), dtype=np.uint8) \
+            if sample else np.empty(0, np.uint8)
+        lens = np.fromiter((len(s) for s in sample), dtype=np.int64,
+                           count=len(sample))
+        bounds = np.zeros(len(sample) + 1, dtype=np.int64)
+        np.cumsum(lens, out=bounds[1:])
+        self.starts_all = bounds[:-1]
+        self.ends_all = bounds[1:]
+        self.counts1 = np.zeros(512, dtype=np.uint32)
+        self.counts2 = np.zeros(512 * 512, dtype=np.uint32)
+
+    def run_generation(self, builder, line_mask: np.ndarray):
+        starts = np.ascontiguousarray(self.starts_all[line_mask])
+        ends = np.ascontiguousarray(self.ends_all[line_mask])
+        codes_one = np.array(builder.codes_one_byte, dtype=np.uint32)
+        codes_two = np.ascontiguousarray(builder.codes_two_byte,
+                                         dtype=np.uint32)
+        pht_sym = np.array(builder.pht_sym, dtype=np.uint64)
+        pht_code = np.array(builder.pht_code, dtype=np.uint32)
+        pht_ign = np.array(builder.pht_ign, dtype=np.uint8)
+        symbols = np.array(builder.symbols[:511], dtype=np.uint64)
+        self.counts1[:] = 0
+        self.counts2[:] = 0
+        self.lib.fsst_count_bulk(
+            _ptr(self.data), _ptr(starts), _ptr(ends), len(starts),
+            _ptr(codes_one), _ptr(codes_two), _ptr(pht_sym),
+            _ptr(pht_code), _ptr(pht_ign), _ptr(symbols),
+            _ptr(self.counts1), _ptr(self.counts2))
+        return self.counts1, self.counts2.reshape(512, 512)
+
+
+def make_native_counter(sample: "list[bytes]") -> "NativeCounter | None":
+    lib = get_lib()
+    if lib is None:
+        return None
+    return NativeCounter(lib, sample)
 
 
 def _native_tables(t) -> dict:
