@@ -1060,6 +1060,24 @@ def encoded_group_topk(spark, out_dir: str, key_col: str, val_col: str,
            f"val {_spark_type(types[val_col])}, cnt bigint")
     partial = chunks.mapInArrow(task, ddl)
     totals = partial.groupBy("value", "val").agg(F.sum("cnt").alias("cnt"))
+
+    def local_prune(pdfs):
+        # per-partition combiner ahead of the global rank window: a row
+        # can only final-rank <= k if, within its partition and key, fewer
+        # than k rows have a strictly higher count — so dropping rows
+        # below the in-partition k-th count is exact regardless of tie
+        # order, and the window's per-key fan-in is capped at
+        # ~k x shuffle-partitions instead of the key's full value-NDV
+        # (the ivf_topk_batch per-partition combine, guide §2.3).
+        for pdf in pdfs:
+            if len(pdf) <= k:
+                yield pdf
+                continue
+            thr = pdf.groupby("value", dropna=False)["cnt"].transform(
+                lambda s: s.nlargest(min(k, len(s))).min())
+            yield pdf[pdf["cnt"] >= thr]
+
+    totals = totals.mapInPandas(local_prune, ddl)
     w = Window.partitionBy("value").orderBy(F.desc("cnt"), F.asc("val"))
     return (totals.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))

@@ -254,8 +254,14 @@ def store_join_plan(spark, left_dir: str, right_dir: str, on,
                 f"join key {c!r} is {lts[c]} in {left_dir} but {rts[c]} in "
                 f"{right_dir}; packed zone keys are only comparable within "
                 f"one arrow type — cast and re-encode one side")
-    lmeta = _side_meta(spark, left_dir, keys)
-    rmeta = _side_meta(spark, right_dir, keys)
+    # the two sides' metadata collects are independent Spark jobs —
+    # overlap them (optimization-guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _fl = _pool.submit(_side_meta, spark, left_dir, keys)
+        _fr = _pool.submit(_side_meta, spark, right_dir, keys)
+        lmeta, rmeta = _fl.result(), _fr.result()
     lz_all, rz_all = lmeta["zones"], rmeta["zones"]
     lz, rz = lz_all[keys[0]], rz_all[keys[0]]
     lk = _side_kept(lz_all, rz_all, keys) if how in _PRUNE_LEFT else None
