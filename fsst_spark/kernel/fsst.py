@@ -62,6 +62,16 @@ def sym_len(s: int) -> int:
     return (s.bit_length() + 7) >> 3
 
 
+def _sym_len_vec(s: np.ndarray) -> np.ndarray:
+    """Vectorized ``sym_len`` over a uint64 symbol array (1..8; 0 -> 1)."""
+    lens = np.ones(len(s), dtype=np.int64)
+    thr = np.uint64(0xFF)
+    for _ in range(7):
+        lens += (s > thr)
+        thr = (thr << np.uint64(8)) | np.uint64(0xFF)
+    return lens
+
+
 def sym_concat(a: int, b: int) -> int:
     """Concatenate two packed symbols (reference src/lib.rs:100-110)."""
     la = sym_len(a)
@@ -240,10 +250,24 @@ class CompressorBuilder:
             prev = ext
         return gain
 
-    def optimize(self, counter: _Counter, sample_frac: int) -> None:
-        """Gain-ranked candidate selection (builder.rs:754-813)."""
+    def _select_candidates(self, cand: "list[tuple[int, int, int]]") -> None:
+        """Heap-pop candidates best-first and rebuild the table
+        (builder.rs:787-813). Only the candidate MULTISET matters: the heap
+        pops tuples in sorted order and equal tuples are interchangeable,
+        so dense- and dict-built candidate lists yield identical tables."""
         import heapq
 
+        heapq.heapify(cand)
+        self.clear()
+        n_inserted = 0
+        pop = heapq.heappop
+        while cand and n_inserted < 255:
+            _, _, sym = pop(cand)
+            if self.insert(sym, sym_len(sym)):
+                n_inserted += 1
+
+    def optimize(self, counter: _Counter, sample_frac: int) -> None:
+        """Gain-ranked candidate selection (builder.rs:754-813)."""
         cand: list[tuple[int, int, int]] = []  # (-gain, -len, sym)
         counts1 = counter.counts1
         counts2 = counter.counts2
@@ -271,14 +295,42 @@ class CompressorBuilder:
                 merged = ((s2 << (8 * l1)) | s1) & M64
                 mgain = row[code2] * sym_len(merged)
                 cand.append((-mgain, -sym_len(merged), merged))
-        heapq.heapify(cand)
-        self.clear()
-        n_inserted = 0
-        pop = heapq.heappop
-        while cand and n_inserted < 255:
-            _, _, sym = pop(cand)
-            if self.insert(sym, sym_len(sym)):
-                n_inserted += 1
+        self._select_candidates(cand)
+
+    def optimize_dense(self, c1: np.ndarray, c2: np.ndarray,
+                       sample_frac: int) -> None:
+        """``optimize`` fed by the native counter's dense count arrays —
+        the same candidate multiset built with vectorized numpy instead of
+        dict iteration (the selection loop is shared, so tables are
+        identical; pinned by tests/test_native_train.py)."""
+        prune = 5 * sample_frac // 128
+        symbols = np.array(self.symbols[:511], dtype=np.uint64)
+        lens = _sym_len_vec(symbols)
+        codes = np.nonzero(c1)[0]
+        counts = c1[codes].astype(np.int64)
+        keep = counts >= prune
+        codes, counts = codes[keep], counts[keep]
+        s1 = symbols[codes]
+        l1 = lens[codes].astype(np.int64)
+        gain = counts * l1
+        gain = np.where(codes < 256, gain * 8, gain)
+        cand = list(zip((-gain).tolist(), (-l1).tolist(), s1.tolist()))
+        if sample_frac < 128:
+            rows_sel = codes[l1 < 8]
+            sub = c2[rows_sel]
+            r_idx, code2 = np.nonzero(sub)
+            cnt = sub[r_idx, code2].astype(np.int64)
+            code1 = rows_sel[r_idx]
+            s1p, l1p = symbols[code1], lens[code1]
+            s2p, l2p = symbols[code2], lens[code2]
+            ok = (l1p + l2p) <= 8
+            merged = (s2p[ok] << (np.uint64(8) * l1p[ok].astype(np.uint64))) \
+                | s1p[ok]
+            mlen = _sym_len_vec(merged).astype(np.int64)
+            mgain = cnt[ok] * mlen
+            cand.extend(zip((-mgain).tolist(), (-mlen).tolist(),
+                            merged.tolist()))
+        self._select_candidates(cand)
 
     # -- finalization ------------------------------------------------------
     def finalize(self) -> tuple[int, list[int]]:
@@ -419,21 +471,14 @@ def train(values: list[bytes]) -> "Compressor":
                  for i in range(len(sample))),
                 dtype=bool, count=len(sample))
             c1, c2 = native.run_generation(builder, mask)
-            nz1 = np.nonzero(c1)[0]
-            counter.counts1 = {int(c): int(c1[c]) for c in nz1}
-            rows, cols = np.nonzero(c2)
-            vals = c2[rows, cols]
-            counts2: dict[int, dict[int, int]] = {}
-            for r, c, v in zip(rows.tolist(), cols.tolist(), vals.tolist()):
-                counts2.setdefault(r, {})[c] = v
-            counter.counts2 = counts2
+            builder.optimize_dense(c1, c2, frac)
         else:
             for i, line in enumerate(sample):
                 if frac < 128 and (fsst_hash(i) & 127) > frac:
                     continue
                 builder.compress_count(line, counter)
-        builder.optimize(counter, frac)
-        counter.clear()
+            builder.optimize(counter, frac)
+            counter.clear()
     return builder.build()
 
 
