@@ -848,9 +848,10 @@ def decode_job(spark, out_dir: str, columns: list[str] | None = None,
             else:
                 col_keep = None
                 col_drop = sorted(dropped_columns(out_dir)) or None
-            task_df = spark.createDataFrame(
-                list(enumerate(files)), "i int, path string") \
-                .repartitionByRange(len(files), "i")
+            from .encode import file_task_df
+
+            task_df = file_task_df(spark, list(enumerate(files)),
+                                   "i int, path string")
 
             def read_files(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
                 import pyarrow.compute as _pc

@@ -387,6 +387,18 @@ def _parquet_scan_files(df: DataFrame) -> list[str] | None:
     return paths
 
 
+def file_task_df(spark, rows: list, schema: str) -> DataFrame:
+    """One-partition-per-task DataFrame over a small driver-side task list
+    WITHOUT a shuffle: ``parallelize(numSlices=len(rows))`` pins one row
+    per partition deterministically by list position, where
+    ``createDataFrame(...).repartitionByRange`` pays a range-sampling job
+    plus an Exchange for the same layout. Used by every file-granular job
+    (encode, decode, verify)."""
+    n = max(1, len(rows))
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, n),
+                                 schema)
+
+
 def _atomic_write(table: pa.Table, path: str) -> None:
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     pq.write_table(table, tmp, compression="none")
@@ -698,8 +710,7 @@ def encode_files_job(
              if pid_offset + i not in done]
     if not tasks:
         return spark.createDataFrame([], METRIC_SCHEMA_DDL)
-    task_df = spark.createDataFrame(tasks, "pid int, path string") \
-        .repartitionByRange(len(tasks), "pid")
+    task_df = file_task_df(spark, tasks, "pid int, path string")
 
     def encode_file(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.compute as _pc

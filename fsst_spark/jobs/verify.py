@@ -57,9 +57,10 @@ def verify_chunks(spark, out_dir: str) -> DataFrame:
 
     files = sorted(glob.glob(os.path.join(out_dir, "chunks", "*.parquet")))
     if files:
-        task_df = spark.createDataFrame(
-            list(enumerate(files)), "i int, path string") \
-            .repartitionByRange(len(files), "i")
+        from .encode import file_task_df
+
+        task_df = file_task_df(spark, list(enumerate(files)),
+                               "i int, path string")
 
         def check_files(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
             import pyarrow.parquet as _pq
