@@ -23,7 +23,10 @@ def encoded(spark, tmp_path_factory):
 
 
 def test_decode_pushes_column_filter_to_scan(spark, encoded):
-    dec = decode_job(spark, encoded, columns=["lang"])
+    # PRUNED decodes go through the JVM metadata scan: the column filter
+    # must reach the parquet scan as a pushed filter
+    dec = decode_job(spark, encoded, columns=["lang"],
+                     zone_filter=("lang", "==", "en"))
     plan = _plan(dec)
     scan = plan[plan.index("FileScan"):]
     first_line = scan.split("\n")[0]
@@ -32,11 +35,15 @@ def test_decode_pushes_column_filter_to_scan(spark, encoded):
 
 
 def test_decode_scan_prunes_payload_metadata(spark, encoded):
-    # full decode still reads only the needed chunk fields
-    dec = decode_job(spark, encoded)
-    plan = _plan(dec)
-    first_line = plan[plan.index("FileScan"):].split("\n")[0]
-    assert "raw_bytes" not in first_line.split("ReadSchema")[-1]
+    # an UNFILTERED decode takes the file-granular path: no JVM chunk
+    # scan, no Exchange of payload rows at all — tasks read their own
+    # chunk file with pyarrow (column projection applied pyarrow-side)
+    for dec in (decode_job(spark, encoded),
+                decode_job(spark, encoded, columns=["lang"])):
+        plan = _plan(dec)
+        assert "read_files" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert "payload" not in plan, plan
 
 
 def test_salted_repartition_broadcasts_bucket_map(spark):
