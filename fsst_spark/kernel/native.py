@@ -36,37 +36,52 @@ static inline uint64_t load_word(const uint8_t* p, int64_t remaining) {
 
 /* Greedy FSST encode of n strings (data + offsets) into out/out_offsets.
    tb: uint32[65536] packed (code | adv_in<<8 | adv_out<<16).
-   Returns total encoded bytes. */
+   pht_packed: uint32[2048] packed (code | len<<8 | used<<16).
+   Returns total encoded bytes. The match body is a macro so the hot
+   main loop (>= 8 bytes left: one unconditional 8-byte load) and the
+   tail loop (zero-padded partial load) share identical semantics. */
+#define FSST_ENC_STEP(W)                                                     \
+    {                                                                        \
+        uint64_t w = (W);                                                    \
+        uint32_t t = tb[w & 0xFFFF];                                         \
+        uint32_t code = t & 0xFF;                                            \
+        if (code < has_suffix) {            /* 2-byte fast path */           \
+            out[opos++] = (uint8_t)code;                                     \
+            in += 2;                                                         \
+            continue;                                                        \
+        }                                                                    \
+        uint64_t v = w & 0xFFFFFF;          /* lossy PHT probe */            \
+        uint32_t slot = (uint32_t)(((v * 2971215073ULL) ^ (v >> 15)) & 2047);\
+        uint32_t p = pht_packed[slot];                                       \
+        if ((p >> 16) && (w & pht_mask[slot]) == pht_sym[slot]) {            \
+            out[opos++] = (uint8_t)(p & 0xFF);                               \
+            in += (p >> 8) & 0xFF;                                           \
+            continue;                                                        \
+        }                                                                    \
+        out[opos++] = (uint8_t)code;        /* 1/2-byte code or escape */    \
+        if ((t >> 16) == 2) out[opos++] = (uint8_t)w;  /* escape literal */  \
+        in += (t >> 8) & 0xFF;                                               \
+    }
+
 int64_t fsst_encode_bulk(
     const uint8_t* data, const int64_t* offsets, int64_t n,
     const uint32_t* tb, uint32_t has_suffix,
     const uint64_t* pht_sym, const uint64_t* pht_mask,
-    const uint8_t* pht_used, const uint8_t* pht_code, const uint8_t* pht_len,
+    const uint32_t* pht_packed,
     uint8_t* out, int64_t* out_offsets)
 {
     int64_t opos = 0;
     out_offsets[0] = 0;
     for (int64_t r = 0; r < n; r++) {
         int64_t in = offsets[r], end = offsets[r + 1];
+        int64_t end_main = end - 8;
+        while (in <= end_main) {
+            uint64_t wm;
+            memcpy(&wm, data + in, 8);
+            FSST_ENC_STEP(wm)
+        }
         while (in < end) {
-            uint64_t w = load_word(data + in, end - in);
-            uint32_t t = tb[w & 0xFFFF];
-            uint32_t code = t & 0xFF;
-            if (code < has_suffix) {            /* 2-byte fast path */
-                out[opos++] = (uint8_t)code;
-                in += 2;
-                continue;
-            }
-            uint64_t v = w & 0xFFFFFF;          /* lossy PHT probe */
-            uint32_t slot = (uint32_t)(((v * 2971215073ULL) ^ (v >> 15)) & 2047);
-            if (pht_used[slot] && (w & pht_mask[slot]) == pht_sym[slot]) {
-                out[opos++] = pht_code[slot];
-                in += pht_len[slot];
-                continue;
-            }
-            out[opos++] = (uint8_t)code;        /* 1/2-byte code or escape */
-            if ((t >> 16) == 2) out[opos++] = (uint8_t)w;  /* escape literal */
-            in += (t >> 8) & 0xFF;
+            FSST_ENC_STEP(load_word(data + in, end - in))
         }
         out_offsets[r + 1] = opos;
     }
@@ -205,7 +220,7 @@ def _compile() -> ctypes.CDLL | None:
     i64, u32 = ctypes.c_int64, ctypes.c_uint32
     p = ctypes.c_void_p
     lib.fsst_encode_bulk.restype = i64
-    lib.fsst_encode_bulk.argtypes = [p, p, i64, p, u32, p, p, p, p, p, p, p]
+    lib.fsst_encode_bulk.argtypes = [p, p, i64, p, u32, p, p, p, p, p]
     lib.fsst_decode_bulk.restype = i64
     lib.fsst_decode_bulk.argtypes = [p, p, i64, p, p, u32, p, p]
     lib.fsst_count_bulk.restype = None
@@ -292,8 +307,8 @@ def encode_chunk_native(data: np.ndarray, offsets: np.ndarray, t,
     out_off = np.empty(nlanes + 1, dtype=np.int64)
     sz = lib.fsst_encode_bulk(
         _ptr(data), _ptr(enc_offsets), nlanes, _ptr(nt["tb"]), int(t.has_suffix_code),
-        _ptr(nt["pht_sym"]), _ptr(nt["pht_mask"]), _ptr(nt["pht_used"]),
-        _ptr(nt["pht_code"]), _ptr(nt["pht_len"]), _ptr(out), _ptr(out_off),
+        _ptr(nt["pht_sym"]), _ptr(nt["pht_mask"]), _ptr(nt["pht_packed"]),
+        _ptr(out), _ptr(out_off),
     )
     if row_of_lane is not None:
         lane_out_len = out_off[1:] - out_off[:-1]
@@ -391,9 +406,7 @@ def _native_tables(t) -> dict:
         "tb": np.ascontiguousarray(t.tb_packed, dtype=np.uint32),
         "pht_sym": np.ascontiguousarray(t.pht_sym, dtype=np.uint64),
         "pht_mask": np.ascontiguousarray(t.pht_mask, dtype=np.uint64),
-        "pht_used": np.ascontiguousarray((t.pht_packed >> 16).astype(np.uint8)),
-        "pht_code": np.ascontiguousarray((t.pht_packed & 0xFF).astype(np.uint8)),
-        "pht_len": np.ascontiguousarray(((t.pht_packed >> 8) & 0xFF).astype(np.uint8)),
+        "pht_packed": np.ascontiguousarray(t.pht_packed, dtype=np.uint32),
     }
     object.__setattr__(t, "_native_cache", cached)
     return cached
