@@ -301,8 +301,10 @@ class CompressorBuilder:
                        sample_frac: int) -> None:
         """``optimize`` fed by the native counter's dense count arrays —
         the same candidate multiset built with vectorized numpy instead of
-        dict iteration (the selection loop is shared, so tables are
-        identical; pinned by tests/test_native_train.py)."""
+        dict iteration, selected via one lexsort walk instead of a Python
+        tuple heap (same (-gain, -len, sym) ascending order, and equal
+        tuples are interchangeable, so tables are identical; pinned by
+        tests/test_native_train.py)."""
         prune = 5 * sample_frac // 128
         symbols = np.array(self.symbols[:511], dtype=np.uint64)
         lens = _sym_len_vec(symbols)
@@ -314,7 +316,6 @@ class CompressorBuilder:
         l1 = lens[codes].astype(np.int64)
         gain = counts * l1
         gain = np.where(codes < 256, gain * 8, gain)
-        cand = list(zip((-gain).tolist(), (-l1).tolist(), s1.tolist()))
         if sample_frac < 128:
             rows_sel = codes[l1 < 8]
             sub = c2[rows_sel]
@@ -328,9 +329,23 @@ class CompressorBuilder:
                 | s1p[ok]
             mlen = _sym_len_vec(merged).astype(np.int64)
             mgain = cnt[ok] * mlen
-            cand.extend(zip((-mgain).tolist(), (-mlen).tolist(),
-                            merged.tolist()))
-        self._select_candidates(cand)
+            syms = np.concatenate([s1, merged])
+            glen = np.concatenate([l1, mlen])
+            ggain = np.concatenate([gain, mgain])
+        else:
+            syms, glen, ggain = s1, l1, gain
+        # ascending (-gain, -len, sym): lexsort's LAST key is primary
+        order = np.lexsort((syms, -glen, -ggain))
+        self.clear()
+        n_inserted = 0
+        sym_l = syms[order].tolist()
+        len_l = glen[order].tolist()
+        ins = self.insert
+        for sym, ln in zip(sym_l, len_l):
+            if ins(sym, ln):
+                n_inserted += 1
+                if n_inserted >= 255:
+                    break
 
     # -- finalization ------------------------------------------------------
     def finalize(self) -> tuple[int, list[int]]:

@@ -37,30 +37,38 @@ static inline uint64_t load_word(const uint8_t* p, int64_t remaining) {
 /* Greedy FSST encode of n strings (data + offsets) into out/out_offsets.
    tb: uint32[65536] packed (code | adv_in<<8 | adv_out<<16).
    pht_packed: uint32[2048] packed (code | len<<8 | used<<16).
-   Returns total encoded bytes. The match body is a macro so the hot
-   main loop (>= 8 bytes left: one unconditional 8-byte load) and the
-   tail loop (zero-padded partial load) share identical semantics. */
-#define FSST_ENC_STEP(W)                                                     \
+   Returns total encoded bytes.
+
+   The match body is a macro shared by every loop so semantics stay
+   identical everywhere: 2-byte fast path, lossy-PHT probe, 1-byte code or
+   escape. The greedy walk is a serial dependency chain (load -> table
+   probe -> variable advance), so for bulk inputs four independent lanes
+   are interleaved in one loop — four dependency chains in flight per
+   core. Each lane writes into a private slot at out + 2*offsets[lane]
+   (worst case exactly 2 output bytes per input byte, so slots never
+   collide and 2*total is the caller's existing allocation); a final
+   compaction pass restores the contiguous lane order, leaving output
+   bytes identical to the sequential walk. */
+#define FSST_STEP_W(w, ink, opk)                                             \
     {                                                                        \
-        uint64_t w = (W);                                                    \
-        uint32_t t = tb[w & 0xFFFF];                                         \
+        uint32_t t = tb[(w) & 0xFFFF];                                       \
         uint32_t code = t & 0xFF;                                            \
         if (code < has_suffix) {            /* 2-byte fast path */           \
-            out[opos++] = (uint8_t)code;                                     \
-            in += 2;                                                         \
-            continue;                                                        \
+            out[opk++] = (uint8_t)code;                                      \
+            ink += 2;                                                        \
+        } else {                                                             \
+            uint64_t v = (w) & 0xFFFFFF;    /* lossy PHT probe */            \
+            uint32_t slot = (uint32_t)(((v * 2971215073ULL) ^ (v >> 15)) & 2047);\
+            uint32_t p = pht_packed[slot];                                   \
+            if ((p >> 16) && ((w) & pht_mask[slot]) == pht_sym[slot]) {      \
+                out[opk++] = (uint8_t)(p & 0xFF);                            \
+                ink += (p >> 8) & 0xFF;                                      \
+            } else {                                                         \
+                out[opk++] = (uint8_t)code; /* 1/2-byte code or escape */    \
+                if ((t >> 16) == 2) out[opk++] = (uint8_t)(w); /* literal */ \
+                ink += (t >> 8) & 0xFF;                                      \
+            }                                                                \
         }                                                                    \
-        uint64_t v = w & 0xFFFFFF;          /* lossy PHT probe */            \
-        uint32_t slot = (uint32_t)(((v * 2971215073ULL) ^ (v >> 15)) & 2047);\
-        uint32_t p = pht_packed[slot];                                       \
-        if ((p >> 16) && (w & pht_mask[slot]) == pht_sym[slot]) {            \
-            out[opos++] = (uint8_t)(p & 0xFF);                               \
-            in += (p >> 8) & 0xFF;                                           \
-            continue;                                                        \
-        }                                                                    \
-        out[opos++] = (uint8_t)code;        /* 1/2-byte code or escape */    \
-        if ((t >> 16) == 2) out[opos++] = (uint8_t)w;  /* escape literal */  \
-        in += (t >> 8) & 0xFF;                                               \
     }
 
 int64_t fsst_encode_bulk(
@@ -70,22 +78,90 @@ int64_t fsst_encode_bulk(
     const uint32_t* pht_packed,
     uint8_t* out, int64_t* out_offsets)
 {
-    int64_t opos = 0;
     out_offsets[0] = 0;
-    for (int64_t r = 0; r < n; r++) {
-        int64_t in = offsets[r], end = offsets[r + 1];
-        int64_t end_main = end - 8;
-        while (in <= end_main) {
-            uint64_t wm;
-            memcpy(&wm, data + in, 8);
-            FSST_ENC_STEP(wm)
+    if (n <= 0) return 0;
+    if (n < 8) {                       /* few lanes: plain sequential walk */
+        int64_t opos = 0;
+        for (int64_t r = 0; r < n; r++) {
+            int64_t in = offsets[r], end = offsets[r + 1];
+            int64_t end_main = end - 8;
+            while (in <= end_main) {
+                uint64_t wm;
+                memcpy(&wm, data + in, 8);
+                FSST_STEP_W(wm, in, opos)
+            }
+            while (in < end) {
+                uint64_t wt = load_word(data + in, end - in);
+                FSST_STEP_W(wt, in, opos)
+            }
+            out_offsets[r + 1] = opos;
         }
-        while (in < end) {
-            FSST_ENC_STEP(load_word(data + in, end - in))
-        }
-        out_offsets[r + 1] = opos;
+        return opos;
     }
-    return opos;
+
+    int64_t lane[4], in[4], end[4], op[4];
+    int64_t next = 0;
+    int n_active = 0;
+    for (int k = 0; k < 4; k++) {
+        lane[k] = next; in[k] = offsets[next]; end[k] = offsets[next + 1];
+        op[k] = 2 * offsets[next];
+        next++; n_active++;
+    }
+    while (n_active == 4) {
+        int64_t em0 = end[0] - 8, em1 = end[1] - 8;
+        int64_t em2 = end[2] - 8, em3 = end[3] - 8;
+        while (in[0] <= em0 && in[1] <= em1 && in[2] <= em2 && in[3] <= em3) {
+            uint64_t w0, w1, w2, w3;
+            memcpy(&w0, data + in[0], 8);
+            memcpy(&w1, data + in[1], 8);
+            memcpy(&w2, data + in[2], 8);
+            memcpy(&w3, data + in[3], 8);
+            FSST_STEP_W(w0, in[0], op[0])
+            FSST_STEP_W(w1, in[1], op[1])
+            FSST_STEP_W(w2, in[2], op[2])
+            FSST_STEP_W(w3, in[3], op[3])
+        }
+        for (int k = 0; k < 4; k++) {        /* lanes now in their tail */
+            if (in[k] > end[k] - 8) {
+                while (in[k] < end[k]) {
+                    uint64_t wt = load_word(data + in[k], end[k] - in[k]);
+                    FSST_STEP_W(wt, in[k], op[k])
+                }
+                /* stash the lane's LENGTH; compaction turns it cumulative */
+                out_offsets[lane[k] + 1] = op[k] - 2 * offsets[lane[k]];
+                if (next < n) {
+                    lane[k] = next; in[k] = offsets[next];
+                    end[k] = offsets[next + 1]; op[k] = 2 * offsets[next];
+                    next++;
+                } else {
+                    lane[k] = -1; n_active--;
+                }
+            }
+        }
+    }
+    for (int k = 0; k < 4; k++) {            /* drain the last <4 lanes */
+        if (lane[k] < 0) continue;
+        int64_t i = in[k], e = end[k], o = op[k];
+        int64_t em = e - 8;
+        while (i <= em) {
+            uint64_t wm;
+            memcpy(&wm, data + i, 8);
+            FSST_STEP_W(wm, i, o)
+        }
+        while (i < e) {
+            uint64_t wt = load_word(data + i, e - i);
+            FSST_STEP_W(wt, i, o)
+        }
+        out_offsets[lane[k] + 1] = o - 2 * offsets[lane[k]];
+    }
+    int64_t pos = 0;                         /* compact slots -> contiguous */
+    for (int64_t r = 0; r < n; r++) {
+        int64_t len = out_offsets[r + 1];
+        memmove(out + pos, out + 2 * offsets[r], (size_t)len);
+        pos += len;
+        out_offsets[r + 1] = pos;
+    }
+    return pos;
 }
 
 /* One training generation of CompressorBuilder.compress_count over the

@@ -89,6 +89,22 @@ def test_empty_table_all_escape_paths():
     assert from_buffers(dec, dec_off) == vals
 
 
+def test_interleaved_lane_boundaries():
+    """The native kernel interleaves 4 lanes when n >= 8 and runs the
+    sequential walk below that: pin byte-identity with the scalar oracle on
+    lane counts straddling the cutoff and on refill-heavy mixes (empties,
+    one-byte rows, escape-heavy rows, 8/9-byte tails)."""
+    rng = random.Random(13)
+    pieces = [b"", b"x", b"\xff", DECL[:8], DECL[:9], b"\xff\x00" * 7,
+              DECL, DECL * 2,
+              bytes(rng.randrange(256) for _ in range(37))]
+    for n in (6, 7, 8, 9, 11, 40):
+        vals = [pieces[i % len(pieces)] for i in range(n)]
+        check_corpus(vals)
+    # many short lanes: constant refill churn in the interleaved loop
+    check_corpus([pieces[rng.randrange(len(pieces))] for _ in range(500)])
+
+
 def test_all_empty_rows():
     c = train([DECL])
     t = EncoderTables.from_compressor(c)
